@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Dev-only local replica of the driver's t2 correctness gate.
+
+Runs AFTER `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+for each query parquet in outDir, executes the matching oracle SQL from
+oracle_sql.json in DuckDB against the same sf tables and compares
+(rows, schema-ish, values). Uses driver-side-only tools (duckdb/pandas)
+— this script is not part of the shipped library.
+
+Usage: python3 scripts/selfcheck.py <sfDir> <outDir>
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize cell values for hashing
+    def cell(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return None
+            return float(v)
+        if hasattr(v, "tolist"):  # numpy arrays / lists
+            return tuple(v.tolist())
+        return v
+    return df.map(cell)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = n_noora = 0
+    for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        if not os.path.isdir(qdir):
+            continue
+        name = os.path.basename(qdir)
+        got = pd.read_parquet(qdir)
+        if name not in oracles:
+            status = "ROWS_ONLY" if len(got) > 0 else "ROWS_ONLY_EMPTY"
+            print(f"[{status:>10}] {name}: rows={len(got)}")
+            n_noora += 1
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"[ ORA_ERROR] {name}: {e}")
+            n_fail += 1
+            continue
+        g, e = norm(got), norm(exp)
+        ok_cols = list(g.columns) == list(e.columns)
+        ok_rows = len(g) == len(e)
+        ok_vals = False
+        if ok_cols and ok_rows:
+            try:
+                pd.testing.assert_frame_equal(
+                    g.reset_index(drop=True), e.reset_index(drop=True),
+                    check_dtype=False, check_exact=True)
+                ok_vals = True
+            except AssertionError as err:
+                detail = str(err).splitlines()[0]
+        if ok_cols and ok_rows and ok_vals:
+            print(f"[      PASS] {name}: rows={len(g)}")
+            n_pass += 1
+        else:
+            print(f"[      FAIL] {name}: cols_ok={ok_cols} rows {len(g)} vs {len(e)}")
+            if ok_cols and ok_rows:
+                print(f"             {detail}")
+            if not ok_cols:
+                print(f"             spark={list(g.columns)} duck={list(e.columns)}")
+            n_fail += 1
+    print(f"\npass={n_pass} fail={n_fail} rows_only={n_noora}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

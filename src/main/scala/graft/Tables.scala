@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver star schema (TESTDATA.md): one parquet per table
+  * under the sf dir. Parquet scans get column pruning + predicate pushdown
+  * from Catalyst for free — every query should select only what it needs.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects. Read it as raw nanos and truncate to micros — the same thing
+    * DuckDB does when it scans NANOS into its microsecond TIMESTAMP.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** One named harness query: Spark plan builder + optional DuckDB oracle SQL.
+  * Oracle conventions (driver hash-compares after sorting columns by name):
+  *  - alias every computed column identically on both sides;
+  *  - cast aggregates to DOUBLE/BIGINT (decimal widths differ across engines);
+  *  - sums of fractional columns go through DECIMAL(18,2+) so both engines
+  *    compute the exact rational and land on the identical double;
+  *  - end with a deterministic ORDER BY on a unique key.
+  */
+final case class QueryDef(
+    name: String,
+    oracle: Option[String],
+    fn: (SparkSession, String) => DataFrame)

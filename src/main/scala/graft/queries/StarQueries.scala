@@ -1,0 +1,427 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+
+/** Core relational capability queries over the driver star schema.
+  *
+  * Each query re-expresses one operator family from SURVEY.md §2 (the
+  * reference's pandas pipeline, /root/reference/Versao_Np.py /
+  * Versao_P.py) as an idiomatic Spark plan with a DuckDB oracle:
+  *  - A1-A5 grouped-sum / ratio-of-sums meta kernel  -> agg_*
+  *  - J1 broadcast dim join + two-level fallback     -> join_*
+  *  - U1 unionByName with schema drift               -> union_by_name
+  *  - O1 sort / top-k                                -> sort_topk
+  *  - F2-F4 null guards / coercing casts             -> cast_*, null_fill
+  *  - capability locks beyond the reference: window, rollup/cube,
+  *    semi/anti join, exact percentile, salted agg.
+  */
+object StarQueries {
+
+  private val Dec = DecimalType(18, 2)
+  private def dec(c: Column): Column = c.cast(Dec)
+
+  // ---- A2/A3/A4: the meta kernel shape: round(sum(j)/(sum(d)-sum(s))*f, 2)
+  // with a zero-denominator NULL guard (Versao_Np.py:65-81). Sums go through
+  // decimal so the ratio's operands are exact; division + round in double.
+  private def aggRatioKernel(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val num = sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+    val den = sum(dec(col("l_quantity"))) - sum(dec(col("l_tax")))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        num.cast(DoubleType).as("num_sum"),
+        den.cast(DoubleType).as("den_sum"),
+        when(den === lit(0), lit(null).cast(DoubleType))
+          .otherwise(round(num.cast(DoubleType) / den.cast(DoubleType) * lit(100.0), 2))
+          .as("meta_ratio"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val aggRatioKernelSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS num_sum,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) - SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS den_sum,
+      |  CASE WHEN SUM(CAST(l_quantity AS DECIMAL(18,2))) - SUM(CAST(l_tax AS DECIMAL(18,2))) = 0 THEN NULL
+      |       ELSE ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |                  / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) - SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) * 100.0, 2)
+      |  END AS meta_ratio,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- A1: plain grouped sums (null-skipping), TPC-H Q1 shape.
+  private def aggSumsBasic(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
+        (sum(dec(col("l_quantity"))).cast(DoubleType) / count(col("l_quantity"))).as("avg_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val aggSumsBasicSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- J1: broadcast hash join against a tiny dimension (factors table
+  // shape, Versao_Np.py:41-61). broadcast() pins the strategy Catalyst
+  // would pick anyway at 100 TB fact scale.
+  private def joinBroadcastDim(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+  }
+
+  private val joinBroadcastDimSql =
+    """SELECT r_name, COUNT(*) AS n_nations
+      |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  // ---- J1's two-level fallback: left join that can miss + COALESCE default
+  // (the branch-factors -> Justiça-Estadual -> NA ladder, Versao_Np.py:122).
+  private def joinFallbackCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val dim = Tables.nation(s, dir).filter(col("n_nationkey") < 15)
+    c.join(broadcast(dim), c("c_nationkey") === dim("n_nationkey"), "left")
+      .withColumn("nation_name", coalesce(col("n_name"), lit("UNKNOWN")))
+      .groupBy(col("nation_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec(col("c_acctbal"))).cast(DoubleType).as("sum_bal"))
+      .orderBy(col("nation_name"))
+  }
+
+  private val joinFallbackCoalesceSql =
+    """SELECT COALESCE(n.n_name, 'UNKNOWN') AS nation_name,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer c LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 15) n
+      |  ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- semi/anti join capability (EXISTS / NOT EXISTS).
+  private def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"))
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").orderBy(col("c_custkey"))
+  }
+
+  private val joinSemiSql =
+    """SELECT c_custkey FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // Anti join against the 'P'-status subset so the result is non-empty
+  // (plain customer-vs-orders is fully covered in this dataset).
+  private def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").orderBy(col("c_custkey"))
+  }
+
+  private val joinAntiSql =
+    """SELECT c_custkey FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- fact-to-dim inner join + aggregate (shuffle join shape: at 100 TB
+  // the customer side is broadcast, the orders side stays partitioned).
+  private def joinInnerAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val joinInnerAggSql =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---- U1: unionByName(allowMissingColumns) — the NP pd.concat outer
+  // schema alignment (Versao_Np.py:226). Mismatched columns become null.
+  private def unionByNameDrift(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val a = o.filter(col("o_orderstatus") === "O").select(col("o_orderkey"), col("o_totalprice"))
+    val b = o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"), col("o_orderpriority"))
+    a.unionByName(b, allowMissingColumns = true)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_price"),
+        count(col("o_orderpriority")).as("n_priority"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("sum_price"))
+  }
+
+  private val unionByNameDriftSql =
+    """SELECT COUNT(*) AS n_rows,
+      |  COUNT(o_totalprice) AS n_price,
+      |  COUNT(o_orderpriority) AS n_priority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+      |  UNION ALL BY NAME
+      |  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      |)""".stripMargin
+
+  // ---- O1: global sort desc + top-k (chart-feed shape, Versao_Np.py:90).
+  private def sortTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+
+  private val sortTopkSql =
+    """SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin
+
+  // ---- window rank per group (top-3 orders per market segment).
+  private def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .withColumn("rk", rank().over(w).cast(LongType))
+      .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rk"), col("o_orderkey"))
+  }
+
+  private val windowRankSql =
+    """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+      |    RANK() OVER (PARTITION BY c.c_mktsegment
+      |                 ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |) WHERE rk <= 3 ORDER BY c_mktsegment, rk, o_orderkey""".stripMargin
+
+  // ---- running window sum; decimal buffer so segment-tree vs sequential
+  // accumulation order cannot produce fp drift between engines.
+  private def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast(DoubleType).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val windowRunningSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---- A6: first-value-per-group via max_by on a unique key
+  // (the reference's iloc[0] per file, Versao_Np.py:163-164).
+  private def aggFirstPerGroup(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        max_by(col("c_name"), col("c_custkey")).as("last_customer"),
+        min(dec(col("c_acctbal"))).cast(DoubleType).as("min_bal"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+
+  private val aggFirstPerGroupSql =
+    """SELECT c_nationkey,
+      |  arg_max(c_name, c_custkey) AS last_customer,
+      |  CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal,
+      |  COUNT(*) AS n_customers
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ---- F3: coercing cast (pd.to_numeric(errors='coerce')) — try_cast
+  // yields null on failure; plus JSON field extraction from events.props.
+  private def castCoerceNull(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k_val", expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
+      .withColumn("bad_cast", expr("try_cast(event_type AS DOUBLE)"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k_val")).as("sum_k"),
+        count(col("k_val")).as("n_k"),
+        count(col("bad_cast")).as("n_bad"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("event_type"))
+
+  private val castCoerceNullSql =
+    """SELECT event_type,
+      |  SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+      |  COUNT(TRY_CAST(event_type AS DOUBLE)) AS n_bad,
+      |  COUNT(*) AS n_rows
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- X4/F6: null sentinel fill (stringify + nan->'NA', Versao_Np.py:232)
+  // and conditional suppression (when(...) -> null).
+  private def nullFillSentinel(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("etype",
+        when(col("event_type") === "view", lit(null).cast(StringType))
+          .otherwise(col("event_type")))
+      .na.fill("NA", Seq("etype"))
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("etype"))
+
+  private val nullFillSentinelSql =
+    """SELECT COALESCE(CASE WHEN event_type = 'view' THEN NULL ELSE event_type END, 'NA') AS etype,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- rollup / cube (beyond-reference grouping capability).
+  private def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("flag"), col("status"))
+
+  private val rollupAggSql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      |  COALESCE(l_linestatus, 'ALL') AS status,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
+  private def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"))
+      .orderBy(col("status"), col("priority"))
+
+  private val cubeAggSql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  // ---- exact distinct count per group.
+  private def distinctCount(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy(col("l_returnflag"))
+
+  private val distinctCountSql =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- A7: distinct-set accumulation, deterministically sorted.
+  private def collectSetSorted(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  private val collectSetSortedSql =
+    """SELECT o_orderpriority,
+      |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- exact interpolated median (percentile == quantile_cont).
+  private def percentileExact(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(round(expr("percentile(o_totalprice, 0.5D)"), 4).as("median_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  private val percentileExactSql =
+    """SELECT o_orderstatus,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---- approximate distinct (HLL) — no cross-engine oracle (sketches
+  // differ); driver records the weaker rows-only check.
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  // ---- skew-safe two-phase aggregation: partial agg on (key, salt), final
+  // agg on key. Identical result to the plain groupBy (the oracle), but the
+  // hot keys (only 3 return flags) fan out over 16 partitions first — the
+  // pattern that keeps a 100 TB skewed rollup from bottlenecking one task.
+  private def skewSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(dec(col("l_quantity"))).as("part_qty"), count(lit(1)).as("part_n"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("part_qty")).cast(DoubleType).as("sum_qty"),
+        sum(col("part_n")).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  private val skewSaltedAggSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("agg_ratio_kernel", Some(aggRatioKernelSql), aggRatioKernel),
+    QueryDef("agg_sums_basic", Some(aggSumsBasicSql), aggSumsBasic),
+    QueryDef("agg_first_per_group", Some(aggFirstPerGroupSql), aggFirstPerGroup),
+    QueryDef("join_broadcast_dim", Some(joinBroadcastDimSql), joinBroadcastDim),
+    QueryDef("join_fallback_coalesce", Some(joinFallbackCoalesceSql), joinFallbackCoalesce),
+    QueryDef("join_semi", Some(joinSemiSql), joinSemi),
+    QueryDef("join_anti", Some(joinAntiSql), joinAnti),
+    QueryDef("join_inner_agg", Some(joinInnerAggSql), joinInnerAgg),
+    QueryDef("union_by_name", Some(unionByNameDriftSql), unionByNameDrift),
+    QueryDef("sort_topk", Some(sortTopkSql), sortTopk),
+    QueryDef("window_rank", Some(windowRankSql), windowRank),
+    QueryDef("window_running", Some(windowRunningSql), windowRunning),
+    QueryDef("cast_coerce_null", Some(castCoerceNullSql), castCoerceNull),
+    QueryDef("null_fill_sentinel", Some(nullFillSentinelSql), nullFillSentinel),
+    QueryDef("rollup_agg", Some(rollupAggSql), rollupAgg),
+    QueryDef("cube_agg", Some(cubeAggSql), cubeAgg),
+    QueryDef("distinct_count", Some(distinctCountSql), distinctCount),
+    QueryDef("collect_set_sorted", Some(collectSetSortedSql), collectSetSorted),
+    QueryDef("percentile_exact", Some(percentileExactSql), percentileExact),
+    QueryDef("approx_distinct", None, approxDistinct),
+    QueryDef("skew_salted_agg", Some(skewSaltedAggSql), skewSaltedAgg),
+  )
+}
