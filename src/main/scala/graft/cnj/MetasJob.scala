@@ -1,0 +1,146 @@
+package graft.cnj
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** The end-to-end Metas Nacionais pipeline — the reference's whole program
+  * (/root/reference/Versao_Np.py, Versao_P.py) as one declarative Spark
+  * plan: tolerant multi-file scan -> single HashAggregate keyed on the
+  * court -> broadcast join with the factor dimension -> meta projection ->
+  * stringly sinks. The Np/P distinction disappears: Spark's task scheduler
+  * IS the process pool, and the shuffle IS the temp-file merge.
+  *
+  * Documented divergence (SURVEY.md §7.3): the reference keys results on
+  * the file (one row per input file, identity from row 0); we key on
+  * (sigla_tribunal, ramo_justica), which merges a court split across files.
+  */
+object MetasJob {
+
+  /** Per-court meta summary with typed (double) meta columns. */
+  def resumoTyped(spark: SparkSession, data: DataFrame): DataFrame = {
+    val aggregated = data
+      .groupBy(col("sigla_tribunal"), col("ramo_justica"))
+      .agg(MetaKernel.aggColumns.head, MetaKernel.aggColumns.tail: _*)
+      .withColumn("ramo_fatores_key",
+        Factors.ramoUsado(col("ramo_justica"), col("sigla_tribunal")))
+
+    val joined = aggregated.join(
+      broadcast(Factors.dimension(spark)),
+      aggregated("ramo_fatores_key") === col("ramo_fatores"),
+      "left")
+
+    val standard = CnjSchema.metaSpecs.map { spec =>
+      spec.name -> MetaKernel.metaValue(spec, Factors.effectiveFactor(spec.factorKey))
+    }
+    val stj = CnjSchema.stjSpecs.map(spec => spec.name -> MetaKernel.stjValue(spec))
+    val stjByName = stj.toMap
+
+    val suppressed = standard.map {
+      case (n @ ("meta8a" | "meta8b"), c) => n -> MetaKernel.suppressIf(stjByName("meta8_stj"), c)
+      case (n @ ("meta10a" | "meta10b"), c) => n -> MetaKernel.suppressIf(stjByName("meta10_stj"), c)
+      case other => other
+    }
+
+    val metaCols: Seq[(String, Column)] =
+      ("meta1" -> MetaKernel.meta1Value) +: (suppressed ++ stj)
+
+    joined.select(
+      col("sigla_tribunal") +: col("ramo_justica") +:
+        metaCols.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** ResumoMetas with the reference's stringly output contract
+    * (Versao_Np.py:231-242): every cell a string, nulls rendered 'NA',
+    * columns ordered principal -> sorted metas -> sorted _stj -> rest. */
+  def resumo(spark: SparkSession, inDir: String): DataFrame =
+    stringlyOutput(resumoTyped(spark, Reader.readDir(spark, inDir)))
+
+  def stringlyOutput(typed: DataFrame): DataFrame = {
+    val stringly = typed.select(typed.columns.map(c => col(c).cast(StringType).as(c)): _*)
+      .na.fill("NA")
+    stringly.select(orderedColumns(stringly.columns).map(col): _*)
+      .orderBy(col("sigla_tribunal"))
+  }
+
+  /** Column ordering of Versao_Np.py:234-242 (F5). */
+  def orderedColumns(columns: Seq[String]): Seq[String] = {
+    val principal = Seq("sigla_tribunal", "ramo_justica", "meta1").filter(columns.contains)
+    val metas = columns.filter(c =>
+      c.startsWith("meta") && c != "meta1" && !c.endsWith("_stj")).sorted
+    val stjs = columns.filter(_.endsWith("_stj")).sorted
+    val rest = columns.filterNot((principal ++ metas ++ stjs).contains).sorted
+    principal ++ metas ++ stjs ++ rest
+  }
+
+  /** Consolidado — union-all of every input with NP outer schema
+    * alignment (U1; Versao_Np.py:224-227). */
+  def consolidado(spark: SparkSession, inDir: String): DataFrame =
+    Reader.readDir(spark, inDir)
+
+  /** Chart feed (S7/O1/F3/F4): courts with numeric meta1, sorted desc. */
+  def chartData(resumo: DataFrame): DataFrame =
+    resumo
+      .withColumn("meta1_val", expr("try_cast(meta1 AS DOUBLE)"))
+      .na.drop(Seq("meta1_val"))
+      .select(col("sigla_tribunal"), col("meta1_val"))
+      .orderBy(col("meta1_val").desc, col("sigla_tribunal"))
+
+  /** ;-separated UTF-8 CSV sink (S4-S6; Versao_Np.py:100-102). A real
+    * cluster keeps the sharded part files; coalesce(1) only mirrors the
+    * reference's single-file contract for small outputs. */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite")
+      .option("sep", ";").option("header", "true").option("encoding", "UTF-8")
+      .csv(path)
+  }
+
+  /** PNG bar-chart sink for meta1 (S7; Versao_Np.py:83-98) — pure JDK 2D,
+    * driver-side over the tiny per-court summary. */
+  def writeChartPng(chartData: Array[(String, Double)], path: String): Unit = {
+    import java.awt.{Color, Font}
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    if (chartData.isEmpty) return
+    val barW = 24
+    val w = math.max(1600, chartData.length * (barW + 8) + 100)
+    val h = 1000
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(Color.WHITE); g.fillRect(0, 0, w, h)
+    val maxV = chartData.map(_._2).max.max(1e-9)
+    val plotH = h - 200
+    g.setFont(new Font(Font.SANS_SERIF, Font.PLAIN, 10))
+    chartData.zipWithIndex.foreach { case ((sigla, v), i) =>
+      val x = 60 + i * (barW + 8)
+      val bh = math.max(1, (v / maxV * plotH).toInt)
+      g.setColor(new Color(135, 206, 235)) // skyblue, like the reference
+      g.fillRect(x, 60 + (plotH - bh), barW, bh)
+      g.setColor(Color.BLACK)
+      val old = g.getTransform
+      g.rotate(-math.Pi / 2, x + barW / 2, h - 130)
+      g.drawString(sigla, x + barW / 2 - 40, h - 130)
+      g.setTransform(old)
+    }
+    g.setColor(Color.BLACK)
+    g.setFont(new Font(Font.SANS_SERIF, Font.BOLD, 16))
+    g.drawString("Comparação da META1 entre os Tribunais (Spark)", 60, 30)
+    g.dispose()
+    ImageIO.write(img, "png", new java.io.File(path))
+  }
+
+  /** Full run: ResumoMetas.csv + Consolidado.csv + grafico_meta1.png. */
+  def runAll(spark: SparkSession, inDir: String, outDir: String): Unit = {
+    new java.io.File(outDir).mkdirs()
+    val data = Reader.readDir(spark, inDir)
+    data.cache() // scanned by both Consolidado and the aggregate
+    try {
+      val res = stringlyOutput(resumoTyped(spark, data))
+      writeCsv(res, s"$outDir/ResumoMetas.csv")
+      writeCsv(data, s"$outDir/Consolidado.csv")
+      val chart = chartData(res).collect().map(r => (r.getString(0), r.getDouble(1)))
+      writeChartPng(chart, s"$outDir/grafico_meta1.png")
+    } finally data.unpersist()
+  }
+}
