@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[QueryDef] =
-    graft.queries.StarQueries.all
+    graft.queries.StarQueries.all ++
+      graft.queries.TextQueries.all ++
+      graft.queries.SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the documents table — all built-in
+  * (codegen'd) string/array functions, no UDFs, so they vectorize over a
+  * 100 TB corpus scan. Each has a matching ANSI/DuckDB formulation used by
+  * the oracle SQL in TextQueries.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** BPE-ish lexical tokens: word runs or single non-space symbols. */
+  val bpeishPattern = "\\w+|[^\\w\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
+
+  /** Count of tokens contained in a fixed stopword set. */
+  def stopwordCount(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  /** Tiny per-language stopword inventories for the n-gram-free language
+    * heuristic. Order matters: ties resolve to the first language in this
+    * (lexicographic) order, identically in the SQL oracle. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "la", "de", "los", "que", "es"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "est"),
+    "pt" -> Seq("o", "a", "de", "que", "do", "os"))
+
+  /** Heuristic language id: argmax of stopword hits, lexicographic
+    * tie-break, 'und' (undetermined) when no stopword hits at all. */
+  def langScores(toks: Column): Seq[(String, Column)] =
+    langStopwords.map { case (lang, words) => lang -> stopwordCount(toks, words) }
+
+  def predictedLang(scores: Seq[(String, Column)]): Column = {
+    val m = greatest(scores.map(_._2): _*)
+    val chain = scores.foldLeft(when(m === 0, lit("und"))) {
+      case (acc, (lang, s)) => acc.when(s === m, lit(lang))
+    }
+    chain
+  }
+
+  /** Content fingerprint: md5 hex of the exact text bytes. */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Distinct word n-gram shingles (n consecutive tokens joined by one
+    * space); empty array when the doc has fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+        .otherwise(array().cast("array<string>")))
+}

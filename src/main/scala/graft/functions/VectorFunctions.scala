@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ColumnBridge, FloatVectorDot, HyperplaneSignBits}
+
+/** User-facing vector math over array<float> embedding columns.
+  * Backed by native codegen'd expressions (org.apache.spark.sql.graft).
+  */
+object VectorFunctions {
+
+  /** dot(a, b), accumulated in double. */
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatVectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** L2 norm. */
+  def vecNorm(a: Column): Column = sqrt(vecDot(a, a))
+
+  /** Cosine similarity; null on zero norms instead of NaN. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = vecDot(a, b)
+    val n = vecNorm(a) * vecNorm(b)
+    when(n =!= 0.0, d / n)
+  }
+
+  /** Random-hyperplane LSH signature (nPlanes sign bits packed in a long).
+    * Deterministic planes derived from `seed`. */
+  def hyperplaneBits(a: Column, dim: Int, nPlanes: Int, seed: Long): Column =
+    ColumnBridge.column(
+      HyperplaneSignBits(ColumnBridge.expression(a), planes(dim, nPlanes, seed), dim))
+
+  /** Deterministic pseudo-random unit-ish hyperplanes, flattened row-major. */
+  def planes(dim: Int, nPlanes: Int, seed: Long): Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes * dim)(rnd.nextGaussian())
+  }
+
+  /** Reference implementation of vecDot via built-in higher-order
+    * functions — used in tests to cross-check the native expression. */
+  def vecDotBuiltin(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+}

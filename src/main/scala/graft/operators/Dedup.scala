@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.TextFunctions
+
+/** Document deduplication family (beyond-reference training-data ops).
+  *
+  * All candidate generation is bucketed (band hash / simhash chunk /
+  * inverted index) so the quadratic step only ever runs inside buckets —
+  * the property that keeps near-dedup feasible at 100 TB. No driver-side
+  * loops; everything is one lazy plan.
+  */
+object Dedup {
+
+  /** Exact dedup: keeper = min doc_id per identical text. */
+  def exactKeepers(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+
+  /** Tokenized docs with distinct word-3-gram shingles. */
+  def shingled(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("sh", TextFunctions.shingles(col("toks"), n))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+
+  /** MinHash signature: for each of `numHashes` hash functions, the min
+    * over shingles of xxhash64(j, shingle). Row-local nested transform —
+    * no explode, no shuffle. */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(sh, s => xxhash64(j, s))))
+
+  /** LSH banding: (band index, hash of the signature slice) pairs. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bkey")))
+
+  /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
+    *
+    * shingle -> 64-perm minhash -> 16 bands x 4 rows -> bucket self-join ->
+    * exact Jaccard on the candidates only. One shuffle for the bucket
+    * join, one for the verify joins; candidate count (not n^2) bounds the
+    * exact step.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = shingled(docs)
+    val withSig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val bandRows = withSig
+      .select(col("doc_id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val a = bandRows.as("a")
+    val b = bandRows.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(candidates, sh, threshold)
+  }
+
+  /** Exact Jaccard on (doc_a, doc_b) candidate pairs given shingle sets. */
+  def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .withColumn("jac_raw",
+        col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Per-token (hash, weight) pairs for SimHash: distinct tokens with
+    * their in-doc frequency, token already hashed to 64 bits. */
+  def tokenWeights(toks: Column): Column =
+    transform(array_distinct(toks),
+      t => struct(xxhash64(t).as("h"), size(filter(toks, x => x === t)).as("cnt")))
+
+  /** 64-bit SimHash from a precomputed token-weights column (see
+    * tokenWeights): bit i is set when the cnt-weighted sum of bit i over
+    * all token hashes is positive. Row-local, codegen'd, no shuffle.
+    * `twCol` names an array<struct<h:bigint,cnt:int>> column. */
+  def simhash(twCol: String): Column =
+    expr(
+      s"""aggregate(
+         |  sequence(0, 63), 0L,
+         |  (acc, i) -> acc + IF(
+         |    aggregate($twCol, CAST(0.0 AS DOUBLE),
+         |      (a2, tc) -> a2 + IF((shiftright(tc.h, CAST(i AS INT)) & 1L) = 1L,
+         |                          CAST(tc.cnt AS DOUBLE), -CAST(tc.cnt AS DOUBLE))) > 0D,
+         |    shiftleft(1L, CAST(i AS INT)), 0L))""".stripMargin)
+
+  /** SimHash near-dup pairs: 4 x 16-bit chunk blocking (any pair within
+    * Hamming distance 3 must agree on >=1 chunk), then exact Hamming
+    * verification via bit_count(xor). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val base = docs
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .withColumn("tw", tokenWeights(col("toks")))
+      .select(col("doc_id"), simhash("tw").as("sim"))
+    val chunked = base.selectExpr("doc_id", "sim",
+      "explode(transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(sim, CAST(c * 16 AS INT)) & 65535L AS cval))) AS x")
+      .select(col("doc_id"), col("sim"), col("x.chunk").as("chunk"), col("x.cval").as("cval"))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.sim ^ b.sim)").cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact all-pairs n-gram Jaccard via an inverted shingle index:
+    * explode shingles -> self-join on the shingle -> common counts ->
+    * Jaccard from set sizes. Fully SQL-expressible (oracle-checked). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingled(docs)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val grams = sh.select(col("doc_id"), explode(col("sh")).as("gram"))
+    val a = grams.as("a")
+    val b = grams.as("b")
+    val common = a.join(b, col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jac_raw",
+        col("common").cast(DoubleType) / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators Spark lacks as built-ins, composed scale-first from
+  * relational primitives (preference order (a) of the build brief —
+  * the semantics fit exact compositions, so no custom SparkPlan needed).
+  */
+object Joins {
+
+  /** As-of join: for each left row, the most recent right row with
+    * right.ts <= left.ts, per key.
+    *
+    * Implementation: union both sides tagged, one sort within key
+    * partitions, and a last(ignoreNulls) running window carries the
+    * latest right payload forward. ONE shuffle of (left + right) — never
+    * a per-row lookup, never a range cross-product; at equal timestamps
+    * the right row sorts first (inclusive as-of, ties among right rows
+    * resolve to the largest tie-break id).
+    *
+    * left must carry (key, ts, leftId); right (key, ts, rightId).
+    */
+  def asOf(left: DataFrame, right: DataFrame,
+      key: String, ts: String, leftId: String, rightId: String): DataFrame = {
+    val l = left.select(col(key), col(ts), col(leftId),
+      lit(null).cast("long").as("__rid"), lit(1).as("__side"))
+    val r = right.select(col(key), col(ts), lit(null).cast("long").as(leftId),
+      col(rightId).cast("long").as("__rid"), lit(0).as("__side"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"), col("__rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__rid"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col(key), col(ts), col(leftId), col("__asof").as(s"asof_$rightId"))
+  }
+
+  /** Range (band) join: pairs where pointCol in [lowCol, highCol].
+    *
+    * Bucketing turns the non-equi predicate into an equi-join: each range
+    * row replicates into ceil(range/width)+1 buckets, each point row maps
+    * to one bucket, join on the bucket, re-check the exact predicate.
+    * Replication factor is bounded by range width / bucket width, so the
+    * shuffle is linear — no broadcast-nested-loop cross product.
+    */
+  def rangeJoin(points: DataFrame, ranges: DataFrame,
+      pointCol: String, lowCol: String, highCol: String,
+      bucketWidth: Int): DataFrame = {
+    val p = points.withColumn("__bucket",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val r = ranges.withColumn("__bucket",
+      explode(sequence(
+        floor(col(lowCol) / bucketWidth).cast("long"),
+        floor(col(highCol) / bucketWidth).cast("long"))))
+    p.join(r, Seq("__bucket"))
+      .filter(col(pointCol) >= col(lowCol) && col(pointCol) <= col(highCol))
+      .drop("__bucket")
+  }
+
+  /** Skew-safe salted inner join: replicate the (small) build side
+    * `salts`-fold, split the probe side by a deterministic salt, join on
+    * (key, salt). Result identical to the plain join; the hot keys spread
+    * over `salts` reducers. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      salts: Int, saltSource: Column): DataFrame = {
+    val p = probe.withColumn("__salt", pmod(saltSource, lit(salts)))
+    val b = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    p.join(b, Seq(key, "__salt")).drop("__salt")
+  }
+}

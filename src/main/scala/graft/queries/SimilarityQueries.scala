@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup + similarity-search harness queries over documents/embeddings.
+  * Exact variants carry DuckDB oracles; hash-based variants (xxhash64 is
+  * Spark-specific) get the rows-only check plus cross-operator scalatest
+  * coverage (hash candidates must recover the exact-Jaccard pairs).
+  */
+object SimilarityQueries {
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactKeepers(Tables.documents(s, dir))
+      .orderBy(org.apache.spark.sql.functions.col("keeper_id"))
+
+  private val dedupExactSql =
+    """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.2)
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 8)
+
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.2)
+
+  private val dedupNgramJaccardSql =
+    """WITH toked AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+      |  FROM toked WHERE len(toks) >= 3
+      |), sized AS (
+      |  SELECT doc_id, grams, len(grams) AS n FROM sh WHERE len(grams) > 0
+      |), g AS (
+      |  SELECT doc_id, unnest(grams) AS gram FROM sized
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b,
+      |  ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) AS jaccard
+      |FROM pairs
+      |JOIN sized sa ON doc_a = sa.doc_id
+      |JOIN sized sb ON doc_b = sb.doc_id
+      |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private def simTopkBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
+
+  private val simTopkBruteSql =
+    """WITH q AS (
+      |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+      |)
+      |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+      |  ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+      |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+      |     * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+      |FROM embeddings e, q
+      |WHERE e.vec_id <> 0
+      |ORDER BY cos_sim DESC, e.vec_id
+      |LIMIT 10""".stripMargin
+
+  private def simTopkLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(s, Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
+
+  private def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4, maxVectors = 20000L)
+
+  private val embedNearDupSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id < 20000
+      |)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact", Some(dedupExactSql), dedupExact),
+    QueryDef("dedup_minhash_lsh", None, dedupMinhash),
+    QueryDef("dedup_simhash", None, dedupSimhash),
+    QueryDef("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
+    QueryDef("sim_topk_brute", Some(simTopkBruteSql), simTopkBrute),
+    QueryDef("sim_topk_lsh", None, simTopkLsh),
+    QueryDef("embed_neardup_cosine", Some(embedNearDupSql), embedNearDup),
+  )
+}

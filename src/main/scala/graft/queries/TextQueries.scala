@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the documents table (beyond-reference
+  * training-data pipeline capabilities): language id, quality scoring,
+  * token counting, content fingerprinting. Every query has an exact
+  * DuckDB oracle — the heuristics are expressed with the same string and
+  * list primitives on both engines.
+  */
+object TextQueries {
+
+  private def withScores(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
+    langScores(col("toks")).foldLeft(base) {
+      case (df, (lang, c)) => df.withColumn(s"s_$lang", c.cast(LongType))
+    }
+  }
+
+  private val scoreColsSql = langStopwords.map { case (lang, words) =>
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(toks, t -> t IN ($set))) AS BIGINT) AS s_$lang"
+  }.mkString(",\n      |  ")
+
+  // ---- language id: argmax stopword hits, lexicographic tie-break.
+  private def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val scored = withScores(s, dir)
+    val scores = langStopwords.map { case (lang, _) => lang -> col(s"s_$lang") }
+    scored
+      .withColumn("predicted", predictedLang(scores))
+      .select(Seq(col("doc_id"), col("lang").as("labeled")) ++
+        scores.map { case (l, c) => c.as(s"s_$l") } :+ col("predicted"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val textLangidSql = {
+    val m = "GREATEST(s_de, s_en, s_es, s_fr, s_pt)"
+    s"""WITH toked AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents
+      |), scored AS (
+      |  SELECT doc_id, lang AS labeled,
+      |  $scoreColsSql
+      |  FROM toked
+      |)
+      |SELECT doc_id, labeled, s_de, s_en, s_es, s_fr, s_pt,
+      |  CASE WHEN $m = 0 THEN 'und'
+      |       WHEN s_de = $m THEN 'de'
+      |       WHEN s_en = $m THEN 'en'
+      |       WHEN s_es = $m THEN 'es'
+      |       WHEN s_fr = $m THEN 'fr'
+      |       WHEN s_pt = $m THEN 'pt' END AS predicted
+      |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- quality scoring: token stats + stopword ratio + length gates.
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    withScores(s, dir)
+      .withColumn("n_toks", size(col("toks")).cast(LongType))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        col("n_toks"),
+        round(length(regexp_replace(col("text"), " ", "")).cast(DoubleType) /
+          nullif(col("n_toks"), lit(0)), 4).as("avg_tok_len"),
+        round(col("s_en").cast(DoubleType) / nullif(col("n_toks"), lit(0)), 4)
+          .as("stopword_ratio"),
+        (col("n_toks") >= 10 && col("n_toks") <= 500 &&
+          (col("s_en") + col("s_de") + col("s_es") + col("s_fr") + col("s_pt")) > 0)
+          .as("passes_quality"))
+      .orderBy(col("doc_id"))
+
+  private val textQualitySql =
+    """WITH toked AS (
+      |  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents
+      |), scored AS (
+      |  SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_toks,
+      |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','to'))) AS BIGINT) AS s_en,
+      |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS s_de,
+      |    CAST(len(list_filter(toks, t -> t IN ('el','la','de','los','que','es'))) AS BIGINT) AS s_es,
+      |    CAST(len(list_filter(toks, t -> t IN ('le','la','les','des','et','est'))) AS BIGINT) AS s_fr,
+      |    CAST(len(list_filter(toks, t -> t IN ('o','a','de','que','do','os'))) AS BIGINT) AS s_pt
+      |  FROM toked
+      |)
+      |SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  n_toks,
+      |  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / NULLIF(n_toks, 0), 4) AS avg_tok_len,
+      |  ROUND(CAST(s_en AS DOUBLE) / NULLIF(n_toks, 0), 4) AS stopword_ratio,
+      |  (n_toks >= 10 AND n_toks <= 500 AND (s_en + s_de + s_es + s_fr + s_pt) > 0) AS passes_quality
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  // ---- token counting per source: whitespace + BPE-ish regex tokens.
+  private def textTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        size(tokens(col("text"))).cast(LongType).as("ws_toks"),
+        bpeishTokenCount(col("text")).cast(LongType).as("lex_toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("ws_toks")).as("sum_ws_toks"),
+        sum(col("lex_toks")).as("sum_lex_toks"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
+  private val textTokensSql =
+    s"""SELECT source,
+      |  SUM(CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)) AS sum_ws_toks,
+      |  SUM(CAST(len(regexp_extract_all(text, '$bpeishPattern')) AS BIGINT)) AS sum_lex_toks,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- content fingerprinting: md5 of the exact bytes, per-source dup stats.
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("fp")).as("n_distinct"),
+        count(lit(1)).as("n_docs"),
+        min(col("fp")).as("min_fp"))
+      .orderBy(col("source"))
+
+  private val textFingerprintSql =
+    """SELECT source,
+      |  COUNT(DISTINCT md5(text)) AS n_distinct,
+      |  COUNT(*) AS n_docs,
+      |  MIN(md5(text)) AS min_fp
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("text_langid", Some(textLangidSql), textLangid),
+    QueryDef("text_quality", Some(textQualitySql), textQuality),
+    QueryDef("text_tokens", Some(textTokensSql), textTokens),
+    QueryDef("text_fingerprint", Some(textFingerprintSql), textFingerprint),
+  )
+}

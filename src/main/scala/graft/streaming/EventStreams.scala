@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Event-stream processing. Every transform is written against an
+  * unbounded-friendly plan shape: the same function runs over a batch
+  * DataFrame (for the DuckDB oracle) and a readStream DataFrame (tested
+  * with the file source in scalatest). Watermarks bound state; windowed
+  * aggregation is the one-shuffle partial/final pattern.
+  */
+object EventStreams {
+
+  private val Dec = DecimalType(18, 2)
+
+  /** Tumbling 15-minute windows per event_type: count + exact sum.
+    * Batch and streaming share this plan; on a stream, apply
+    * withWatermark before calling. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).cast(DoubleType).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming variant with a watermark bounding window state. */
+  def tumblingCountsStream(events: DataFrame): DataFrame =
+    tumblingCounts(events.withWatermark("ts", "30 minutes"))
+
+  /** Gap-based sessionization (30-minute inactivity) via window functions —
+    * the batch formulation, ANSI-expressible for the oracle. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast(LongType) - col("prev_ts").cast(LongType) > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        (max(col("ts")).cast(LongType) - min(col("ts")).cast(LongType)).as("duration_sec"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionOut(user_id: Long, session_start: Long, n_events: Long,
+      duration_sec: Long)
+  private final case class SessionState(start: Long, lastTs: Long, n: Long)
+
+  /** Streaming sessionization with explicit state
+    * (flatMapGroupsWithState + event-time timeout): emits a session when
+    * the inactivity gap elapses. The custom-state capability lock —
+    * semantics mirror sessionize() for in-order events. */
+  def sessionizeStream(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) => {
+          if (evs.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start, s.n, (s.lastTs - s.start) / 1000))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.start, s.n, (s.lastTs - s.start) / 1000)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+        })
+  }
+}
