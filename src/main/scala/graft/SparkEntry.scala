@@ -14,7 +14,9 @@ object SparkEntry {
   private def modules: Seq[QueryDef] =
     graft.queries.StarQueries.all ++
       graft.queries.TextQueries.all ++
-      graft.queries.SimilarityQueries.all
+      graft.queries.SimilarityQueries.all ++
+      graft.queries.OperatorQueries.all ++
+      graft.queries.EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{ColumnBridge, MinHashSignature, SimHash64}
+
+/** Hash-sketch primitives for near-duplicate detection, backed by native
+  * codegen'd expressions (org.apache.spark.sql.graft). Both run inside
+  * whole-stage codegen — one pass per row, no higher-order-function lambda
+  * interpretation — which is what keeps a 100 TB dedup scan CPU-efficient.
+  */
+object HashFunctions {
+
+  /** 64-bit SimHash of an array<string> token column (xxhash64 votes). */
+  def simhash(toks: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(toks)))
+
+  /** MinHash signature (array<long>, length numHashes) of an array<string>
+    * shingle column. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(
+      MinHashSignature(ColumnBridge.expression(shingles), numHashes))
+}

@@ -50,11 +50,10 @@ object TextFunctions {
   def fingerprint(text: Column): Column = md5(text)
 
   /** Distinct word n-gram shingles (n consecutive tokens joined by one
-    * space); empty array when the doc has fewer than n tokens. */
-  def shingles(toks: Column, n: Int): Column =
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-        .otherwise(array().cast("array<string>")))
+    * space); empty array when the doc has fewer than n tokens. Native
+    * codegen'd expression — one pass per row. */
+  def shingles(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, WordShingles}
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(toks), n))
+  }
 }

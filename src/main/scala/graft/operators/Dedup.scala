@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
-import graft.functions.TextFunctions
+import graft.functions.{HashFunctions, TextFunctions}
 
 /** Document deduplication family (beyond-reference training-data ops).
   *
@@ -29,13 +29,6 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
 
-  /** MinHash signature: for each of `numHashes` hash functions, the min
-    * over shingles of xxhash64(j, shingle). Row-local nested transform —
-    * no explode, no shuffle. */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(sh, s => xxhash64(j, s))))
-
   /** LSH banding: (band index, hash of the signature slice) pairs. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
@@ -53,7 +46,8 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sh = shingled(docs)
-    val withSig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val withSig = sh.withColumn("sig",
+      HashFunctions.minhashSignature(col("sh"), numHashes))
     val bandRows = withSig
       .select(col("doc_id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
@@ -67,11 +61,15 @@ object Dedup {
     verifyJaccard(candidates, sh, threshold)
   }
 
-  /** Exact Jaccard on (doc_a, doc_b) candidate pairs given shingle sets. */
+  /** Exact Jaccard on (doc_a, doc_b) candidate pairs given shingle sets.
+    * The candidate set is tiny relative to the corpus, so it is broadcast
+    * at each step — the shingle table streams through twice with zero
+    * shuffles instead of being exchanged on doc_id. */
   def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    candidates.join(sa, "doc_a").join(sb, "doc_b")
+    val withA = sa.join(broadcast(candidates), "doc_a")
+    sb.join(broadcast(withA), "doc_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .withColumn("jac_raw",
         col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
@@ -80,26 +78,6 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Per-token (hash, weight) pairs for SimHash: distinct tokens with
-    * their in-doc frequency, token already hashed to 64 bits. */
-  def tokenWeights(toks: Column): Column =
-    transform(array_distinct(toks),
-      t => struct(xxhash64(t).as("h"), size(filter(toks, x => x === t)).as("cnt")))
-
-  /** 64-bit SimHash from a precomputed token-weights column (see
-    * tokenWeights): bit i is set when the cnt-weighted sum of bit i over
-    * all token hashes is positive. Row-local, codegen'd, no shuffle.
-    * `twCol` names an array<struct<h:bigint,cnt:int>> column. */
-  def simhash(twCol: String): Column =
-    expr(
-      s"""aggregate(
-         |  sequence(0, 63), 0L,
-         |  (acc, i) -> acc + IF(
-         |    aggregate($twCol, CAST(0.0 AS DOUBLE),
-         |      (a2, tc) -> a2 + IF((shiftright(tc.h, CAST(i AS INT)) & 1L) = 1L,
-         |                          CAST(tc.cnt AS DOUBLE), -CAST(tc.cnt AS DOUBLE))) > 0D,
-         |    shiftleft(1L, CAST(i AS INT)), 0L))""".stripMargin)
-
   /** SimHash near-dup pairs: 4 x 16-bit chunk blocking (any pair within
     * Hamming distance 3 must agree on >=1 chunk), then exact Hamming
     * verification via bit_count(xor). */
@@ -107,8 +85,7 @@ object Dedup {
     val base = docs
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .filter(size(col("toks")) > 0)
-      .withColumn("tw", tokenWeights(col("toks")))
-      .select(col("doc_id"), simhash("tw").as("sim"))
+      .select(col("doc_id"), HashFunctions.simhash(col("toks")).as("sim"))
     val chunked = base.selectExpr("doc_id", "sim",
       "explode(transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(sim, CAST(c * 16 AS INT)) & 65535L AS cval))) AS x")
       .select(col("doc_id"), col("sim"), col("x.chunk").as("chunk"), col("x.cval").as("cval"))
@@ -130,7 +107,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingled(docs)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val grams = sh.select(col("doc_id"), explode(col("sh")).as("gram"))
+    // join on the 64-bit gram hash, not the gram text: same pairs (64-bit
+    // collisions are vanishingly rare) at a fraction of the shuffle bytes
+    val grams = sh.select(col("doc_id"),
+      explode(transform(col("sh"), g => xxhash64(g))).as("gram"))
     val a = grams.as("a")
     val b = grams.as("b")
     val common = a.join(b, col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))

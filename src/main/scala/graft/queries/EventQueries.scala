@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.streaming.EventStreams
+
+/** Batch formulations of the streaming transforms (graft.streaming
+  * .EventStreams) over the events table. The exact same plan-building
+  * functions run under readStream with a watermark (covered in scalatest);
+  * here the batch run is oracle-checked against DuckDB.
+  */
+object EventQueries {
+
+  private def eventsTumbling(s: SparkSession, dir: String): DataFrame =
+    EventStreams.tumblingCounts(Tables.events(s, dir))
+      .orderBy(col("win_start"), col("event_type"))
+
+  private val eventsTumblingSql =
+    """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts),
+      |                '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private def eventsSessionize(s: SparkSession, dir: String): DataFrame =
+    EventStreams.sessionize(Tables.events(s, dir))
+
+  private val eventsSessionizeSql =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN prev_ts IS NULL
+      |           OR (epoch_us(ts) // 1000000) - (epoch_us(prev_ts) // 1000000) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e
+      |), s AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM m
+      |)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  (epoch_us(MAX(ts)) // 1000000) - (epoch_us(MIN(ts)) // 1000000) AS duration_sec
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("events_tumbling_window", Some(eventsTumblingSql), eventsTumbling),
+    QueryDef("events_sessionize", Some(eventsSessionizeSql), eventsSessionize),
+  )
+}
