@@ -55,7 +55,9 @@ object EventStreams {
       event_type: String, value: Double)
   final case class SessionOut(user_id: Long, session_start: Long, n_events: Long,
       duration_sec: Long)
-  private final case class SessionState(start: Long, lastTs: Long, n: Long)
+  // not `private`: the state encoder's generated serializer needs
+  // bytecode-level access to the accessors
+  final case class SessionState(start: Long, lastTs: Long, n: Long)
 
   /** Streaming sessionization with explicit state
     * (flatMapGroupsWithState + event-time timeout): emits a session when

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkTestBase
+
+/** Cross-checks of the native codegen'd expressions
+  * (org.apache.spark.sql.graft) against independent models: the built-in
+  * higher-order-function formulation for vecDot, plain-Scala
+  * re-implementations for simhash / minhash / shingles.
+  */
+class ExpressionsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def hash(tok: String, seed: Long): Long =
+    XXH64.hashUTF8String(UTF8String.fromString(tok), seed)
+
+  test("native vecDot matches the built-in zip_with/aggregate formulation") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(200)
+    val diff = emb
+      .select(abs(VectorFunctions.vecDot(col("embedding"), col("embedding")) -
+        VectorFunctions.vecDotBuiltin(col("embedding"), col("embedding"))).as("d"))
+      .agg(max(col("d"))).head.getDouble(0)
+    assert(diff < 1e-9)
+  }
+
+  test("cosine is null on a zero-norm vector, never NaN") {
+    import spark.implicits._
+    val df = Seq((Array(0f, 0f), Array(1f, 2f))).toDF("a", "b")
+    val r = df.select(VectorFunctions.cosine(col("a"), col("b"))).head
+    assert(r.isNullAt(0))
+  }
+
+  private def toks(text: String): Array[String] =
+    text.split(" ").filter(_.nonEmpty)
+
+  test("simhash64 matches a plain-Scala model") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val got = docs
+      .select(col("doc_id"), col("text"),
+        HashFunctions.simhash(TextFunctions.tokens(col("text"))).as("sim"))
+      .collect()
+    got.foreach { row =>
+      val votes = new Array[Int](64)
+      toks(row.getString(1)).foreach { t =>
+        val h = hash(t, 42L)
+        (0 until 64).foreach { i =>
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        }
+      }
+      var expected = 0L
+      (0 until 64).foreach(i => if (votes(i) > 0) expected |= (1L << i))
+      assert(row.getLong(2) === expected, s"doc ${row.getLong(0)}")
+    }
+  }
+
+  test("word shingles match a plain-Scala sliding-window distinct") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val got = docs
+      .select(col("text"),
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+      .collect()
+    got.foreach { row =>
+      val t = toks(row.getString(0))
+      val expected =
+        if (t.length < 3) Seq.empty
+        else t.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      assert(row.getSeq[String](1) === expected)
+    }
+  }
+
+  test("minhash signature matches a plain-Scala model") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val sh = TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)
+    val got = docs
+      .select(col("text"), HashFunctions.minhashSignature(sh, 16).as("sig"))
+      .collect()
+    got.foreach { row =>
+      val t = toks(row.getString(0))
+      val grams =
+        if (t.length < 3) Seq.empty
+        else t.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      val expected = (0 until 16).map { j =>
+        if (grams.isEmpty) Long.MaxValue
+        else grams.map(g => XXH64.hashLong(hash(g, 42L), j.toLong)).min
+      }
+      assert(row.getSeq[Long](1) === expected)
+    }
+  }
+
+  test("hyperplane sign bits match a plain-Scala model") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    val planes = VectorFunctions.planes(64, 16, 7L)
+    val got = emb
+      .select(col("embedding"),
+        VectorFunctions.hyperplaneBits(col("embedding"), 64, 16, 7L).as("bits"))
+      .collect()
+    got.foreach { row =>
+      val v = row.getSeq[Float](0)
+      var expected = 0L
+      (0 until 16).foreach { p =>
+        val acc = (0 until math.min(v.length, 64))
+          .map(i => v(i).toDouble * planes(p * 64 + i)).sum
+        if (acc > 0) expected |= (1L << p)
+      }
+      assert(row.getLong(1) === expected)
+    }
+  }
+}
