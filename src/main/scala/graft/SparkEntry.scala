@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.TextQueries.all ++
       graft.queries.SimilarityQueries.all ++
       graft.queries.OperatorQueries.all ++
-      graft.queries.EventQueries.all
+      graft.queries.EventQueries.all ++
+      graft.queries.MediaQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

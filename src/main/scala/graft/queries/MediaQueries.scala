@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.operators.Multimodal
+
+/** Multimodal-pipeline harness queries over the synthetic media corpus
+  * (documents' UTF-8 bytes standing in for opaque image/audio/video
+  * payloads — see graft.operators.Multimodal). Metadata-driven plans
+  * (frame sampling, resize) are exact and oracle-checked; the decode
+  * path uses the stub decoder, so its query takes the rows-only check.
+  */
+object MediaQueries {
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.fromDocuments(Tables.documents(s, dir))
+
+  // ---- binary payload decode -> per-kind feature stats (stub decoder).
+  private def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaFeatureStats(s, Tables.documents(s, dir))
+
+  // ---- metadata-driven frame sampling: every 3rd frame of each video.
+  private def mediaFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(media(s, dir), everyN = 3)
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("media_id")).as("n_videos"),
+        sum(col("frame_idx")).as("sum_idx"))
+
+  private val mediaFrameSampleSql =
+    """WITH v AS (
+      |  SELECT doc_id AS media_id, CAST(doc_id % 30 + 1 AS INT) AS nframes
+      |  FROM documents WHERE doc_id % 3 = 2
+      |), f AS (
+      |  SELECT media_id, unnest(range(0, nframes, 3)) AS frame_idx FROM v
+      |)
+      |SELECT COUNT(*) AS n_frames, COUNT(DISTINCT media_id) AS n_videos,
+      |  SUM(frame_idx) AS sum_idx
+      |FROM f""".stripMargin
+
+  // ---- resize planning: aspect-preserving fit into a 224-px box,
+  // metadata arithmetic only.
+  private def mediaResizePlan(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePlan(media(s, dir), maxSide = 224)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("target_w")).as("sum_w"),
+        sum(col("target_h")).as("sum_h"))
+      .orderBy(col("kind"))
+
+  private val mediaResizePlanSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    CAST(doc_id % 8 * 64 + 256 AS INT) AS w,
+      |    CAST(doc_id % 8 * 48 + 192 AS INT) AS h
+      |  FROM documents
+      |)
+      |SELECT kind, COUNT(*) AS n_media,
+      |  SUM(CAST(ROUND(w * LEAST(224.0 / w, 224.0 / h, 1.0)) AS INT)) AS sum_w,
+      |  SUM(CAST(ROUND(h * LEAST(224.0 / w, 224.0 / h, 1.0)) AS INT)) AS sum_h
+      |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("media_features", None, mediaFeatures),
+    QueryDef("media_frame_sample", Some(mediaFrameSampleSql), mediaFrameSample),
+    QueryDef("media_resize_plan", Some(mediaResizePlanSql), mediaResizePlan),
+  )
+}
