@@ -10,9 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up pass at a small sf: JIT + codegen compilation otherwise
+    // lands on whichever queries happen to run first (a cold first query
+    // measures 5x its steady state)
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.01")
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: fully materializes every output column (count() would
+      // let Catalyst prune the projections away and flatter the numbers)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

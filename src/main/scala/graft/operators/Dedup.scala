@@ -58,6 +58,10 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      // materialize the (tiny) candidate set once: verifyJaccard
+      // broadcasts it twice, and without this the band self-join would be
+      // recomputed per broadcast
+      .localCheckpoint()
     verifyJaccard(candidates, sh, threshold)
   }
 

@@ -72,12 +72,19 @@ object Similarity {
     * `maxVectors` vectors (honest cap for the O(n^2) baseline — the LSH
     * path above is the scale story; the cap is part of the query name). */
   def nearDupPairs(embeddings: DataFrame, threshold: Double, maxVectors: Long): DataFrame = {
+    // norms are computed once per vector, not once per pair — the pair
+    // loop then costs a single dot product (same double arithmetic as
+    // cosine(), so results are bit-identical)
     val e = embeddings.filter(col("vec_id") < maxVectors)
-      .select(col("vec_id"), col("embedding"))
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"))
+    val den = col("nrm_a") * col("nrm_b")
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos_raw", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cos_raw",
+        when(den =!= 0.0, vecDot(col("emb_a"), col("emb_b")) / den))
       .filter(col("cos_raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos_sim"))
       .orderBy(col("id_a"), col("id_b"))
