@@ -1,0 +1,63 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Session extension exposing the graft native expressions to SQL:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions ...
+  *   SELECT simhash64(word_tokens), minhash_signature(shingles, 64), ...
+  * }}}
+  *
+  * or imperatively on an existing session via
+  * [[GraftFunctionRegistry.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctionRegistry.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftFunctionRegistry {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
+  private def info(clazz: Class[_], name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, null, name, usage, "", "", "", "", "", "", "built-in")
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
+      info(classOf[SimHash64], "simhash64",
+        "simhash64(tokens) - 64-bit SimHash of an array<string>."),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("minhash_signature"),
+      info(classOf[MinHashSignature], "minhash_signature",
+        "minhash_signature(shingles, k) - k-element MinHash signature."),
+      (args: Seq[Expression]) =>
+        MinHashSignature(args.head, intArg(args(1), "minhash_signature"))),
+    (FunctionIdentifier("word_shingles"),
+      info(classOf[WordShingles], "word_shingles",
+        "word_shingles(tokens, n) - distinct word n-grams."),
+      (args: Seq[Expression]) =>
+        WordShingles(args.head, intArg(args(1), "word_shingles"))),
+    (FunctionIdentifier("float_vector_dot"),
+      info(classOf[FloatVectorDot], "float_vector_dot",
+        "float_vector_dot(a, b) - dot product of two array<float>."),
+      (args: Seq[Expression]) => FloatVectorDot(args.head, args(1))),
+  )
+
+  /** Imperative registration on an already-built session (tests, REPL). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    descriptors.foreach { case (id, fnInfo, builder) =>
+      registry.registerFunction(id, fnInfo, builder)
+    }
+  }
+}

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -29,7 +29,7 @@ object ColumnBridge {
   * scale. See graft.functions.VectorFunctions for the user-facing API.
   */
 case class FloatVectorDot(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
@@ -74,7 +74,7 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * LSH bucketing primitive for cosine ANN (one pass, no explode).
   */
 case class HyperplaneSignBits(child: Expression, planes: Array[Double], dim: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
 
   private val nPlanes = planes.length / dim
   require(nPlanes >= 1 && nPlanes <= 64, "1..64 hyperplanes fit a long")
@@ -210,7 +210,7 @@ object HashUtil {
   * chain of interpreted higher-order lambdas.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   require(n >= 1, "n >= 1")
 
@@ -236,7 +236,7 @@ case class WordShingles(child: Expression, n: Int)
   * (~37x slower end-to-end at sf0.1).
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
@@ -257,7 +257,7 @@ case class SimHash64(child: Expression)
   * per shingle, all inside whole-stage codegen.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   require(numHashes >= 1, "numHashes >= 1")
 
