@@ -401,8 +401,30 @@ object StarQueries {
       |  COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- grouped top-k via the native bounded-heap aggregate (O(k) state
+  // per group + map-side partials; contrast with window_rank's full
+  // per-group sort — same answer, no sort shuffle of the fact table).
+  private def aggTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(graft.functions.AggregateFunctions
+          .topKBy(col("o_totalprice"), col("o_orderkey"), 3).as("top_orders"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val aggTopkPerGroupSql =
+    """SELECT c.c_mktsegment,
+      |  (list(o.o_orderkey ORDER BY o.o_totalprice DESC, o.o_orderkey))[1:3] AS top_orders,
+      |  COUNT(*) AS n_orders
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("agg_ratio_kernel", Some(aggRatioKernelSql), aggRatioKernel),
+    QueryDef("agg_topk_per_group", Some(aggTopkPerGroupSql), aggTopkPerGroup),
     QueryDef("agg_sums_basic", Some(aggSumsBasicSql), aggSumsBasic),
     QueryDef("agg_first_per_group", Some(aggFirstPerGroupSql), aggFirstPerGroup),
     QueryDef("join_broadcast_dim", Some(joinBroadcastDimSql), joinBroadcastDim),

@@ -50,6 +50,11 @@ object GraftFunctionRegistry {
       info(classOf[FloatVectorDot], "float_vector_dot",
         "float_vector_dot(a, b) - dot product of two array<float>."),
       (args: Seq[Expression]) => FloatVectorDot(args.head, args(1))),
+    (FunctionIdentifier("topk_by"),
+      info(classOf[TopKByScore], "topk_by",
+        "topk_by(score, payload, k) - top-k payloads by descending score."),
+      (args: Seq[Expression]) =>
+        TopKByScore(args.head, args(1), intArg(args(2), "topk_by"))),
   )
 
   /** Imperative registration on an already-built session (tests, REPL). */
