@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
@@ -7,6 +9,17 @@ import graft.SparkTestBase
 class LayoutSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
+
+  // the in-memory catalog forgets tables between JVMs but their warehouse
+  // directories survive — clear both before (re)creating
+  Seq("orders_b", "customer_b").foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = Paths.get(s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse/$t")
+    if (Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(loc).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
 
   test("co-bucketed tables join with zero shuffle exchanges") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
