@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -66,6 +66,84 @@ object Similarity {
         case h :: t => combos(t, choose - 1).map(_ | (1L << h)) ++ combos(t, choose)
       }
     (0 to r).flatMap(c => combos((0 until NPlanes).toList, c))
+  }
+
+  /** Spherical-k-means coarse centroids for an IVF index: deterministic
+    * corpus-sample init, `iters` Lloyd rounds (assign by max cosine,
+    * re-center on the normalized mean), all as DataFrame aggregations —
+    * only the C x dim centroid model is ever collected.
+    *
+    * Sign-LSH (hyperplaneBits) buckets well when near-duplicates have
+    * cosine near 1; for nearest-among-weakly-similar corpora (cos ~0.3)
+    * its per-bit agreement is barely above chance, so the IVF coarse
+    * quantizer — which adapts to the data's actual directions — is the
+    * ANN scale path used by the harness query.
+    */
+  def ivfCentroids(embeddings: DataFrame, dim: Int, c: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    var cents = embeddings
+      .orderBy(xxhash64(col("vec_id"), lit(seed)))
+      .limit(c)
+      .select(col("embedding"))
+      .collect()
+      .map(r => normalize(r.getSeq[Float](0).toArray.map(_.toDouble)))
+    (0 until iters).foreach { _ =>
+      val assigned = embeddings
+        .withColumn("cluster", assignCluster(col("embedding"), cents))
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val next = Array.fill(cents.length)(new Array[Double](dim))
+      assigned.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      // empty clusters keep their previous centroid
+      cents = next.zip(cents).map { case (n, prev) =>
+        if (n.forall(_ == 0.0)) prev else normalize(n)
+      }
+    }
+    cents
+  }
+
+  /** Cluster id = argmax cosine against the (unit-norm) centroids;
+    * ties -> lowest id. Pure codegen'd column over C dot products. */
+  def assignCluster(emb: Column, centroids: Array[Array[Double]]): Column = {
+    val dots = centroids.map(ct => vecDot(emb, typedlit(ct.map(_.toFloat))))
+    val arr = array(dots: _*)
+    (array_position(arr, array_max(arr)) - 1).cast("int")
+  }
+
+  /** IVF-flat approximate top-k: assign the corpus to `nCentroids` coarse
+    * cells, probe the `nProbe` cells nearest the query, exact cosine only
+    * within probed cells (~nProbe/nCentroids of the corpus scanned). The
+    * assignment is one scan; at scale it is computed once at landing and
+    * stored as a partition column, making a probe a partition-pruned
+    * read. */
+  def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+      dim: Int = Dim, nCentroids: Int = 16, nProbe: Int = 6,
+      iters: Int = 2, seed: Long = Seed): DataFrame = {
+    val cents = ivfCentroids(embeddings, dim, nCentroids, iters, seed)
+    val qVec = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).head.getSeq[Float](0).toArray.map(_.toDouble)
+    val probes = cents.zipWithIndex
+      .map { case (ct, i) =>
+        i -> ct.zip(qVec).map { case (a, b) => a * b }.sum
+      }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    embeddings
+      .withColumn("cluster", assignCluster(col("embedding"), cents))
+      .filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** Exact near-duplicate pairs by cosine threshold over the first

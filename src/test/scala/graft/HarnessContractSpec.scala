@@ -1,0 +1,26 @@
+package graft
+
+/** Locks the driver contract: entry smoke, registry/oracle key agreement,
+  * and every registered query runnable end-to-end at the smallest sf.
+  */
+class HarnessContractSpec extends SparkTestBase {
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query; names are well-formed") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracle SQL without queries: $orphans")
+    assert(qs.forall(_.matches("[a-z0-9_]+")))
+  }
+
+  test("every registered query executes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, "/root/testdata/sf0.001").count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.01"
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def bruteIds(k: Int): Seq[Long] =
+    Similarity.bruteForceTopK(emb, queryVecId = 0L, k = k)
+      .collect().map(_.getLong(0)).toSeq
+
+  test("brute-force top-k is ordered by similarity desc, excludes the query") {
+    val rows = Similarity.bruteForceTopK(emb, 0L, 10).collect()
+    assert(rows.length === 10)
+    assert(!rows.map(_.getLong(0)).contains(0L))
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.sorted.reverse.toSeq === sims.toSeq)
+  }
+
+  test("IVF top-k recalls most of the exact top-k while probing a fraction " +
+    "of the corpus") {
+    val exact = bruteIds(10).toSet
+    val ivf = Similarity.ivfTopK(emb, queryVecId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & ivf).size / 10.0
+    info(s"IVF recall@10 = $recall (probing 6/16 cells)")
+    assert(recall >= 0.5, s"recall too low: got $ivf vs exact $exact")
+  }
+
+  test("IVF centroid assignment is total and deterministic") {
+    val cents = Similarity.ivfCentroids(emb, dim = 64, c = 16, iters = 2, seed = 7L)
+    assert(cents.length === 16)
+    val assigned = emb
+      .withColumn("cluster", Similarity.assignCluster(col("embedding"), cents))
+    val counts = assigned.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keys.forall(c => c >= 0 && c < 16))
+    assert(counts.values.sum === emb.count())
+  }
+}
