@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, MinHashSignature, SimHash64}
+import org.apache.spark.sql.graft.{ColumnBridge, MinHashSignature, SimHash64, WinnowingFingerprints}
 
 /** Hash-sketch primitives for near-duplicate detection, backed by native
   * codegen'd expressions (org.apache.spark.sql.graft). Both run inside
@@ -19,4 +19,12 @@ object HashFunctions {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(
       MinHashSignature(ColumnBridge.expression(shingles), numHashes))
+
+  /** Winnowing fingerprints (rolling n-gram hash, window-w min selection)
+    * of an array<string> token column — guarantees a shared fingerprint
+    * for any shared run of >= w + n - 1 tokens at ~2/(w+1) the density of
+    * a full shingle index. */
+  def winnowing(toks: Column, n: Int, w: Int): Column =
+    ColumnBridge.column(
+      WinnowingFingerprints(ColumnBridge.expression(toks), n, w))
 }

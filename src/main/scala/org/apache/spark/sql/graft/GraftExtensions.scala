@@ -50,6 +50,12 @@ object GraftFunctionRegistry {
       info(classOf[FloatVectorDot], "float_vector_dot",
         "float_vector_dot(a, b) - dot product of two array<float>."),
       (args: Seq[Expression]) => FloatVectorDot(args.head, args(1))),
+    (FunctionIdentifier("winnowing_fingerprints"),
+      info(classOf[WinnowingFingerprints], "winnowing_fingerprints",
+        "winnowing_fingerprints(tokens, n, w) - rolling-hash fingerprints."),
+      (args: Seq[Expression]) =>
+        WinnowingFingerprints(args.head, intArg(args(1), "winnowing_fingerprints"),
+          intArg(args(2), "winnowing_fingerprints"))),
     (FunctionIdentifier("topk_by"),
       info(classOf[TopKByScore], "topk_by",
         "topk_by(score, payload, k) - top-k payloads by descending score."),

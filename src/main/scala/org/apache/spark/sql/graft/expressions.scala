@@ -185,6 +185,44 @@ object HashUtil {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03) over
+    * the token stream: hash every n-token gram with a rolling fold of the
+    * per-token xxhash64s, then select the minimum hash in each window of
+    * w consecutive grams (ties -> rightmost), deduplicating repeated
+    * selections. Guarantee: documents sharing a run of >= w + n - 1
+    * tokens share at least one fingerprint. */
+  def winnowing(arr: ArrayData, n: Int, w: Int): ArrayData = {
+    val num = arr.numElements()
+    val m = num - n + 1
+    if (m < 1) return new GenericArrayData(Array.empty[Any])
+    // per-token hashes once, then rolling n-fold per gram
+    val th = new Array[Long](num)
+    var i = 0
+    while (i < num) { th(i) = XXH64.hashUTF8String(arr.getUTF8String(i), 42L); i += 1 }
+    val gh = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 42L
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      gh(i) = h
+      i += 1
+    }
+    val selected = new java.util.LinkedHashSet[java.lang.Long]()
+    var lastPick = -1
+    i = 0
+    val windows = math.max(1, m - w + 1)
+    while (i < windows) {
+      var minPos = i
+      var j = i
+      val end = math.min(i + w, m)
+      while (j < end) { if (gh(j) <= gh(minPos)) minPos = j; j += 1 }
+      if (minPos != lastPick) { selected.add(gh(minPos)); lastPick = minPos }
+      i += 1
+    }
+    new GenericArrayData(selected.toArray())
+  }
+
   /** Distinct word n-grams (n consecutive tokens joined by one space),
     * first-occurrence order; empty when fewer than n tokens. */
   def wordShingles(arr: ArrayData, n: Int): ArrayData = {
@@ -202,6 +240,31 @@ object HashUtil {
     }
     new GenericArrayData(seen.toArray())
   }
+}
+
+/** Codegen'd winnowing fingerprints of an array<string> token column —
+  * array<long> of selected rolling-gram hashes. The fingerprint density
+  * is ~2/(w+1) of the gram count, so the inverted index a dedup builds on
+  * these is ~w/2 times smaller than a full shingle index while still
+  * guaranteeing detection of shared runs of >= w + n - 1 tokens.
+  */
+case class WinnowingFingerprints(child: Expression, n: Int, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(n >= 1 && w >= 1, "n, w >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnowing_fingerprints"
+
+  override def nullSafeEval(a: Any): Any =
+    HashUtil.winnowing(a.asInstanceOf[ArrayData], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashUtil.winnowing($x, $n, $w);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Codegen'd distinct word-n-gram shingling of an array<string> token
