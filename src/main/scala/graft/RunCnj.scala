@@ -1,10 +1,10 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** CLI for the full CNJ pipeline: ResumoMetas.csv + Consolidado.csv +
+  * grafico_meta1.png. Usage: runMain graft.RunCnj <inDir> <outDir> */
 object RunCnj {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4")
-      .config("spark.ui.enabled","false").getOrCreate()
+    val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.cnj.MetasJob.runAll(spark, args(0), args(1))
     spark.stop()
