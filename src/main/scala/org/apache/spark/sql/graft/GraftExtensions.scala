@@ -15,8 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * [[GraftFunctionRegistry.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctionRegistry.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => CollapseRedundantRound)
+  }
 }
 
 object GraftFunctionRegistry {
