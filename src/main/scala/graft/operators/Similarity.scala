@@ -146,6 +146,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN: many query vectors against the corpus through the IVF
+    * index in ONE plan — each query explodes to its nProbe probe cells,
+    * equi-joins the cluster-assigned corpus on the cell id (a bounded
+    * shuffle: nProbe/nCentroids of |queries| x |corpus|, never a cross
+    * join), and the per-query top-k comes from the bounded-heap
+    * TopKByScore aggregate (no per-group sort). This is the shape that
+    * serves m queries over a 100 TB corpus: cluster-pruned join + O(k)
+    * aggregation state.
+    */
+  def ivfBatchTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = Dim, nCentroids: Int = 16, nProbe: Int = 6,
+      iters: Int = 2, seed: Long = Seed): DataFrame = {
+    val cents = ivfCentroids(corpus, dim, nCentroids, iters, seed)
+    val assigned = corpus
+      .withColumn("cluster", assignCluster(col("embedding"), cents))
+      .select(col("cluster"), col("vec_id"), col("embedding"))
+    // probe cells per query: indices of the nProbe largest centroid dots
+    val dots = array(cents.map(ct =>
+      vecDot(col("q_emb"), typedlit(ct.map(_.toFloat)))): _*)
+    val probed = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("__dots", dots)
+      .withColumn("cluster",
+        explode(slice(array_sort(
+          transform(col("__dots"), (d, i) => struct((-d).as("nd"), i.as("i")))),
+          1, nProbe)("i")))
+      .select(col("q_id"), col("q_emb"), col("cluster"))
+    probed.join(assigned, "cluster")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        when(vecNorm(col("embedding")) * vecNorm(col("q_emb")) =!= 0.0,
+          vecDot(col("embedding"), col("q_emb")) /
+            (vecNorm(col("embedding")) * vecNorm(col("q_emb")))).as("cos"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.AggregateFunctions
+        .topKBy(col("cos"), col("vec_id"), k).as("topk"))
+      .orderBy(col("q_id"))
+  }
+
   /** Exact near-duplicate pairs by cosine threshold over the first
     * `maxVectors` vectors (honest cap for the O(n^2) baseline — the LSH
     * path above is the scale story; the cap is part of the query name). */

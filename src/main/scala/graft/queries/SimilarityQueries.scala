@@ -81,6 +81,14 @@ object SimilarityQueries {
   private def simTopkIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
 
+  // the m-queries-at-once shape: cluster-pruned equi-join + bounded-heap
+  // per-query top-k (no cross join, no per-group sort)
+  private def simTopkBatch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfBatchTopK(emb,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8), k = 10)
+  }
+
   private def embedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4, maxVectors = 20000L)
 
@@ -105,6 +113,7 @@ object SimilarityQueries {
     QueryDef("dedup_winnowing", None, dedupWinnowing),
     QueryDef("sim_topk_brute", Some(simTopkBruteSql), simTopkBrute),
     QueryDef("sim_topk_ivf", None, simTopkIvf),
+    QueryDef("sim_topk_batch", None, simTopkBatch),
     QueryDef("embed_neardup_cosine", Some(embedNearDupSql), embedNearDup),
   )
 }

@@ -31,6 +31,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall too low: got $ivf vs exact $exact")
   }
 
+  test("batch IVF top-k agrees with the single-query path") {
+    val queries = emb.filter(col("vec_id").isin(0L, 5L, 9L))
+    val batch = Similarity.ivfBatchTopK(emb, queries, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(batch.keySet === Set(0L, 5L, 9L))
+    Seq(0L, 5L, 9L).foreach { q =>
+      val single = Similarity.ivfTopK(emb, q, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(batch(q) === single, s"query $q")
+    }
+  }
+
   test("IVF centroid assignment is total and deterministic") {
     val cents = Similarity.ivfCentroids(emb, dim = 64, c = 16, iters = 2, seed = 7L)
     assert(cents.length === 16)
