@@ -422,7 +422,83 @@ object StarQueries {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
 
+  // ---- classic multi-join analytics (TPC-H Q3 shape): selective dim
+  // filter -> broadcast -> fact-fact join on the order key -> grouped
+  // revenue -> top-k. Date predicates push into both fact scans.
+  private def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast(TimestampType)
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3ShippingPrioritySql =
+    """SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+      |  o.o_orderpriority,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin
+
+  // ---- TPC-H Q5 shape: snowflake dims (region -> nation -> supplier)
+  // broadcast down onto the fact join, revenue per nation.
+  private def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast(TimestampType)
+    val hi = lit("1998-01-01").cast(TimestampType)
+    val dims = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"))
+    val li = Tables.lineitem(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(dims), li("l_suppkey") === dims("s_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5LocalSupplierSql =
+    """SELECT n.n_name,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n.n_name
+      |ORDER BY revenue DESC, n.n_name""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q3_shipping_priority", Some(q3ShippingPrioritySql), q3ShippingPriority),
+    QueryDef("q5_local_supplier", Some(q5LocalSupplierSql), q5LocalSupplier),
     QueryDef("agg_ratio_kernel", Some(aggRatioKernelSql), aggRatioKernel),
     QueryDef("agg_topk_per_group", Some(aggTopkPerGroupSql), aggTopkPerGroup),
     QueryDef("agg_sums_basic", Some(aggSumsBasicSql), aggSumsBasic),
