@@ -15,9 +15,13 @@ import graft.functions.{HashFunctions, TextFunctions}
   */
 object Dedup {
 
-  /** Exact dedup: keeper = min doc_id per identical text. */
+  /** Exact dedup: keeper = min doc_id per identical text. Groups on the
+    * md5 of the text, not the text itself — the shuffle carries a 16-byte
+    * key per document instead of the document (at 100 TB, that IS the
+    * query cost); identical-text equality is preserved modulo md5
+    * collision (~n^2 / 2^129). */
   def exactKeepers(docs: DataFrame): DataFrame =
-    docs.groupBy(col("text"))
+    docs.groupBy(md5(col("text")).as("__fp"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(col("keeper_id"), col("n_copies"))
 

@@ -51,6 +51,15 @@ object EventStreams {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Streaming exact dedup: drop events whose dedup key was already seen,
+    * with the watermark bounding the key state (keys older than the
+    * watermark are evicted — the unbounded-state-safe formulation of
+    * dropDuplicates on a stream). Works identically on a batch frame. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionOut(user_id: Long, session_start: Long, n_events: Long,

@@ -46,6 +46,26 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("dedupStream drops duplicate keys across micro-batches within the watermark") {
+    import spark.implicits._
+    val stream = MemoryStream[Ev](spark)
+    val q = EventStreams.dedupStream(stream.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(1), 1, "view", 2.0),
+        Ev(1, ts(2), 1, "view", 1.0))) // dup within batch
+      q.processAllAvailable()
+      stream.addData(Seq(
+        Ev(2, ts(3), 1, "view", 2.0), // dup across batches
+        Ev(3, ts(4), 1, "view", 3.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("sessionizeStream emits the same sessions as batch sessionize " +
     "once the watermark passes every gap") {
     import spark.implicits._
