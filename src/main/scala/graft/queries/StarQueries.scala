@@ -496,7 +496,46 @@ object StarQueries {
       |GROUP BY n.n_name
       |ORDER BY revenue DESC, n.n_name""".stripMargin
 
+  // ---- pivot: one row per priority, one count column per order status
+  // (wide-format reshaping; explicit value list keeps the plan static —
+  // at scale an unpinned pivot needs a distinct-values job first).
+  private def pivotStatusCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"),
+        col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  private val pivotStatusCountsSql =
+    """SELECT o_orderpriority,
+      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- set operations: INTERSECT / EXCEPT (hash-based distinct set ops).
+  private def setIntersectExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def keys(status: String) =
+      o.filter(col("o_orderstatus") === status).select(col("o_custkey"))
+    val both = keys("O").intersect(keys("F"))
+    both.except(keys("P")).orderBy(col("o_custkey"))
+  }
+
+  private val setIntersectExceptSql =
+    """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      | INTERSECT
+      | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      |ORDER BY o_custkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("pivot_status_counts", Some(pivotStatusCountsSql), pivotStatusCounts),
+    QueryDef("set_intersect_except", Some(setIntersectExceptSql), setIntersectExcept),
     QueryDef("q3_shipping_priority", Some(q3ShippingPrioritySql), q3ShippingPriority),
     QueryDef("q5_local_supplier", Some(q5LocalSupplierSql), q5LocalSupplier),
     QueryDef("agg_ratio_kernel", Some(aggRatioKernelSql), aggRatioKernel),
