@@ -50,10 +50,14 @@ object Joins {
       bucketWidth: Int): DataFrame = {
     val p = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
-    val r = ranges.withColumn("__bucket",
-      explode(sequence(
-        floor(col(lowCol) / bucketWidth).cast("long"),
-        floor(col(highCol) / bucketWidth).cast("long"))))
+    val r = ranges
+      // inverted ranges match nothing; dropping them also keeps the
+      // bucket sequence() from throwing on low > high
+      .filter(col(lowCol) <= col(highCol))
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(col(lowCol) / bucketWidth).cast("long"),
+          floor(col(highCol) / bucketWidth).cast("long"))))
     p.join(r, Seq("__bucket"))
       .filter(col(pointCol) >= col(lowCol) && col(pointCol) <= col(highCol))
       .drop("__bucket")

@@ -90,7 +90,7 @@ object Multimodal {
     * decoded downstream. */
   def sampleFrames(media: DataFrame, everyN: Int): DataFrame =
     media
-      .filter(col("kind") === "video")
+      .filter(col("kind") === "video" && col("meta.nFrames") > 0)
       .select(col("media_id"), col("payload"), col("meta"),
         explode(sequence(lit(0), col("meta.nFrames") - 1, lit(everyN)))
           .as("frame_idx"))

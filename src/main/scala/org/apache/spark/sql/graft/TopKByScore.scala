@@ -60,7 +60,9 @@ case class TopKByScore(
       input: InternalRow): PriorityQueue[(Double, Long)] = {
     val s = score.eval(input)
     val p = payload.eval(input)
-    if (s != null && p != null)
+    // NaN compares above every real score — skip it rather than let a
+    // broken score occupy top-k slots
+    if (s != null && p != null && !s.asInstanceOf[Double].isNaN)
       offer(heap, s.asInstanceOf[Double], p.asInstanceOf[Long])
     heap
   }

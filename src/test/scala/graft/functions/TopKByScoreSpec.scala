@@ -34,6 +34,14 @@ class TopKByScoreSpec extends SparkTestBase {
     assert(got === Seq(3L, 7L))
   }
 
+  test("NaN scores never occupy top-k slots") {
+    import spark.implicits._
+    val df = Seq((Double.NaN, 1L), (2.0, 2L), (1.0, 3L)).toDF("s", "p")
+    val got = df.agg(AggregateFunctions.topKBy(col("s"), col("p"), 2))
+      .head.getSeq[Long](0)
+    assert(got === Seq(2L, 3L))
+  }
+
   test("topk_by works from SQL after registration") {
     org.apache.spark.sql.graft.GraftFunctionRegistry.register(spark)
     spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("orders_v")

@@ -49,6 +49,16 @@ class JoinsSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("rangeJoin tolerates inverted ranges (they match nothing)") {
+    import spark.implicits._
+    val pts = Seq((1L, 50.0), (2L, 150.0)).toDF("pid", "v")
+    val ranges = Seq((10L, 0, 100), (11L, 200, 100)).toDF("rid", "lo", "hi")
+    val got = Joins.rangeJoin(pts, ranges, "v", "lo", "hi", 50)
+      .select("pid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L)))
+  }
+
   test("saltedJoin equals the plain equi-join") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_quantity"))
