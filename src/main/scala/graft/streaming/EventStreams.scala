@@ -33,6 +33,12 @@ object EventStreams {
 
   /** Gap-based sessionization (30-minute inactivity) via window functions —
     * the batch formulation, ANSI-expressible for the oracle. */
+  /** Epoch seconds for TIMESTAMP and TIMESTAMP_NTZ alike (NTZ cannot cast
+    * straight to a number; via TIMESTAMP it can, and with a UTC session
+    * the value is unchanged). */
+  private def epochSec(c: org.apache.spark.sql.Column) =
+    c.cast("timestamp").cast(LongType)
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -41,13 +47,13 @@ object EventStreams {
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast(LongType) - col("prev_ts").cast(LongType) > gapMinutes * 60L, 1L)
+          epochSec(col("ts")) - epochSec(col("prev_ts")) > gapMinutes * 60L, 1L)
           .otherwise(0L))
       .withColumn("session_seq", sum(col("new_session")).over(wRun))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-        (max(col("ts")).cast(LongType) - min(col("ts")).cast(LongType)).as("duration_sec"))
+        (epochSec(max(col("ts"))) - epochSec(min(col("ts")))).as("duration_sec"))
       .orderBy(col("user_id"), col("session_seq"))
   }
 
