@@ -49,8 +49,31 @@ object EventQueries {
       |  (epoch_us(MAX(ts)) // 1000000) - (epoch_us(MIN(ts)) // 1000000) AS duration_sec
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // batch form of the stream-stream interval join: views attributed to
+  // each click of the same user within the prior 30 minutes
+  private def eventsClickAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    EventStreams.clickAttribution(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_views"), max(col("view_id")).as("last_view_id"))
+      .orderBy(col("click_id"))
+  }
+
+  private val eventsClickAttributionSql =
+    """SELECT c.event_id AS click_id, COUNT(*) AS n_views,
+      |  MAX(v.event_id) AS last_view_id
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id
+      | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
+      |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("events_tumbling_window", Some(eventsTumblingSql), eventsTumbling),
     QueryDef("events_sessionize", Some(eventsSessionizeSql), eventsSessionize),
+    QueryDef("events_click_attribution",
+      Some(eventsClickAttributionSql), eventsClickAttribution),
   )
 }

@@ -66,6 +66,34 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Click attribution: each click joined to the same user's views in
+    * the preceding `windowMinutes` (inclusive interval join). The plan
+    * shape runs identically as a batch range join and as a
+    * stream-stream join; for streams both sides need a watermark first
+    * (see clickAttributionStream). */
+  def clickAttribution(clicks: DataFrame, views: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val v = views.select(col("user_id").as("v_user"),
+      col("event_id").as("view_id"), col("ts").as("v_ts"))
+    c.join(v,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+  }
+
+  /** Streaming variant: watermarks on both sides bound the join state to
+    * the interval width (Spark evicts buffered rows older than
+    * watermark - window). */
+  def clickAttributionStream(events: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val wm = s"${windowMinutes * 2} minutes"
+    val clicks = events.filter(col("event_type") === "click").withWatermark("ts", wm)
+    val views = events.filter(col("event_type") === "view").withWatermark("ts", wm)
+    clickAttribution(clicks, views, windowMinutes)
+  }
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionOut(user_id: Long, session_start: Long, n_events: Long,

@@ -46,6 +46,35 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream click attribution matches the batch interval join") {
+    import spark.implicits._
+    val events = Seq(
+      Ev(1, ts(0), 1, "view", 0), Ev(2, ts(10), 1, "view", 0),
+      Ev(3, ts(20), 1, "click", 0),   // attributes views 1, 2
+      Ev(4, ts(55), 1, "click", 0),   // attributes only view at :40
+      Ev(5, ts(40), 1, "view", 0),
+      Ev(6, ts(5), 2, "view", 0), Ev(7, ts(50), 2, "click", 0)) // out of window
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(events)
+    stream.addData(Seq(Ev(99, tsH(22, 0), 9, "late", 0)))
+
+    val q = EventStreams.clickAttributionStream(stream.toDF())
+      .select(col("click_id"), col("view_id"))
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("attr_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventStreams.clickAttribution(
+        events.toDF().filter(col("event_type") === "click"),
+        events.toDF().filter(col("event_type") === "view"))
+      .select(col("click_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === batch)
+    assert(got === Set((3L, 1L), (3L, 2L), (4L, 5L)))
+  }
+
   test("dedupStream drops duplicate keys across micro-batches within the watermark") {
     import spark.implicits._
     val stream = MemoryStream[Ev](spark)
