@@ -132,7 +132,17 @@ object TextQueries {
       |  MIN(md5(text)) AS min_fp
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // deterministic hash-based stratified sampling (Spark-hash membership —
+  // rows-only check; determinism + stratum caps are spec-asserted)
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+        Tables.documents(s, dir), col("lang"), Seq(col("doc_id")),
+        Map("en" -> 20), defaultPct = 100)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("sample_stratified", None, sampleStratified),
     QueryDef("text_langid", Some(textLangidSql), textLangid),
     QueryDef("text_quality", Some(textQualitySql), textQuality),
     QueryDef("text_tokens", Some(textTokensSql), textTokens),
