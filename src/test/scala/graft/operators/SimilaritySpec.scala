@@ -43,6 +43,24 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("sign-LSH top-k finds a planted near-duplicate (its design regime)") {
+    import spark.implicits._
+    // plant a vector nearly identical to vec 0: same hyperplane signs,
+    // same bucket, so even probeRadius 0 would surface it
+    val base = emb.filter(col("vec_id") === 0L)
+      .head.getSeq[Float](1).toArray
+    val planted = base.map(x => x * 1.01f + 0.001f)
+    val corpus = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(Seq((999999L, planted.toSeq, 0))
+        .toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding").cast("array<float>"), col("label")))
+    val top = Similarity.lshTopK(spark, corpus, queryVecId = 0L, k = 3)
+      .collect()
+    assert(top.nonEmpty)
+    assert(top.head.getLong(0) === 999999L, top.mkString(","))
+    assert(top.head.getDouble(2) > 0.999)
+  }
+
   test("IVF centroid assignment is total and deterministic") {
     val cents = Similarity.ivfCentroids(emb, dim = 64, c = 16, iters = 2, seed = 7L)
     assert(cents.length === 16)
