@@ -57,9 +57,9 @@ object MetasJob {
     stringlyOutput(resumoTyped(spark, Reader.readDir(spark, inDir)))
 
   def stringlyOutput(typed: DataFrame): DataFrame = {
-    val stringly = typed.select(typed.columns.map(c => col(c).cast(StringType).as(c)): _*)
+    val stringly = typed.select(typed.columns.toIndexedSeq.map(c => col(c).cast(StringType).as(c)): _*)
       .na.fill("NA")
-    stringly.select(orderedColumns(stringly.columns).map(col): _*)
+    stringly.select(orderedColumns(stringly.columns.toIndexedSeq).map(col): _*)
       .orderBy(col("sigla_tribunal"))
   }
 

@@ -111,7 +111,7 @@ object Similarity {
   /** Cluster id = argmax cosine against the (unit-norm) centroids;
     * ties -> lowest id. Pure codegen'd column over C dot products. */
   def assignCluster(emb: Column, centroids: Array[Array[Double]]): Column = {
-    val dots = centroids.map(ct => vecDot(emb, typedlit(ct.map(_.toFloat))))
+    val dots = centroids.toIndexedSeq.map(ct => vecDot(emb, typedlit(ct.map(_.toFloat))))
     val arr = array(dots: _*)
     (array_position(arr, array_max(arr)) - 1).cast("int")
   }
@@ -127,7 +127,7 @@ object Similarity {
       iters: Int = 2, seed: Long = Seed): DataFrame = {
     val cents = ivfCentroids(embeddings, dim, nCentroids, iters, seed)
     val qVec = embeddings.filter(col("vec_id") === queryVecId)
-      .select(col("embedding")).head.getSeq[Float](0).toArray.map(_.toDouble)
+      .select(col("embedding")).head().getSeq[Float](0).toArray.map(_.toDouble)
     val probes = cents.zipWithIndex
       .map { case (ct, i) =>
         i -> ct.zip(qVec).map { case (a, b) => a * b }.sum
@@ -137,7 +137,7 @@ object Similarity {
       .select(col("embedding").as("q_emb"))
     embeddings
       .withColumn("cluster", assignCluster(col("embedding"), cents))
-      .filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
+      .filter(col("cluster").isin(probes.toIndexedSeq.map(Integer.valueOf): _*))
       .filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label").cast(LongType).as("label"),
@@ -163,7 +163,7 @@ object Similarity {
       .withColumn("cluster", assignCluster(col("embedding"), cents))
       .select(col("cluster"), col("vec_id"), col("embedding"))
     // probe cells per query: indices of the nProbe largest centroid dots
-    val dots = array(cents.map(ct =>
+    val dots = array(cents.toIndexedSeq.map(ct =>
       vecDot(col("q_emb"), typedlit(ct.map(_.toFloat)))): _*)
     val probed = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

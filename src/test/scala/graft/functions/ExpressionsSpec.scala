@@ -23,14 +23,14 @@ class ExpressionsSpec extends SparkTestBase {
     val diff = emb
       .select(abs(VectorFunctions.vecDot(col("embedding"), col("embedding")) -
         VectorFunctions.vecDotBuiltin(col("embedding"), col("embedding"))).as("d"))
-      .agg(max(col("d"))).head.getDouble(0)
+      .agg(max(col("d"))).head().getDouble(0)
     assert(diff < 1e-9)
   }
 
   test("cosine is null on a zero-norm vector, never NaN") {
     import spark.implicits._
     val df = Seq((Array(0f, 0f), Array(1f, 2f))).toDF("a", "b")
-    val r = df.select(VectorFunctions.cosine(col("a"), col("b"))).head
+    val r = df.select(VectorFunctions.cosine(col("a"), col("b"))).head()
     assert(r.isNullAt(0))
   }
 

@@ -15,10 +15,10 @@ class GraftSqlSpec extends SparkTestBase {
 
   test("simhash64 is callable from SQL and matches the Column API") {
     val viaSql = spark.sql(
-      "SELECT simhash64(array('the', 'quick', 'fox', 'the')) AS s").head.getLong(0)
+      "SELECT simhash64(array('the', 'quick', 'fox', 'the')) AS s").head().getLong(0)
     import spark.implicits._
     val viaCol = Seq(Seq("the", "quick", "fox", "the")).toDF("t")
-      .select(HashFunctions.simhash(col("t"))).head.getLong(0)
+      .select(HashFunctions.simhash(col("t"))).head().getLong(0)
     assert(viaSql === viaCol)
   }
 
@@ -26,7 +26,7 @@ class GraftSqlSpec extends SparkTestBase {
     val row = spark.sql(
       """SELECT word_shingles(array('a','b','c','d'), 3) AS sh,
         |       minhash_signature(word_shingles(array('a','b','c','d'), 3), 8) AS sig
-        |""".stripMargin).head
+        |""".stripMargin).head()
     assert(row.getSeq[String](0) === Seq("a b c", "b c d"))
     assert(row.getSeq[Long](1).length === 8)
   }
@@ -34,7 +34,7 @@ class GraftSqlSpec extends SparkTestBase {
   test("float_vector_dot implicit-casts numeric arrays") {
     val got = spark.sql(
       "SELECT float_vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
-      .head.getDouble(0)
+      .head().getDouble(0)
     assert(got === 11.0)
   }
 

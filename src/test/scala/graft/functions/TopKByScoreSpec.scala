@@ -30,7 +30,7 @@ class TopKByScoreSpec extends SparkTestBase {
     import spark.implicits._
     val df = Seq((1.0, 10L), (1.0, 3L), (1.0, 7L), (0.5, 1L)).toDF("s", "p")
     val got = df.agg(AggregateFunctions.topKBy(col("s"), col("p"), 2))
-      .head.getSeq[Long](0)
+      .head().getSeq[Long](0)
     assert(got === Seq(3L, 7L))
   }
 
@@ -38,7 +38,7 @@ class TopKByScoreSpec extends SparkTestBase {
     import spark.implicits._
     val df = Seq((Double.NaN, 1L), (2.0, 2L), (1.0, 3L)).toDF("s", "p")
     val got = df.agg(AggregateFunctions.topKBy(col("s"), col("p"), 2))
-      .head.getSeq[Long](0)
+      .head().getSeq[Long](0)
     assert(got === Seq(2L, 3L))
   }
 

@@ -54,7 +54,7 @@ class WinnowingSpec extends SparkTestBase {
     org.apache.spark.sql.graft.GraftFunctionRegistry.register(spark)
     val n = spark.sql(
       "SELECT size(winnowing_fingerprints(array('a','b','c','d','e','f','g'), 3, 4)) AS n")
-      .head.getInt(0)
+      .head().getInt(0)
     assert(n >= 1)
   }
 }

@@ -16,7 +16,7 @@ class MultimodalSpec extends SparkTestBase {
     assert(m.schema("payload").dataType === BinaryType)
     val meta = m.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(meta.fieldNames.toSeq === Seq("format", "width", "height", "nFrames"))
-    val row = m.orderBy("media_id").head
+    val row = m.orderBy("media_id").head()
     assert(Set("image", "audio", "video").contains(row.getString(1)))
     assert(row.getAs[Array[Byte]]("payload").nonEmpty)
   }

@@ -48,7 +48,7 @@ class SimilaritySpec extends SparkTestBase {
     // plant a vector nearly identical to vec 0: same hyperplane signs,
     // same bucket, so even probeRadius 0 would surface it
     val base = emb.filter(col("vec_id") === 0L)
-      .head.getSeq[Float](1).toArray
+      .head().getSeq[Float](1).toArray
     val planted = base.map(x => x * 1.01f + 0.001f)
     val corpus = emb.select(col("vec_id"), col("embedding"), col("label"))
       .unionByName(Seq((999999L, planted.toSeq, 0))
