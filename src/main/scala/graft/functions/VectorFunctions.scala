@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnBridge, FloatVectorDot, HyperplaneSignBits}
+import org.apache.spark.sql.graft.{ColumnBridge, Dequantize8, FloatVectorDot, HyperplaneSignBits, Quantize8}
 
 /** User-facing vector math over array<float> embedding columns.
   * Backed by native codegen'd expressions (org.apache.spark.sql.graft).
@@ -34,6 +34,15 @@ object VectorFunctions {
     val rnd = new scala.util.Random(seed)
     Array.fill(nPlanes * dim)(rnd.nextGaussian())
   }
+
+  /** Symmetric int8 quantization of an embedding: struct<scale, q:binary>,
+    * 4x smaller than float32 at rest and on the shuffle wire; max
+    * elementwise round-trip error scale/2. */
+  def quantize8(a: Column): Column =
+    ColumnBridge.column(Quantize8(ColumnBridge.expression(a)))
+
+  def dequantize8(a: Column): Column =
+    ColumnBridge.column(Dequantize8(ColumnBridge.expression(a)))
 
   /** Reference implementation of vecDot via built-in higher-order
     * functions — used in tests to cross-check the native expression. */

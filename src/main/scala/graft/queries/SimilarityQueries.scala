@@ -60,6 +60,16 @@ object SimilarityQueries {
   private def simTopkBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
 
+  // top-k over int8-quantized embeddings (4x smaller index; Spark-side
+  // quantization arithmetic -> rows-only; recall vs exact is spec-checked)
+  private def simTopkQuantized(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{dequantize8, quantize8}
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("embedding",
+        dequantize8(quantize8(org.apache.spark.sql.functions.col("embedding"))))
+    Similarity.bruteForceTopK(emb, queryVecId = 0L, k = 10)
+  }
+
   private val simTopkBruteSql =
     """WITH q AS (
       |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
@@ -112,6 +122,7 @@ object SimilarityQueries {
     QueryDef("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
     QueryDef("dedup_winnowing", None, dedupWinnowing),
     QueryDef("sim_topk_brute", Some(simTopkBruteSql), simTopkBrute),
+    QueryDef("sim_topk_quantized", None, simTopkQuantized),
     QueryDef("sim_topk_ivf", None, simTopkIvf),
     QueryDef("sim_topk_batch", None, simTopkBatch),
     QueryDef("embed_neardup_cosine", Some(embedNearDupSql), embedNearDup),

@@ -52,6 +52,14 @@ object GraftFunctionRegistry {
       info(classOf[FloatVectorDot], "float_vector_dot",
         "float_vector_dot(a, b) - dot product of two array<float>."),
       (args: Seq[Expression]) => FloatVectorDot(args.head, args(1))),
+    (FunctionIdentifier("quantize8"),
+      info(classOf[Quantize8], "quantize8",
+        "quantize8(vec) - int8-quantize an array<float> to struct<scale, q>."),
+      (args: Seq[Expression]) => Quantize8(args.head)),
+    (FunctionIdentifier("dequantize8"),
+      info(classOf[Dequantize8], "dequantize8",
+        "dequantize8(s) - struct<scale, q> back to array<float>."),
+      (args: Seq[Expression]) => Dequantize8(args.head)),
     (FunctionIdentifier("winnowing_fingerprints"),
       info(classOf[WinnowingFingerprints], "winnowing_fingerprints",
         "winnowing_fingerprints(tokens, n, w) - rolling-hash fingerprints."),

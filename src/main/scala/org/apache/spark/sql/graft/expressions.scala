@@ -223,6 +223,35 @@ object HashUtil {
     new GenericArrayData(selected.toArray())
   }
 
+  /** Symmetric int8 quantization: scale = max|v| / 127 (1 when the
+    * vector is all-zero), bytes = round(v / scale) clamped. */
+  def quantize8(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    var maxAbs = 0.0f
+    var i = 0
+    while (i < n) {
+      val v = math.abs(arr.getFloat(i))
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val scale = if (maxAbs == 0.0f) 1.0f else maxAbs / 127.0f
+    val q = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val r = Math.round(arr.getFloat(i) / scale)
+      q(i) = math.max(-127, math.min(127, r)).toByte
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale, q)
+  }
+
+  def dequantize8(scale: Float, q: Array[Byte]): ArrayData = {
+    val out = new Array[Float](q.length)
+    var i = 0
+    while (i < q.length) { out(i) = q(i) * scale; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Distinct word n-grams (n consecutive tokens joined by one space),
     * first-occurrence order; empty when fewer than n tokens. */
   def wordShingles(arr: ArrayData, n: Int): ArrayData = {
@@ -240,6 +269,54 @@ object HashUtil {
     }
     new GenericArrayData(seen.toArray())
   }
+}
+
+/** Codegen'd symmetric int8 quantization of an array<float> embedding:
+  * returns struct<scale: float, q: binary> with q[i] =
+  * round(v[i] / scale) clamped to [-127, 127] and scale = max|v| / 127.
+  * 4x smaller at rest and on the shuffle wire than float32 — the
+  * storage/bandwidth half of an IVF-quantized ANN index. Dequantize with
+  * [[Dequantize8]]; max elementwise round-trip error is scale / 2.
+  */
+case class Quantize8(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", FloatType, nullable = false),
+    StructField("q", BinaryType, nullable = false)))
+  override def prettyName: String = "quantize8"
+
+  override def nullSafeEval(a: Any): Any =
+    HashUtil.quantize8(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashUtil.quantize8($x);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Inverse of [[Quantize8]]: struct<scale, q> back to array<float>. */
+case class Dequantize8(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StructType(Seq(
+    StructField("scale", FloatType, nullable = false),
+    StructField("q", BinaryType, nullable = false))))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "dequantize8"
+
+  override def nullSafeEval(a: Any): Any = {
+    val row = a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    HashUtil.dequantize8(row.getFloat(0), row.getBinary(1))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashUtil.dequantize8($x.getFloat(0), $x.getBinary(1));")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Codegen'd winnowing fingerprints of an array<string> token column —

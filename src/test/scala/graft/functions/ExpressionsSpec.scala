@@ -91,6 +91,37 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("int8 quantization round-trips within scale/2 per element and " +
+    "preserves cosine to ~1%") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(100)
+    val rows = emb.select(col("embedding"),
+        VectorFunctions.dequantize8(
+          VectorFunctions.quantize8(col("embedding"))).as("rt"),
+        VectorFunctions.quantize8(col("embedding"))("scale").as("scale"),
+        VectorFunctions.cosine(col("embedding"),
+          VectorFunctions.dequantize8(
+            VectorFunctions.quantize8(col("embedding")))).as("cos"))
+      .collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](0)
+      val rt = r.getSeq[Float](1)
+      val scale = r.getFloat(2)
+      assert(orig.length === rt.length)
+      orig.lazyZip(rt).foreach { (a, b) =>
+        assert(math.abs(a - b) <= scale / 2 + 1e-6, s"$a vs $b (scale $scale)")
+      }
+      assert(r.getDouble(3) > 0.99)
+    }
+  }
+
+  test("quantize8/dequantize8 are callable from SQL") {
+    org.apache.spark.sql.graft.GraftFunctionRegistry.register(spark)
+    val r = spark.sql(
+      "SELECT dequantize8(quantize8(CAST(array(1.0, -2.0, 0.5) AS ARRAY<FLOAT>))) AS v")
+      .head().getSeq[Float](0)
+    assert(math.abs(r(1) + 2.0f) < 0.02)
+  }
+
   test("hyperplane sign bits match a plain-Scala model") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
     val planes = VectorFunctions.planes(64, 16, 7L)

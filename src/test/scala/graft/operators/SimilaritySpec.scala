@@ -43,6 +43,17 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("int8-quantized index preserves most of the exact top-k") {
+    import graft.functions.VectorFunctions.{dequantize8, quantize8}
+    val exact = bruteIds(10).toSet
+    val quantized = Similarity.bruteForceTopK(
+        emb.withColumn("embedding", dequantize8(quantize8(col("embedding")))),
+        queryVecId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact & quantized).size >= 8,
+      s"quantized recall too low: $quantized vs $exact")
+  }
+
   test("sign-LSH top-k finds a planted near-duplicate (its design regime)") {
     import spark.implicits._
     // plant a vector nearly identical to vec 0: same hyperplane signs,
