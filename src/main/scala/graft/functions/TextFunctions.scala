@@ -49,6 +49,16 @@ object TextFunctions {
   /** Content fingerprint: md5 hex of the exact text bytes. */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Cleaning transforms for corpus preparation — plain regexp_replace
+    * (codegen'd, oracle-expressible; patterns kept to the regex subset
+    * Java and RE2 agree on). */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+  def removeUrls(text: Column): Column =
+    regexp_replace(text, "https?://[^ ]+", "")
+  def maskDigits(text: Column): Column =
+    regexp_replace(text, "[0-9]", "#")
+
   /** Distinct word n-gram shingles (n consecutive tokens joined by one
     * space); empty array when the doc has fewer than n tokens. Native
     * codegen'd expression — one pass per row. */

@@ -141,7 +141,36 @@ object TextQueries {
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
 
+  // ---- cleaning pipeline: whitespace-normalize -> strip URLs -> mask
+  // digits; per-source before/after size accounting.
+  private def textClean(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("cleaned",
+        maskDigits(removeUrls(normalizeWhitespace(col("text")))))
+      .groupBy(col("source"))
+      .agg(
+        sum(length(col("text"))).as("bytes_in"),
+        sum(length(col("cleaned"))).as("bytes_out"),
+        count(when(col("cleaned") =!= col("text"), 1)).as("n_changed"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
+  private val textCleanSql =
+    """WITH c AS (
+      |  SELECT source, text,
+      |    regexp_replace(regexp_replace(trim(regexp_replace(text, '\s+', ' ', 'g')),
+      |      'https?://[^ ]+', '', 'g'), '[0-9]', '#', 'g') AS cleaned
+      |  FROM documents
+      |)
+      |SELECT source,
+      |  SUM(length(text)) AS bytes_in,
+      |  SUM(length(cleaned)) AS bytes_out,
+      |  COUNT(CASE WHEN cleaned <> text THEN 1 END) AS n_changed,
+      |  COUNT(*) AS n_docs
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("text_clean", Some(textCleanSql), textClean),
     QueryDef("sample_stratified", None, sampleStratified),
     QueryDef("text_langid", Some(textLangidSql), textLangid),
     QueryDef("text_quality", Some(textQualitySql), textQuality),
