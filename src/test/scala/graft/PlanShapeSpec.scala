@@ -45,6 +45,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges <= 2, s"expected at most agg+sort exchanges:\n$p")
   }
 
+  test("bucketed range join is an equi-join, not a nested-loop cross product") {
+    val p = plan("range_join_bands")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_simhash")(spark, sf)
     df.collect() // let AQE finalize the stages
