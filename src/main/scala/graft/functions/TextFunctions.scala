@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens, empty strings dropped. */
-  def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+  /** Whitespace tokens, empty strings dropped. Native codegen'd
+    * expression (the equivalent filter(split(...)) pays an interpreted
+    * lambda per token under every downstream text operator). */
+  def tokens(text: Column): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, WhitespaceTokens}
+    ColumnBridge.column(WhitespaceTokens(ColumnBridge.expression(text)))
+  }
 
   /** BPE-ish lexical tokens: word runs or single non-space symbols. */
   val bpeishPattern = "\\w+|[^\\w\\s]"

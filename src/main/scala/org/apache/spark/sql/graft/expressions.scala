@@ -223,6 +223,19 @@ object HashUtil {
     new GenericArrayData(selected.toArray())
   }
 
+  /** Whitespace tokens of a string, empty tokens dropped — the base of
+    * every text operator, so it must not pay interpreted-lambda costs. */
+  def whitespaceTokens(text: UTF8String): ArrayData = {
+    val parts = text.split(UTF8String.fromString(" "), -1)
+    val out = new java.util.ArrayList[UTF8String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (parts(i).numBytes() > 0) out.add(parts(i))
+      i += 1
+    }
+    new GenericArrayData(out.toArray())
+  }
+
   /** Symmetric int8 quantization: scale = max|v| / 127 (1 when the
     * vector is all-zero), bytes = round(v / scale) clamped. */
   def quantize8(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
@@ -269,6 +282,27 @@ object HashUtil {
     }
     new GenericArrayData(seen.toArray())
   }
+}
+
+/** Codegen'd whitespace tokenization (split on single spaces, empties
+  * dropped) — replaces filter(split(text, " "), t -> t <> ""), whose
+  * per-token lambda evaluates interpretively under every text operator.
+  */
+case class WhitespaceTokens(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "whitespace_tokens"
+
+  override def nullSafeEval(a: Any): Any =
+    HashUtil.whitespaceTokens(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashUtil.whitespaceTokens($x);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Codegen'd symmetric int8 quantization of an array<float> embedding:
