@@ -22,6 +22,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def driver_hash(df: pd.DataFrame):
+    """Emulate the driver's hash: sort columns by name, sort rows by all
+    columns, hash values dtype-sensitively (int64 vs float64 differ, like
+    the driver; array/bytearray cells raise, like the driver)."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return pd.util.hash_pandas_object(df, index=False).sum()
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # canonicalize cell values for hashing
@@ -52,9 +61,16 @@ def main(sf_dir: str, out_dir: str) -> int:
         name = os.path.basename(qdir)
         got = pd.read_parquet(qdir)
         if name not in oracles:
-            status = "ROWS_ONLY" if len(got) > 0 else "ROWS_ONLY_EMPTY"
-            print(f"[{status:>10}] {name}: rows={len(got)}")
-            n_noora += 1
+            # the driver still sorts/hashes the spark result for rows-only
+            # queries — an array-typed output column crashes its comparator
+            try:
+                driver_hash(got)
+                status = "ROWS_ONLY" if len(got) > 0 else "ROWS_ONLY_EMPTY"
+                print(f"[{status:>10}] {name}: rows={len(got)}")
+                n_noora += 1
+            except Exception as err:
+                print(f"[      FAIL] {name}: rows-only result not driver-hashable: {err}")
+                n_fail += 1
             continue
         try:
             exp = con.execute(oracles[name]).fetchdf()
@@ -74,6 +90,15 @@ def main(sf_dir: str, out_dir: str) -> int:
                 ok_vals = True
             except AssertionError as err:
                 detail = str(err).splitlines()[0]
+        if ok_vals:
+            try:
+                if driver_hash(got) != driver_hash(exp):
+                    ok_vals = False
+                    detail = "driver-style hash mismatch (dtype drift? " + \
+                        f"spark={dict(got.dtypes.astype(str))} duck={dict(exp.dtypes.astype(str))})"
+            except Exception as err:
+                ok_vals = False
+                detail = f"driver-style hash raised: {err}"
         if ok_cols and ok_rows and ok_vals:
             print(f"[      PASS] {name}: rows={len(g)}")
             n_pass += 1

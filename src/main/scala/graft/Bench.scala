@@ -23,14 +23,19 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: fully materializes every output column (count() would
       // let Catalyst prune the projections away and flatter the numbers)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // a crashed query must not masquerade as a valid timing: report -1 and
+    // list it in "failed" so cross-round comparisons can exclude it
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

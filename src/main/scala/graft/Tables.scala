@@ -22,8 +22,19 @@ object Tables {
     * DuckDB does when it scans NANOS into its microsecond TIMESTAMP.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
+    // Scope the legacy flag to this read instead of mutating session state:
+    // save/restore around the (eager) schema inference, and also pass it as
+    // a per-relation option so the executor-side ParquetReadSupport (which
+    // reads the key from the relation's hadoopConf) sees it at scan time.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    val raw =
+      try s.read.option(key, "true").parquet(s"$d/events.parquet")
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     import org.apache.spark.sql.functions.{col, expr}
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -56,9 +56,25 @@ object MetasJob {
   def resumo(spark: SparkSession, inDir: String): DataFrame =
     stringlyOutput(resumoTyped(spark, Reader.readDir(spark, inDir)))
 
+  /** Python str() renders doubles in plain decimal up to 1e16 where
+    * Spark's string cast flips to scientific notation at 1e7. Metas are
+    * bround(x, 2), so render via DECIMAL(30,2) and trim trailing zeros
+    * (keeping one fractional digit, as str(3.0) == "3.0"). Residual
+    * divergence: Python switches to scientific at >= 1e16; we stay plain
+    * (decimal overflow to null -> "NA" beyond 1e28). */
+  private def plainDecimal(c: Column): Column = {
+    val s = c.cast(org.apache.spark.sql.types.DecimalType(30, 2)).cast(StringType)
+    regexp_replace(regexp_replace(s, "(\\.\\d*?)0+$", "$1"), "\\.$", ".0")
+  }
+
   def stringlyOutput(typed: DataFrame): DataFrame = {
-    val stringly = typed.select(typed.columns.toIndexedSeq.map(c => col(c).cast(StringType).as(c)): _*)
-      .na.fill("NA")
+    val stringly = typed.select(typed.schema.fields.toIndexedSeq.map { f =>
+      val c = col(f.name)
+      (f.dataType match {
+        case org.apache.spark.sql.types.DoubleType => plainDecimal(c)
+        case _ => c.cast(StringType)
+      }).as(f.name)
+    }: _*).na.fill("NA")
     stringly.select(orderedColumns(stringly.columns.toIndexedSeq).map(col): _*)
       .orderBy(col("sigla_tribunal"))
   }

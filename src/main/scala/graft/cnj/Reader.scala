@@ -76,7 +76,8 @@ object Reader {
 
   /** All court files in a directory as one canonical-schema DataFrame. */
   def readDir(spark: SparkSession, dir: String): DataFrame = {
-    val files = new File(dir).listFiles()
+    // listFiles() returns null (not empty) for a missing/unreadable dir
+    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.isFile && f.getName.endsWith(".csv"))
       .map(_.getPath).sorted
     val parts = files.flatMap(readFile(spark, _))

@@ -86,16 +86,30 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash near-dup pairs: 4 x 16-bit chunk blocking (any pair within
-    * Hamming distance 3 must agree on >=1 chunk), then exact Hamming
-    * verification via bit_count(xor). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+  /** SimHash near-dup pairs: chunk blocking + exact Hamming verification
+    * via bit_count(xor). The 64-bit signature is split into maxHamming+1
+    * chunks, so by pigeonhole any pair within the threshold agrees on at
+    * least one chunk — recall is exact at every threshold. The default
+    * (3 -> 4 x 16-bit chunks) is the classic web-dedup config; higher
+    * thresholds mean narrower chunks and fatter candidate buckets, so
+    * keep maxHamming small at scale. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 15,
+      s"maxHamming must be in [1,15], got $maxHamming")
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
     val base = docs
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), HashFunctions.simhash(col("toks")).as("sim"))
+    // chunk c covers bits [c*width, (c+1)*width) — the final chunk absorbs
+    // the 64 - chunks*width remainder bits
     val chunked = base.selectExpr("doc_id", "sim",
-      "explode(transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(sim, CAST(c * 16 AS INT)) & 65535L AS cval))) AS x")
+      s"""explode(transform(sequence(0, ${chunks - 1}), c -> struct(
+         |  c AS chunk,
+         |  shiftright(sim, CAST(c * $width AS INT))
+         |    & CASE WHEN c = ${chunks - 1} THEN shiftrightunsigned(-1L, ${(chunks - 1) * width})
+         |           ELSE ${(1L << width) - 1}L END AS cval))) AS x""".stripMargin)
       .select(col("doc_id"), col("sim"), col("x.chunk").as("chunk"), col("x.cval").as("cval"))
     val a = chunked.as("a")
     val b = chunked.as("b")

@@ -36,7 +36,7 @@ object MediaQueries {
       |  SELECT media_id, unnest(range(0, nframes, 3)) AS frame_idx FROM v
       |)
       |SELECT COUNT(*) AS n_frames, COUNT(DISTINCT media_id) AS n_videos,
-      |  SUM(frame_idx) AS sum_idx
+      |  CAST(SUM(frame_idx) AS BIGINT) AS sum_idx
       |FROM f""".stripMargin
 
   // ---- resize planning: aspect-preserving fit into a 224-px box,
@@ -59,8 +59,8 @@ object MediaQueries {
       |  FROM documents
       |)
       |SELECT kind, COUNT(*) AS n_media,
-      |  SUM(CAST(ROUND(w * LEAST(224.0 / w, 224.0 / h, 1.0)) AS INT)) AS sum_w,
-      |  SUM(CAST(ROUND(h * LEAST(224.0 / w, 224.0 / h, 1.0)) AS INT)) AS sum_h
+      |  CAST(SUM(CAST(ROUND(w * LEAST(224.0 / w, 224.0 / h, 1.0)) AS INT)) AS BIGINT) AS sum_w,
+      |  CAST(SUM(CAST(ROUND(h * LEAST(224.0 / w, 224.0 / h, 1.0)) AS INT)) AS BIGINT) AS sum_h
       |FROM m GROUP BY kind ORDER BY kind""".stripMargin
 
   val all: Seq[QueryDef] = Seq(

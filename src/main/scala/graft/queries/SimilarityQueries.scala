@@ -24,7 +24,7 @@ object SimilarityQueries {
     Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.2)
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 8)
+    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
 
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.2)
@@ -94,9 +94,13 @@ object SimilarityQueries {
   // the m-queries-at-once shape: cluster-pruned equi-join + bounded-heap
   // per-query top-k (no cross join, no per-group sort)
   private def simTopkBatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, posexplode}
     val emb = Tables.embeddings(s, dir)
-    Similarity.ivfBatchTopK(emb,
-      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8), k = 10)
+    // one row per (query, rank) — scalar columns only, the driver's pandas
+    // comparator cannot sort/hash array cells
+    Similarity.ivfBatchTopK(emb, emb.filter(col("vec_id") < 8), k = 10)
+      .select(col("q_id"), posexplode(col("topk")).as(Seq("rank", "vec_id")))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   private def embedNearDup(s: SparkSession, dir: String): DataFrame =

@@ -271,7 +271,7 @@ object StarQueries {
 
   private val castCoerceNullSql =
     """SELECT event_type,
-      |  SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
       |  COUNT(TRY_CAST(event_type AS DOUBLE)) AS n_bad,
       |  COUNT(*) AS n_rows
@@ -345,17 +345,19 @@ object StarQueries {
       |  COUNT(DISTINCT l_suppkey) AS n_supps
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  // ---- A7: distinct-set accumulation, deterministically sorted.
+  // ---- A7: distinct-set accumulation, deterministically sorted. The set
+  // is emitted comma-joined (scalar), not as an array column — the driver's
+  // comparator sorts result columns in pandas, which cannot hash ndarrays.
   private def collectSetSorted(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"))
-      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+      .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
   private val collectSetSortedSql =
     """SELECT o_orderpriority,
-      |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
@@ -409,15 +411,17 @@ object StarQueries {
     val c = Tables.customer(s, dir)
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(graft.functions.AggregateFunctions
-          .topKBy(col("o_totalprice"), col("o_orderkey"), 3).as("top_orders"),
+      // comma-joined ids, not an array column (pandas comparator limitation)
+      .agg(array_join(transform(graft.functions.AggregateFunctions
+            .topKBy(col("o_totalprice"), col("o_orderkey"), 3),
+            x => x.cast(StringType)), ",").as("top_orders"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("c_mktsegment"))
   }
 
   private val aggTopkPerGroupSql =
     """SELECT c.c_mktsegment,
-      |  (list(o.o_orderkey ORDER BY o.o_totalprice DESC, o.o_orderkey))[1:3] AS top_orders,
+      |  array_to_string((list(o.o_orderkey ORDER BY o.o_totalprice DESC, o.o_orderkey))[1:3], ',') AS top_orders,
       |  COUNT(*) AS n_orders
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
@@ -511,9 +515,9 @@ object StarQueries {
 
   private val pivotStatusCountsSql =
     """SELECT o_orderpriority,
-      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ---- set operations: INTERSECT / EXCEPT (hash-based distinct set ops).

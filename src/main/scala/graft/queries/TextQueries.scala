@@ -110,8 +110,8 @@ object TextQueries {
 
   private val textTokensSql =
     s"""SELECT source,
-      |  SUM(CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)) AS sum_ws_toks,
-      |  SUM(CAST(len(regexp_extract_all(text, '$bpeishPattern')) AS BIGINT)) AS sum_lex_toks,
+      |  CAST(SUM(CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)) AS BIGINT) AS sum_ws_toks,
+      |  CAST(SUM(CAST(len(regexp_extract_all(text, '$bpeishPattern')) AS BIGINT)) AS BIGINT) AS sum_lex_toks,
       |  COUNT(*) AS n_docs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
@@ -163,8 +163,8 @@ object TextQueries {
       |  FROM documents
       |)
       |SELECT source,
-      |  SUM(length(text)) AS bytes_in,
-      |  SUM(length(cleaned)) AS bytes_out,
+      |  CAST(SUM(length(text)) AS BIGINT) AS bytes_in,
+      |  CAST(SUM(length(cleaned)) AS BIGINT) AS bytes_out,
       |  COUNT(CASE WHEN cleaned <> text THEN 1 END) AS n_changed,
       |  COUNT(*) AS n_docs
       |FROM c GROUP BY source ORDER BY source""".stripMargin
