@@ -25,10 +25,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def driver_hash(df: pd.DataFrame):
     """Emulate the driver's hash: sort columns by name, sort rows by all
     columns, hash values dtype-sensitively (int64 vs float64 differ, like
-    the driver; array/bytearray cells raise, like the driver)."""
+    the driver; array/bytearray cells raise, like the driver). Hashing with
+    index=True after the row sort makes the hash order-sensitive, so the
+    canonical sort is load-bearing (a plain sum would be multiset-only and
+    could in principle collide across different multisets)."""
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return pd.util.hash_pandas_object(df, index=False).sum()
+    if df.shape[1]:  # sort_values(by=[]) raises on a zero-column frame
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return pd.util.hash_pandas_object(df, index=True).sum()
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:

