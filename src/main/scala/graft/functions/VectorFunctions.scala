@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnBridge, Dequantize8, FloatVectorDot, HyperplaneSignBits, Quantize8}
+import org.apache.spark.sql.graft.{ColumnBridge, Dequantize8, FloatVectorDot, HyperplaneSignBits, Quantize8, QuantizedDot}
 
 /** User-facing vector math over array<float> embedding columns.
   * Backed by native codegen'd expressions (org.apache.spark.sql.graft).
@@ -43,6 +43,20 @@ object VectorFunctions {
 
   def dequantize8(a: Column): Column =
     ColumnBridge.column(Dequantize8(ColumnBridge.expression(a)))
+
+  /** Dot product of two quantize8 structs scored in the int8 domain
+    * (long integer MAC x scale product — no dequantization, so a
+    * quantized-index scan moves 1/4 the bytes of float32). */
+  def quantizedDot(a: Column, b: Column): Column =
+    ColumnBridge.column(QuantizedDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Cosine over quantized structs: the scale factors cancel, leaving a
+    * pure integer cosine. Null on zero norms, like [[cosine]]. */
+  def quantizedCosine(a: Column, b: Column): Column = {
+    val d = quantizedDot(a, b)
+    val n = sqrt(quantizedDot(a, a)) * sqrt(quantizedDot(b, b))
+    when(n =!= 0.0, d / n)
+  }
 
   /** Reference implementation of vecDot via built-in higher-order
     * functions — used in tests to cross-check the native expression. */

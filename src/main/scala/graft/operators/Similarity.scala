@@ -185,9 +185,114 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** Exact cosine-threshold near-duplicate pairs over the FULL corpus via
+    * block-tiled pair enumeration (the 1-Bucket-Theta shape: Okcan &
+    * Riedewald, "Processing Theta-Joins using MapReduce", SIGMOD'11).
+    *
+    * Vectors hash into `blocks` blocks; each unordered block pair (i, j),
+    * i <= j, is one tile, keyed i*blocks+j. The left side replicates each
+    * vector to the tiles where its block is the row coordinate, the right
+    * side to those where it is the column coordinate, and a plain
+    * equi-join on the tile id meets every vector pair exactly once
+    * (off-diagonal tiles via block_a < block_b, the diagonal via
+    * id_a < id_b). EXACT BY CONSTRUCTION: the tiles partition the set of
+    * unordered pairs, so output == all-pairs output at any threshold —
+    * there is no recall parameter to argue about.
+    *
+    * Scale shape: no BroadcastNestedLoopJoin, no CartesianProduct, no
+    * broadcast limit, no cap. Shuffle is O(n * blocks) rows; the n^2/2
+    * dot products stream through ~blocks^2/2 evenly-sized tile tasks and
+    * are never materialized. Choose `blocks` so one block of vectors fits
+    * executor memory (the join buffers one tile side per key); compute
+    * stays Theta(n^2) because an EXACT threshold-0.4 cosine join is not
+    * blockable: with 16..256 random hyperplanes, a qualifying pair
+    * (cos 0.4 -> bit-agreement 0.631) and a random pair (cos ~0 ->
+    * 0.5) are separated by less than the binomial spread, so any
+    * signature cut with near-1 recall also passes nearly all random
+    * pairs (measured on this corpus: qualifying pairs sit at cos
+    * 0.40-0.43). Hashing helps only in the genuine near-dup regime
+    * (cos >= ~0.8) — that path is [[bandedNearDupPairs]]. */
+  def tiledNearDupPairs(embeddings: DataFrame, threshold: Double,
+      blocks: Int = 16): DataFrame = {
+    require(blocks >= 1, s"blocks must be >= 1, got $blocks")
+    val e = embeddings
+      .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
+      .withColumn("g", pmod(hash(col("vec_id")), lit(blocks)))
+    val left = e
+      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a"), col("g").as("ga"),
+        explode(sequence(col("g"), lit(blocks - 1))).as("tj"))
+      .withColumn("tile", col("ga") * blocks + col("tj"))
+      .drop("tj")
+    val right = e
+      .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b"), col("g").as("gb"),
+        explode(sequence(lit(0), col("g"))).as("ti"))
+      .withColumn("tile", col("ti") * blocks + col("gb"))
+      .drop("ti")
+    val den = col("nrm_a") * col("nrm_b")
+    left.join(right, "tile")
+      .filter(col("ga") < col("gb") || (col("ga") === col("gb") && col("id_a") < col("id_b")))
+      .withColumn("cos_raw",
+        when(den =!= 0.0, vecDot(col("emb_a"), col("emb_b")) / den))
+      .filter(col("cos_raw") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Near-duplicate pairs via sign-LSH banding + exact cosine verify —
+    * the candidates->verify shape of Dedup.minhashPairs applied to
+    * embeddings, for the regime where it works: genuine near-duplicates
+    * (threshold >= ~0.8). 64 hyperplane sign bits split into `bands`
+    * bands of 64/bands bits; vectors sharing any band's bits become a
+    * candidate pair, then exact cosine filters. Recall per qualifying
+    * pair is 1 - (1 - p^r)^bands with p = 1 - acos(cos)/pi and r =
+    * 64/bands: at cos 0.9 (p = .856) with 16 4-bit bands a pair is
+    * missed with prob 4.5e-6; at cos 0.95 that is 6e-9. Below cos ~0.8
+    * recall decays — use [[tiledNearDupPairs]] there (scaladoc above for
+    * why no hashing scheme fixes that). Candidate count stays near-linear
+    * because random pairs (cos ~0, p = .5) collide on a band with prob
+    * 2^-r. */
+  def bandedNearDupPairs(embeddings: DataFrame, threshold: Double,
+      bands: Int = 16): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val rowsPerBand = 64 / bands
+    val mask = (1L << rowsPerBand) - 1
+    val e = embeddings
+      .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"),
+        hyperplaneBits(col("embedding"), Dim, 64, Seed).as("sig"))
+    val bandRows = e.select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bkey",
+        expr(s"shiftrightunsigned(sig, CAST(band * $rowsPerBand AS INT)) & ${mask}L"))
+      .select(col("vec_id"), col("band"), col("bkey"))
+    val a = bandRows.as("a")
+    val b = bandRows.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+      .localCheckpoint()
+    val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"))
+    val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"))
+    val den = col("nrm_a") * col("nrm_b")
+    candidates.join(ea, "id_a").join(eb, "id_b")
+      .withColumn("cos_raw",
+        when(den =!= 0.0, vecDot(col("emb_a"), col("emb_b")) / den))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Exact near-duplicate pairs by cosine threshold over the first
-    * `maxVectors` vectors (honest cap for the O(n^2) baseline — the LSH
-    * path above is the scale story; the cap is part of the query name). */
+    * `maxVectors` vectors (honest cap for the O(n^2) baseline — kept as
+    * the oracle anchor; [[tiledNearDupPairs]] is the uncapped scale
+    * path). */
   def nearDupPairs(embeddings: DataFrame, threshold: Double, maxVectors: Long): DataFrame = {
     // norms are computed once per vector, not once per pair — the pair
     // loop then costs a single dot product (same double arithmetic as

@@ -60,14 +60,26 @@ object SimilarityQueries {
   private def simTopkBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
 
-  // top-k over int8-quantized embeddings (4x smaller index; Spark-side
-  // quantization arithmetic -> rows-only; recall vs exact is spec-checked)
+  // top-k over int8-quantized embeddings, scored entirely in the int8
+  // domain (long integer MAC over the quantized bytes; scales cancel in
+  // the cosine) — never dequantized, so the 4x byte saving of the
+  // quantized index holds in the scoring scan, not just at rest. At scale
+  // the quantize8 struct is a landed column; here it is computed in the
+  // same scan. Spark-side quantization arithmetic -> rows-only; recall vs
+  // exact is spec-checked (SimilaritySpec).
   private def simTopkQuantized(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.{dequantize8, quantize8}
+    import org.apache.spark.sql.functions.{broadcast, col, round}
+    import graft.functions.VectorFunctions.{quantize8, quantizedCosine}
     val emb = Tables.embeddings(s, dir)
-      .withColumn("embedding",
-        dequantize8(quantize8(org.apache.spark.sql.functions.col("embedding"))))
-    Similarity.bruteForceTopK(emb, queryVecId = 0L, k = 10)
+      .select(col("vec_id"), col("label"), quantize8(col("embedding")).as("qz"))
+    val q = emb.filter(col("vec_id") === 0L).select(col("qz").as("q_qz"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        col("label").cast(org.apache.spark.sql.types.LongType).as("label"),
+        round(quantizedCosine(col("qz"), col("q_qz")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
   }
 
   private val simTopkBruteSql =
@@ -106,6 +118,26 @@ object SimilarityQueries {
   private def embedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4, maxVectors = 20000L)
 
+  // the uncapped scale path: block-tiled exact pair enumeration — equi-join
+  // on tile ids (never BroadcastNestedLoopJoin, plan-shape-asserted), no
+  // broadcast limit, no maxVectors cap. Output is provably identical to
+  // embed_neardup_cosine (exact by construction), checked by the same
+  // oracle shape without the cap.
+  private def embedNearDupBlocked(s: SparkSession, dir: String): DataFrame =
+    Similarity.tiledNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+
+  private val embedNearDupBlockedSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
   private val embedNearDupSql =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -130,5 +162,6 @@ object SimilarityQueries {
     QueryDef("sim_topk_ivf", None, simTopkIvf),
     QueryDef("sim_topk_batch", None, simTopkBatch),
     QueryDef("embed_neardup_cosine", Some(embedNearDupSql), embedNearDup),
+    QueryDef("embed_neardup_blocked", Some(embedNearDupBlockedSql), embedNearDupBlocked),
   )
 }

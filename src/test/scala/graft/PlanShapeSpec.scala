@@ -51,6 +51,12 @@ class PlanShapeSpec extends SparkTestBase {
       s"range join must stay an equi-join:\n$p")
   }
 
+  test("blocked embedding near-dup never plans a nested-loop or cartesian join") {
+    val p = plan("embed_neardup_blocked")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"tiled near-dup must stay an equi-join on tile ids:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_simhash")(spark, sf)
     df.collect() // let AQE finalize the stages

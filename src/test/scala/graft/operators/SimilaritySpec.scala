@@ -54,6 +54,66 @@ class SimilaritySpec extends SparkTestBase {
       s"quantized recall too low: $quantized vs $exact")
   }
 
+  test("int8-domain scoring (quantizedCosine) matches dequantize-then-score " +
+    "and keeps recall vs exact") {
+    import graft.functions.VectorFunctions.{cosine, dequantize8, quantize8, quantizedCosine}
+    val exact = bruteIds(10).toSet
+    val qz = emb.select(col("vec_id"), quantize8(col("embedding")).as("qz"))
+    val q = qz.filter(col("vec_id") === 0L).select(col("qz").as("q_qz"))
+    val scored = qz.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        quantizedCosine(col("qz"), col("q_qz")).as("int8_cos"),
+        cosine(dequantize8(col("qz")), dequantize8(col("q_qz"))).as("deq_cos"))
+      .collect()
+    // same quantization grid -> the two scores agree to float round-off;
+    // the int8 path just never materializes the float vectors
+    scored.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-5,
+        s"vec ${r.getLong(0)}: int8=${r.getDouble(1)} deq=${r.getDouble(2)}")
+    }
+    val topInt8 = scored.sortBy(r => (-r.getDouble(1), r.getLong(0)))
+      .take(10).map(_.getLong(0)).toSet
+    assert((exact & topInt8).size >= 8,
+      s"int8-domain recall too low: $topInt8 vs $exact")
+  }
+
+  test("tiled near-dup pairs equal the all-pairs baseline exactly") {
+    val exact = Similarity.nearDupPairs(emb, threshold = 0.4, maxVectors = 20000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val tiled = Similarity.tiledNearDupPairs(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(exact.nonEmpty)
+    assert(tiled === exact)
+    // tiling must also be insensitive to the block count
+    val tiled5 = Similarity.tiledNearDupPairs(emb, threshold = 0.4, blocks = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(tiled5 === exact)
+  }
+
+  test("banded sign-LSH near-dup recovers planted high-cosine duplicates " +
+    "and is a subset of the exact pairs") {
+    import spark.implicits._
+    // plant 5 slightly-perturbed copies (cos > 0.99) of existing vectors
+    val base = emb.filter(col("vec_id") < 5L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val planted = base.map { case (id, v) =>
+      (id + 100000L, v.map(x => x * 1.02f + 0.003f).toSeq, 0)
+    }.toSeq
+    val corpus = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(planted.toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding").cast("array<float>"), col("label")))
+    val banded = Similarity.bandedNearDupPairs(corpus, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted pair is recovered (per-pair miss prob < 5e-6 at cos .99)
+    base.foreach { case (id, _) =>
+      assert(banded.contains((id, id + 100000L)), s"missed planted pair for $id")
+    }
+    // verify step makes any surfaced pair exact: subset of the tiled truth
+    val exact = Similarity.tiledNearDupPairs(corpus, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(exact))
+  }
+
   test("sign-LSH top-k finds a planted near-duplicate (its design regime)") {
     import spark.implicits._
     // plant a vector nearly identical to vec 0: same hyperplane signs,
