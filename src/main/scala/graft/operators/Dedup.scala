@@ -62,29 +62,44 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      // materialize the (tiny) candidate set once: verifyJaccard
-      // broadcasts it twice, and without this the band self-join would be
-      // recomputed per broadcast
-      .localCheckpoint()
+    // verifyJaccard checkpoints the candidate set, so the band self-join
+    // is materialized once, not recomputed per broadcast
     verifyJaccard(candidates, sh, threshold)
   }
 
   /** Exact Jaccard on (doc_a, doc_b) candidate pairs given shingle sets.
     *
-    * When the candidate set is small (the normal case — candidates are
-    * post-blocking) it is broadcast at each step, so the shingle table
-    * streams through twice with zero shuffles. A dirty corpus with a low
-    * threshold can blow past the broadcast limit, so the size is checked
-    * first (cheap: callers localCheckpoint the candidates) and large sets
-    * fall back to plain equi-joins that shuffle on doc_a / doc_b instead
-    * — same output, bounded memory. */
+    * CONTRACT: candidates must be POST-BLOCKING — the output of a banding /
+    * chunking / `minShared`-style pre-aggregation step, never "every pair
+    * sharing >= 1 token" (that set grows quadratically with corpus size;
+    * feeding it here once cost a 34x bench regression). The guard is
+    * enforced: candidate sets larger than maxCandidates are rejected with
+    * instructions to pre-aggregate. For the all-pairs-scoring use case use
+    * [[ngramJaccardPairs]], which scores count-based on the inverted index
+    * and never materializes a candidate list.
+    *
+    * Candidates are localCheckpoint-ed internally (idempotent enough for
+    * already-checkpointed inputs, and required: the set is counted once for
+    * the guard/broadcast decision and joined twice). When the set is small
+    * it is broadcast at each step, so the shingle table streams through
+    * twice with zero shuffles; larger sets fall back to plain equi-joins
+    * that shuffle on doc_a / doc_b — same output, bounded memory. */
   def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double,
-      maxBroadcastCandidates: Long = 4000000L): DataFrame = {
-    val small = candidates.count() <= maxBroadcastCandidates
+      maxBroadcastCandidates: Long = 4000000L,
+      maxCandidates: Long = 1000000L): DataFrame = {
+    val cand = candidates.localCheckpoint()
+    val n = cand.count()
+    require(n <= maxCandidates,
+      s"verifyJaccard got $n candidate pairs (> maxCandidates=$maxCandidates). " +
+        "Per-pair verification over full shingle arrays must only run on a " +
+        "post-blocking candidate set; pre-aggregate (band buckets, minShared " +
+        "counts, a df cut) before verifying, or raise maxCandidates only if " +
+        "the set is genuinely post-blocking.")
+    val small = n <= maxBroadcastCandidates
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val withA = sa.join(hinted(candidates), "doc_a")
+    val withA = sa.join(hinted(cand), "doc_a")
     sb.join(hinted(withA), "doc_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .withColumn("jac_raw",
@@ -142,10 +157,13 @@ object Dedup {
     * same key, so this costs one extra well-partitioned pass. */
   private def dfCut(inv: DataFrame, key: String, maxDf: Int): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
-    val dfs = inv.groupBy(col(key)).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
-      .drop("__df")
-    inv.join(dfs, key)
+    if (maxDf == Int.MaxValue) inv // no key can exceed it — skip the pass
+    else {
+      val dfs = inv.groupBy(col(key)).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf)
+        .drop("__df")
+      inv.join(dfs, key)
+    }
   }
 
   /** Winnowing-based near-dup candidates: inverted index over the
@@ -177,26 +195,34 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
     verifyJaccard(candidates, shingled(docs, n), threshold)
   }
 
-  /** N-gram Jaccard pairs via a df-cut inverted shingle index: explode
-    * gram hashes -> drop grams with document frequency > maxDf -> bucket
-    * self-join for candidates -> exact Jaccard verification on the full
-    * shingle sets (verifyJaccard).
+  /** All-pairs n-gram Jaccard via an inverted gram-hash index with
+    * COUNT-BASED scoring: explode gram hashes -> optional df cut ->
+    * self-join on the gram -> groupBy(doc_a, doc_b).count -> join per-doc
+    * set sizes -> Jaccard from counts. This is the shape that survives
+    * 100 TB: the quadratic step lands inside a map-side-combinable pair
+    * aggregation, there is no per-pair re-verification over full shingle
+    * arrays, and no candidate list is ever materialized or broadcast.
+    * (A round-3 rewrite that routed "every pair sharing >= 1 gram" through
+    * [[verifyJaccard]] cost 34x at sf0.1 — the count-based shape is also
+    * exactly the query's DuckDB oracle.)
     *
-    * Recall contract: a pair is surfaced iff it shares at least one gram
-    * appearing in <= maxDf documents; a pair whose every common gram is
-    * corpus-wide boilerplate (df > maxDf) is missed — by construction the
-    * pairs whose overlap IS the boilerplate. Surfaced pairs carry their
-    * exact full-set Jaccard (the cut biases candidate generation only,
-    * never scores). With maxDf >= the corpus's max gram frequency the
-    * result is the complete exact all-pairs answer — the harness corpus
-    * maxes at df=25, so the oracle checks exactness at maxDf=1000 while
-    * the same plan survives a boilerplate-heavy corpus. */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double, maxDf: Int = 1000): DataFrame = {
+    * maxDf contract: with the default (Int.MaxValue) the cut is skipped
+    * and the result is the complete exact all-pairs answer — this is the
+    * oracle-checked configuration, exact regardless of corpus df shape.
+    * A finite maxDf drops grams with document frequency > maxDf BEFORE the
+    * self-join, bounding every posting list (worst-case fan-out maxDf^2/2
+    * per gram — the boilerplate skew-bomb guard for dirty corpora). Under
+    * the cut, `common` counts only surviving grams, so the reported
+    * jaccard is a lower bound of the true value, pairs whose entire
+    * overlap is boilerplate (every common gram over maxDf) are dropped,
+    * and the result is exact iff maxDf >= the corpus's max gram df. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     val sh = shingled(docs)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     // join on the 64-bit gram hash, not the gram text: same pairs (64-bit
     // collisions are vanishingly rare) at a fraction of the shuffle bytes
     val grams = dfCut(
@@ -204,11 +230,17 @@ object Dedup {
       "gram", maxDf)
     val a = grams.as("a")
     val b = grams.as("b")
-    val candidates = a.join(b,
+    val common = a.join(b,
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      .localCheckpoint()
-    verifyJaccard(candidates, sh, threshold)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jac_raw",
+        col("common").cast(DoubleType) / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 }
