@@ -10,16 +10,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries — the
+    // pre-commit bench smoke (scripts/benchsmoke.py) times just the
+    // historically expensive ones instead of the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (k, _) => only.forall(_.contains(k)) }
     // Warm-up pass at a small sf: JIT + codegen compilation otherwise
     // lands on whichever queries happen to run first (a cold first query
     // measures 5x its steady state)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.01")
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     // stable name order: per-query times stay comparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: fully materializes every output column (count() would
       // let Catalyst prune the projections away and flatter the numbers)
