@@ -15,7 +15,12 @@ object Bench {
     // historically expensive ones instead of the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.filter { case (k, _) => only.forall(_.contains(k)) }
+    // correctness-only oracle anchors: deliberately naive plans (capped
+    // all-pairs) that exist to anchor another query's oracle — excluded
+    // from the bench loop unless explicitly named via SPARK_GRAFT_ONLY
+    val anchorOnly = Set("embed_neardup_cosine")
+    val selected = SparkEntry.queries.filter { case (k, _) =>
+      only.map(_.contains(k)).getOrElse(!anchorOnly.contains(k)) }
     // Warm-up pass at a small sf: JIT + codegen compilation otherwise
     // lands on whichever queries happen to run first (a cold first query
     // measures 5x its steady state)

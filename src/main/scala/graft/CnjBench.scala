@@ -1,30 +1,69 @@
 package graft
 
+import java.lang.management.ManagementFactory
+
 import graft.cnj.{MetasJob, Reader}
 
-/** Dev utility: phase timings for the full CNJ pipeline.
-  * Usage: runMain graft.CnjBench <inDir> */
+/** Like-for-like CNJ pipeline benchmark: the exact workload the
+  * reference's published runs time (BASELINE.md, 25.28-81.76 s across
+  * four machines at ~0.93 GB) — read the 90-file CSV corpus, compute the
+  * Resumo aggregate, write ResumoMetas.csv + Consolidado.csv +
+  * grafico_meta1.png — via the same code path as [[MetasJob.runAll]]
+  * (cached parse shared by both sinks; Consolidado sharded, the
+  * documented S5/S6 divergence: a coalesce(1) of the full corpus funnels
+  * every byte through one task).
+  *
+  * Prints human-readable phase lines plus ONE machine-readable JSON line
+  * (`{"metric":"cnj_bench_total_sec",...}`) carrying phase timings,
+  * corpus size, and the 1-minute loadavg at start — bench numbers on
+  * this box are only meaningful at low load (2-3x inflation otherwise),
+  * so the artifact records the regime it ran under.
+  *
+  * Usage: runMain graft.CnjBench <inDir> [outDir]
+  */
 object CnjBench {
   def main(args: Array[String]): Unit = {
     val inDir = args(0)
+    val outDir = if (args.length > 1) args(1) else "/tmp/cnj_bench_out"
+    val load = ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val corpusBytes = {
+      val d = new java.io.File(inDir)
+      Option(d.listFiles()).map(_.filter(_.isFile).map(_.length()).sum).getOrElse(0L)
+    }
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"[cnj-bench] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      phases(name) = sec
+      println(f"[cnj-bench] $name: $sec%.1f s")
       r
     }
-    val data = t("plan (read headers)")(Reader.readDir(spark, inDir))
-    t("resumo (scan + agg + join)") {
-      MetasJob.stringlyOutput(MetasJob.resumoTyped(spark, data)).collect().length
-    }
-    t("consolidado sharded write") {
-      MetasJob.writeCsv(data, "/tmp/cnj_bench_sharded", singleFile = false)
-    }
-    t("consolidado coalesce(1) write") {
-      MetasJob.writeCsv(data, "/tmp/cnj_bench_single", singleFile = true)
-    }
+    new java.io.File(outDir).mkdirs()
+    val t0 = System.nanoTime()
+    // mirrors MetasJob.runAll step-for-step, with per-phase timing
+    val data = t("plan_read_headers")(Reader.readDir(spark, inDir))
+    data.cache()
+    try {
+      val res = MetasJob.stringlyOutput(MetasJob.resumoTyped(spark, data))
+      t("resumo_agg_join_write") {
+        MetasJob.writeCsv(res, s"$outDir/ResumoMetas.csv")
+      }
+      t("consolidado_sharded_write") {
+        MetasJob.writeCsv(data, s"$outDir/Consolidado.csv", singleFile = false)
+      }
+      t("chart_png") {
+        val chart = MetasJob.chartData(res).collect()
+          .map(r => (r.getString(0), r.getDouble(1)))
+        MetasJob.writeChartPng(chart, s"$outDir/grafico_meta1.png")
+      }
+    } finally data.unpersist()
+    val total = (System.nanoTime() - t0) / 1e9
+    val phaseJson = phases.map { case (k, v) => f""""$k":$v%.2f""" }.mkString(",")
+    println(
+      f"""{"metric":"cnj_bench_total_sec","value":$total%.2f,"unit":"sec","phases":{$phaseJson},"corpus_bytes":$corpusBytes,"n_files":90,"loadavg_1m":$load%.2f}""")
     spark.stop()
   }
 }

@@ -47,7 +47,8 @@ object Dedup {
     * exact step.
     */
   def minhashPairs(docs: DataFrame, threshold: Double,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16,
+      maxCandidates: Long = 1000000L): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sh = shingled(docs)
     val withSig = sh.withColumn("sig",
@@ -64,7 +65,7 @@ object Dedup {
       .distinct()
     // verifyJaccard checkpoints the candidate set, so the band self-join
     // is materialized once, not recomputed per broadcast
-    verifyJaccard(candidates, sh, threshold)
+    verifyJaccard(candidates, sh, threshold, maxCandidates = maxCandidates)
   }
 
   /** Exact Jaccard on (doc_a, doc_b) candidate pairs given shingle sets.
@@ -81,11 +82,15 @@ object Dedup {
     * Candidates are localCheckpoint-ed internally (idempotent enough for
     * already-checkpointed inputs, and required: the set is counted once for
     * the guard/broadcast decision and joined twice). When the set is small
-    * it is broadcast at each step, so the shingle table streams through
-    * twice with zero shuffles; larger sets fall back to plain equi-joins
-    * that shuffle on doc_a / doc_b — same output, bounded memory. */
+    * (<= maxBroadcastCandidates) it is broadcast at each step, so the
+    * shingle table streams through twice with zero shuffles; larger sets
+    * fall back to plain equi-joins that shuffle on doc_a / doc_b — same
+    * output, bounded memory. Defaults keep both paths reachable
+    * (maxBroadcastCandidates < maxCandidates); callers with a genuinely
+    * large post-blocking set raise maxCandidates (threaded through
+    * [[minhashPairs]]/[[winnowingPairs]]) rather than loosening blocking. */
   def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double,
-      maxBroadcastCandidates: Long = 4000000L,
+      maxBroadcastCandidates: Long = 200000L,
       maxCandidates: Long = 1000000L): DataFrame = {
     val cand = candidates.localCheckpoint()
     val n = cand.count()
@@ -180,13 +185,24 @@ object Dedup {
     * Verification is unaffected: surfaced pairs carry their exact
     * full-set Jaccard. */
   def winnowingPairs(docs: DataFrame, threshold: Double,
-      n: Int = 3, w: Int = 4, minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
+      n: Int = 3, w: Int = 4, minShared: Int = 2, maxDf: Int = 1000,
+      maxCandidates: Long = 1000000L): DataFrame = {
+    // one tokenization pass: fingerprints (candidate index) and shingles
+    // (verification sets) are both derived from the same `toks` projection
+    // and the frame is localCheckpoint-ed, so the corpus is tokenized and
+    // shingled once, not once per consumer. The checkpoint is linear in
+    // corpus size (same order as the shuffle verifyJaccard would pay to
+    // re-shingle) and is dropped with the session.
     val base = docs
       .withColumn("toks", TextFunctions.tokens(col("text")))
-      .withColumn("fp", HashFunctions.winnowing(col("toks"), n, w))
-      .filter(size(col("fp")) > 0)
-      .select(col("doc_id"), col("fp"))
-    val inv = dfCut(base.select(col("doc_id"), explode(col("fp")).as("f")), "f", maxDf)
+      .select(col("doc_id"),
+        TextFunctions.shingles(col("toks"), n).as("sh"),
+        HashFunctions.winnowing(col("toks"), n, w).as("fp"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    val inv = dfCut(
+      base.filter(size(col("fp")) > 0).select(col("doc_id"), explode(col("fp")).as("f")),
+      "f", maxDf)
     val a = inv.as("a")
     val b = inv.as("b")
     val candidates = a.join(b,
@@ -195,7 +211,8 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .select(col("doc_a"), col("doc_b"))
-    verifyJaccard(candidates, shingled(docs, n), threshold)
+    verifyJaccard(candidates, base.select(col("doc_id"), col("sh")), threshold,
+      maxCandidates = maxCandidates)
   }
 
   /** All-pairs n-gram Jaccard via an inverted gram-hash index with
@@ -218,7 +235,11 @@ object Dedup {
     * the cut, `common` counts only surviving grams, so the reported
     * jaccard is a lower bound of the true value, pairs whose entire
     * overlap is boilerplate (every common gram over maxDf) are dropped,
-    * and the result is exact iff maxDf >= the corpus's max gram df. */
+    * and the result is exact iff maxDf >= the corpus's max gram df.
+    * Before running the default (uncut) path on an unfamiliar corpus,
+    * check [[gramDfStats]]: the worst-case join fan-out is
+    * sum(df^2)/2 over its rows, and a max_df in the thousands means one
+    * boilerplate gram is about to emit millions of join rows. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
       maxDf: Int = Int.MaxValue): DataFrame = {
     val sh = shingled(docs)
@@ -243,4 +264,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Gram document-frequency profile of a corpus — the pre-flight check
+    * for [[ngramJaccardPairs]]'s maxDf choice. One aggregation pass over
+    * the inverted index; returns a single row with the max / p99 / p50
+    * gram df and the quadratic fan-out the self-join would pay uncut
+    * (sum of df^2 / 2). A `fanout_uncut` orders of magnitude above the
+    * corpus document count is the boilerplate skew bomb: pick a finite
+    * maxDf (recall contract on [[ngramJaccardPairs]]) before joining. */
+  def gramDfStats(docs: DataFrame, n: Int = 3): DataFrame =
+    shingled(docs, n)
+      .select(col("doc_id"), explode(transform(col("sh"), g => xxhash64(g))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .agg(
+        max(col("df")).as("max_df"),
+        expr("percentile_approx(df, 0.99)").as("p99_df"),
+        expr("percentile_approx(df, 0.5)").as("p50_df"),
+        count(lit(1)).as("n_grams"),
+        (sum(col("df") * col("df")) / 2).cast(LongType).as("fanout_uncut"))
 }

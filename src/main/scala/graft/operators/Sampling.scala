@@ -10,11 +10,25 @@ import org.apache.spark.sql.functions._
   * and cluster sizes, and disjoint splits stay disjoint when data is
   * appended (the property train/test splits actually need; df.sample's
   * per-partition RNG gives none of it).
+  *
+  * CROSS-ENGINE REPRODUCIBILITY CONTRACT: the bucket hash is defined in
+  * portable terms — `md5("<seed>|<key1>|<key2>...")`, first 15 hex chars
+  * parsed base-16, mod `buckets` — not an engine-internal hash, so any
+  * system with md5 recomputes membership bit-for-bit. E.g. DuckDB:
+  * `CAST('0x' || substring(md5(seed || '|' || key), 1, 15) AS BIGINT)
+  * % 100 < pct`. That is the actual selling point of hash-sampling: the
+  * training pipeline, the eval pipeline, and an auditor on a different
+  * engine all agree on which rows are in the split. (md5 here is a
+  * codegen'd expression over short key strings — not a bottleneck; the
+  * bucket distribution on the low 60 bits is uniform.)
   */
 object Sampling {
 
   private def bucket(keys: Seq[Column], seed: Long, buckets: Int): Column =
-    pmod(xxhash64(lit(seed) +: keys: _*), lit(buckets))
+    pmod(
+      conv(substring(md5(concat_ws("|", (lit(seed) +: keys).map(_.cast("string")): _*)),
+        1, 15), 16, 10).cast("long"),
+      lit(buckets))
 
   /** Keep ~pct% of rows, keyed on `keys`. */
   def hashSample(df: DataFrame, keys: Seq[Column], pct: Int,

