@@ -32,6 +32,11 @@ object CnjBench {
     }
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the corpus is 90 files, the largest ~119 MB: at the default 128 MB
+    // maxPartitionBytes that file is a single task and becomes the
+    // critical path of the parse; 16 MB splits it ~8 ways (CSV without
+    // multiLine is splittable) so the scan actually uses the cores
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
     val phases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
