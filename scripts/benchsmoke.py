@@ -35,22 +35,46 @@ SMOKE_QUERIES = [
 DRIFT = 2.0
 
 
+def parse_metric(text):
+    """Last parseable {"metric":...} object in a log; tolerates truncated
+    tails and log lines that merely contain the word metric."""
+    metric = None
+    for line in text.splitlines():
+        if '"metric"' not in line:
+            continue
+        try:
+            metric = json.loads(line[line.index("{"):])
+        except (ValueError, IndexError):
+            continue
+    return metric
+
+
 def committed_benches():
-    """The driver's BENCH_r*.json wraps the Bench metric line inside a
+    """Baselines come from git (HEAD), not the working tree: the current
+    round's own uncommitted BENCH_r*.json must not become its baseline
+    (a regressed round would then compare against itself and pass).
+    The driver's BENCH_r*.json wraps the Bench metric line inside a
     "tail" capture of the sbt log; accept either that or a bare metric
     object (what Bench itself prints)."""
+    ls = subprocess.run(
+        ["git", "ls-tree", "--name-only", "HEAD"],
+        cwd=REPO, capture_output=True, text=True)
     runs = []
-    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
+    for name in ls.stdout.splitlines():
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", name)
         if not m:
             continue
-        with open(path) as f:
-            data = json.load(f)
+        show = subprocess.run(
+            ["git", "show", f"HEAD:{name}"],
+            cwd=REPO, capture_output=True, text=True)
+        try:
+            data = json.loads(show.stdout)
+        except ValueError:
+            continue
         queries = data.get("queries")
         if queries is None:
-            for line in data.get("tail", "").splitlines():
-                if '"metric"' in line:
-                    queries = json.loads(line[line.index("{"):]).get("queries")
+            metric = parse_metric(data.get("tail", ""))
+            queries = metric.get("queries") if metric else None
         runs.append((int(m.group(1)), queries or {}))
     return sorted(runs)
 
@@ -81,10 +105,7 @@ def main():
     out = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
         cwd=REPO, env=env, capture_output=True, text=True)
-    metric = None
-    for line in out.stdout.splitlines():
-        if '"metric"' in line:
-            metric = json.loads(line[line.index("{"):])
+    metric = parse_metric(out.stdout)
     if metric is None:
         print("benchsmoke: no metric line from Bench; sbt tail:")
         print("\n".join(out.stdout.splitlines()[-15:]))

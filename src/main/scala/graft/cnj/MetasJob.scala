@@ -17,18 +17,24 @@ import org.apache.spark.sql.types.StringType
   */
 object MetasJob {
 
-  /** Per-court meta summary with typed (double) meta columns. */
-  def resumoTyped(spark: SparkSession, data: DataFrame): DataFrame = {
+  /** The shared front half of [[resumoTyped]] and [[debugTrace]]: one
+    * HashAggregate keyed on the court (sums + non-null counts of every
+    * numeric column) plus the broadcast factor-dimension join. */
+  private def aggregatedWithFactors(spark: SparkSession, data: DataFrame): DataFrame = {
     val aggregated = data
       .groupBy(col("sigla_tribunal"), col("ramo_justica"))
       .agg(MetaKernel.aggColumns.head, MetaKernel.aggColumns.tail: _*)
       .withColumn("ramo_fatores_key",
         Factors.ramoUsado(col("ramo_justica"), col("sigla_tribunal")))
-
-    val joined = aggregated.join(
+    aggregated.join(
       broadcast(Factors.dimension(spark)),
       aggregated("ramo_fatores_key") === col("ramo_fatores"),
       "left")
+  }
+
+  /** Per-court meta summary with typed (double) meta columns. */
+  def resumoTyped(spark: SparkSession, data: DataFrame): DataFrame = {
+    val joined = aggregatedWithFactors(spark, data)
 
     val standard = CnjSchema.metaSpecs.map { spec =>
       spec.name -> MetaKernel.metaValue(spec, Factors.effectiveFactor(spec.factorKey))
@@ -112,6 +118,62 @@ object MetasJob {
   def consolidado(spark: SparkSession, inDir: String): DataFrame =
     Reader.readDir(spark, inDir)
 
+  /** Warning channel for the silent factor fallback (Versao_Np.py:29,
+    * 145,168-169): branches with no row in the factor dimension get
+    * Justiça-Estadual factors, and the reference warns once per branch
+    * naming the court. One distinct row per unmapped branch with the
+    * sorted courts it covers; a null branch (the pandas NaN-ramo case)
+    * is reported too. Tiny by construction (bounded by the number of
+    * distinct branches), so [[runAll]] collects and logs it. */
+  def unmappedBranches(data: DataFrame): DataFrame = {
+    val mapped = Factors.byBranch.keys.toSeq
+    data
+      .select(col("ramo_justica"), col("sigla_tribunal"))
+      .withColumn("ramo_usado", Factors.ramoUsado(col("ramo_justica"), col("sigla_tribunal")))
+      .filter(col("ramo_usado").isNull || !col("ramo_usado").isin(mapped: _*))
+      .groupBy(col("ramo_justica"))
+      .agg(sort_array(collect_set(col("sigla_tribunal"))).as("siglas"))
+      .orderBy(col("ramo_justica"))
+  }
+
+  /** Golden-trace debug mode (the reference's NOME_ARQUIVO_DEBUG,
+    * Versao_Np.py:147,174-211, generalized from meta1-only to every
+    * meta): for one named court, one row per meta with the numerator
+    * sum, the denominator (and its value after the subtraction), the
+    * effective factor after the two-level fallback, the unrounded ratio,
+    * and the final guarded value. Values are pre-suppression (the
+    * meta8/meta10 a/b blanking happens in [[resumoTyped]]'s projection);
+    * the stj rows carry their own no-JE-fallback factor semantics.
+    * One filtered row off the same aggregate as resumoTyped — the trace
+    * shows exactly the numbers the pipeline used. */
+  def debugTrace(spark: SparkSession, data: DataFrame, sigla: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    def s(c: String) = col(s"sum_$c")
+    def entry(name: String, num: Column, den: Column, fac: Column, value: Column) =
+      struct(lit(name).as("meta"), num.cast(DoubleType).as("numerator"),
+        den.cast(DoubleType).as("denominator"), fac.cast(DoubleType).as("factor"),
+        (try_divide(num, den) * fac).cast(DoubleType).as("raw"),
+        value.cast(DoubleType).as("value"))
+    val meta1 = entry("meta1",
+      s("julgados_2025"),
+      s("casos_novos_2025") + coalesce(s("dessobrestados_2025"), lit(0.0)) - s("suspensos_2025"),
+      lit(100.0), MetaKernel.meta1Value)
+    val standard = CnjSchema.metaSpecs.map { spec =>
+      val fac = Factors.effectiveFactor(spec.factorKey)
+      entry(spec.name, s(spec.j), s(spec.d) - s(spec.s), fac,
+        MetaKernel.metaValue(spec, fac))
+    }
+    val stj = CnjSchema.stjSpecs.map { spec =>
+      entry(spec.name, s(spec.j), s(spec.d) - s(spec.s),
+        col(Factors.fcol(spec.factorKey)), MetaKernel.stjValue(spec))
+    }
+    aggregatedWithFactors(spark, data)
+      .filter(col("sigla_tribunal") === sigla)
+      .select(col("sigla_tribunal"), col("ramo_justica"),
+        explode(array(meta1 +: (standard ++ stj): _*)).as("t"))
+      .select(col("sigla_tribunal"), col("ramo_justica"), col("t.*"))
+  }
+
   /** Chart feed (S7/O1/F3/F4): courts with numeric meta1, sorted desc. */
   def chartData(resumo: DataFrame): DataFrame =
     resumo
@@ -172,6 +234,14 @@ object MetasJob {
     try {
       val res = stringlyOutput(resumoTyped(spark, data))
       writeCsv(res, s"$outDir/ResumoMetas.csv")
+      // mirror the reference's once-per-branch fallback warning
+      // (Versao_Np.py:29,168-169)
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      unmappedBranches(data).collect().foreach { r =>
+        val siglas = r.getSeq[String](1).mkString(", ")
+        log.warn(s"branch '${r.getString(0)}' (courts: $siglas) has no specific " +
+          "factors; falling back to Justiça Estadual")
+      }
       // sharded: a coalesce(1) write of the full corpus funnels every byte
       // through one task (measured 187 s vs 19 s for ~1 GB); the
       // single-file contract is kept only for the tiny summary above

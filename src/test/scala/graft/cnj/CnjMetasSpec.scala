@@ -47,6 +47,43 @@ class CnjMetasSpec extends SparkTestBase {
     assert(trt.filter(trt("julgm2_a").isNotNull).count() > 0)
   }
 
+  test("unmapped branches surface on the fallback warning channel") {
+    val data = Reader.readDir(spark, resourcePath("cnj/dados"))
+    val warned = MetasJob.unmappedBranches(data).collect()
+    assert(warned.length == 1)
+    assert(warned(0).getString(0) == "Justiça Desconhecida")
+    assert(warned(0).getSeq[String](1) == Seq("XX99"))
+    // mapped branches (incl. the Tribunais Superiores remap) never warn
+    assert(!warned.map(_.getString(0)).contains("Tribunais Superiores"))
+  }
+
+  test("debug trace exposes numerator/denominator/factor per meta (STJ)") {
+    val data = Reader.readDir(spark, resourcePath("cnj/dados"))
+    val trace = MetasJob.debugTrace(spark, data, "STJ").collect()
+      .map(r => r.getString(2) -> r).toMap
+    def num(m: String) = trace(m).getDouble(3)
+    def den(m: String) = trace(m).getDouble(4)
+    def fac(m: String) = trace(m).getDouble(5)
+    def value(m: String): Option[Double] =
+      if (trace(m).isNullAt(7)) None else Some(trace(m).getDouble(7))
+    assert(trace.size == 16) // meta1 + 13 standard + 2 stj
+    // hand-computed from teste_STJ.csv (matches golden_resumo.csv)
+    assert(num("meta1") == 967.0 && den("meta1") == 783.0 && fac("meta1") == 100.0)
+    assert(value("meta1").contains(123.5))
+    assert(num("meta8_stj") == 380.0 && den("meta8_stj") == 204.0)
+    assert(fac("meta8_stj") == 100.0 && value("meta8_stj").contains(186.27))
+    // zero denominator -> guarded NA, components still visible
+    assert(num("meta10_stj") == 285.0 && den("meta10_stj") == 0.0)
+    assert(value("meta10_stj").isEmpty)
+    // STJ has no 10a factor -> JE fallback 1000/9; negative denominator flows through
+    assert(num("meta10a") == 1251.0 && den("meta10a") == -610.0)
+    assert(math.abs(fac("meta10a") - 1000.0 / 9) < 1e-12)
+    assert(value("meta10a").contains(-227.87))
+    assert(value("meta6").contains(347.92) && math.abs(fac("meta6") - 1000.0 / 7.5) < 1e-12)
+    // absent inputs: null numerator, null value, but the row still appears
+    assert(trace("meta2a").isNullAt(3) && value("meta2a").isEmpty)
+  }
+
   test("chart data is numeric-only, sorted desc") {
     val res = MetasJob.resumo(spark, resourcePath("cnj/dados"))
     val chart = MetasJob.chartData(res).collect()
