@@ -23,8 +23,11 @@ object HashFunctions {
   /** Winnowing fingerprints (rolling n-gram hash, window-w min selection)
     * of an array<string> token column — guarantees a shared fingerprint
     * for any shared run of >= w + n - 1 tokens at ~2/(w+1) the density of
-    * a full shingle index. */
-  def winnowing(toks: Column, n: Int, w: Int): Column =
+    * a full shingle index. With `portable = true` the gram hash is the
+    * md5-low-60-bits formula any engine can recompute (cross-engine
+    * reproducible fingerprints, at md5 cost per gram) instead of the
+    * faster engine-internal xxhash64 fold. */
+  def winnowing(toks: Column, n: Int, w: Int, portable: Boolean = false): Column =
     ColumnBridge.column(
-      WinnowingFingerprints(ColumnBridge.expression(toks), n, w))
+      WinnowingFingerprints(ColumnBridge.expression(toks), n, w, portable))
 }

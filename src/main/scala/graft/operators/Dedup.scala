@@ -183,10 +183,17 @@ object Dedup {
     * whose every fingerprint is corpus-wide boilerplate (df > maxDf) —
     * exactly the pairs whose "similarity" is the boilerplate itself.
     * Verification is unaffected: surfaced pairs carry their exact
-    * full-set Jaccard. */
+    * full-set Jaccard.
+    *
+    * `portableHash = true` fingerprints with the md5-low-60-bits gram
+    * hash instead of the engine-internal xxhash64 fold: any engine with
+    * md5 then reproduces the candidate surfacing (and hence the full
+    * output) bit-for-bit — the registered dedup_winnowing query runs
+    * this way and carries a complete DuckDB oracle. The default stays
+    * on xxhash64 (no md5 cost per gram) for engine-internal dedup. */
   def winnowingPairs(docs: DataFrame, threshold: Double,
       n: Int = 3, w: Int = 4, minShared: Int = 2, maxDf: Int = 1000,
-      maxCandidates: Long = 1000000L): DataFrame = {
+      maxCandidates: Long = 1000000L, portableHash: Boolean = false): DataFrame = {
     // one tokenization pass: fingerprints (candidate index) and shingles
     // (verification sets) are both derived from the same `toks` projection
     // and the frame is localCheckpoint-ed, so the corpus is tokenized and
@@ -197,7 +204,7 @@ object Dedup {
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .select(col("doc_id"),
         TextFunctions.shingles(col("toks"), n).as("sh"),
-        HashFunctions.winnowing(col("toks"), n, w).as("fp"))
+        HashFunctions.winnowing(col("toks"), n, w, portableHash).as("fp"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
     val inv = dfCut(

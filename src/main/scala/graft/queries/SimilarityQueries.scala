@@ -41,8 +41,70 @@ object SimilarityQueries {
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.2)
 
+  // registered with portableHash = true: the md5-low-60 gram hash lets
+  // DuckDB reproduce the fingerprint selection (min-over-window of the
+  // same hash), the candidate surfacing, and hence the exact output —
+  // a full oracle for a windowed-fingerprint dedup, valid for any
+  // corpus, not a data-dependent coincidence. Engine-internal runs keep
+  // the default xxhash64 fold (no md5 cost per gram).
   private def dedupWinnowing(s: SparkSession, dir: String): DataFrame =
-    Dedup.winnowingPairs(Tables.documents(s, dir), threshold = 0.2)
+    Dedup.winnowingPairs(Tables.documents(s, dir), threshold = 0.2,
+      portableHash = true)
+
+  private val dedupWinnowingSql =
+    """WITH toked AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+      |  FROM toked WHERE len(toks) >= 3
+      |), sized AS (
+      |  SELECT doc_id, grams, len(grams) AS n FROM sh WHERE len(grams) > 0
+      |), gseq AS (
+      |  -- ordered (non-distinct) gram sequence, md5-low-60 hash per gram:
+      |  -- the portable hash winnowingPairs(portableHash = true) uses
+      |  SELECT doc_id, x.pos AS pos, x.h AS h FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> {
+      |      'pos': i,
+      |      'h': CAST('0x' || substring(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15) AS BIGINT)
+      |    })) AS x
+      |    FROM toked WHERE len(toks) >= 3
+      |  )
+      |), wm AS (
+      |  -- winnowing, w = 4: min hash over each window of 4 consecutive
+      |  -- grams; fingerprint set = DISTINCT window minima (tie-break by
+      |  -- position only suppresses duplicate adds, so it drops out)
+      |  SELECT doc_id, pos,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS m
+      |  FROM gseq
+      |), fp AS (
+      |  SELECT DISTINCT doc_id, wmin AS f
+      |  FROM wm WHERE pos <= m - 3 OR (m < 4 AND pos = 1)
+      |), fpc AS (
+      |  -- df cut at maxDf = 1000
+      |  SELECT doc_id, f FROM fp WHERE f IN (SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= 1000)
+      |), cand AS (
+      |  -- pairs sharing >= minShared = 2 fingerprints
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM fpc a JOIN fpc b ON a.f = b.f AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |), g AS (
+      |  SELECT doc_id, unnest(grams) AS gram FROM sized
+      |), pairs AS (
+      |  -- exact Jaccard verification on the candidates only
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+      |  FROM cand c JOIN g a ON a.doc_id = c.doc_a JOIN g b ON b.doc_id = c.doc_b AND a.gram = b.gram
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.doc_a, p.doc_b,
+      |  ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) AS jaccard
+      |FROM pairs p
+      |JOIN sized sa ON p.doc_a = sa.doc_id
+      |JOIN sized sb ON p.doc_b = sb.doc_id
+      |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Exact all-pairs 3-gram Jaccard in DuckDB at the given threshold —
     * the oracle for dedup_ngram_jaccard (0.2) and, via the ~1 banding
@@ -180,7 +242,7 @@ object SimilarityQueries {
     QueryDef("dedup_minhash_lsh", Some(dedupMinhashSql), dedupMinhash),
     QueryDef("dedup_simhash", None, dedupSimhash),
     QueryDef("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
-    QueryDef("dedup_winnowing", None, dedupWinnowing),
+    QueryDef("dedup_winnowing", Some(dedupWinnowingSql), dedupWinnowing),
     QueryDef("sim_topk_brute", Some(simTopkBruteSql), simTopkBrute),
     QueryDef("sim_topk_quantized", None, simTopkQuantized),
     QueryDef("sim_topk_ivf", None, simTopkIvf),

@@ -208,9 +208,61 @@ object HashUtil {
       gh(i) = h
       i += 1
     }
+    selectWindowMinima(gh, w)
+  }
+
+  /** Portable-hash winnowing: same window-minima selection, but each
+    * gram (n tokens joined by one space — the exact WordShingles text)
+    * is hashed with [[md5Low60]] instead of the engine-internal xxhash64
+    * fold. Any engine with md5 reproduces the fingerprint set
+    * bit-for-bit (DuckDB: min-over-window of
+    * CAST('0x' || substring(md5(gram), 1, 15) AS BIGINT)), which is what
+    * lets a winnowing dedup carry a cross-engine oracle. */
+  def winnowingPortable(arr: ArrayData, n: Int, w: Int): ArrayData = {
+    val num = arr.numElements()
+    val m = num - n + 1
+    if (m < 1) return new GenericArrayData(Array.empty[Any])
+    val space = UTF8String.fromString(" ")
+    val gh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](n)
+      var k = 0
+      while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
+      gh(i) = md5Low60(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    selectWindowMinima(gh, w)
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(s) as a non-negative long — numerically equal
+    * to parsing the first 15 hex chars of the digest base-16, the same
+    * portable bucket formula as graft.operators.Sampling. */
+  def md5Low60(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** Min hash value per window of w consecutive grams (ties -> rightmost
+    * position), deduplicating repeated selections. The emitted set is
+    * exactly the distinct window-minimum VALUES — position tie-breaks
+    * only suppress re-adds, so `SELECT DISTINCT min-over-window` in any
+    * SQL engine reproduces it. */
+  private def selectWindowMinima(gh: Array[Long], w: Int): ArrayData = {
+    val m = gh.length
     val selected = new java.util.LinkedHashSet[java.lang.Long]()
     var lastPick = -1
-    i = 0
+    var i = 0
     val windows = math.max(1, m - w + 1)
     while (i < windows) {
       var minPos = i
@@ -407,7 +459,8 @@ case class QuantizedDot(left: Expression, right: Expression)
   * these is ~w/2 times smaller than a full shingle index while still
   * guaranteeing detection of shared runs of >= w + n - 1 tokens.
   */
-case class WinnowingFingerprints(child: Expression, n: Int, w: Int)
+case class WinnowingFingerprints(child: Expression, n: Int, w: Int,
+    portable: Boolean = false)
     extends UnaryExpression with ImplicitCastInputTypes {
 
   require(n >= 1 && w >= 1, "n, w >= 1")
@@ -416,12 +469,15 @@ case class WinnowingFingerprints(child: Expression, n: Int, w: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnowing_fingerprints"
 
+  private def fn: String = if (portable) "winnowingPortable" else "winnowing"
+
   override def nullSafeEval(a: Any): Any =
-    HashUtil.winnowing(a.asInstanceOf[ArrayData], n, w)
+    if (portable) HashUtil.winnowingPortable(a.asInstanceOf[ArrayData], n, w)
+    else HashUtil.winnowing(a.asInstanceOf[ArrayData], n, w)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = org.apache.spark.sql.graft.HashUtil.winnowing($x, $n, $w);")
+      s"${ev.value} = org.apache.spark.sql.graft.HashUtil.$fn($x, $n, $w);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

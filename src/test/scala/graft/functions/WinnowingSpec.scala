@@ -50,6 +50,45 @@ class WinnowingSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  test("portable gram hash equals the documented cross-engine md5 formula") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // independent model: Spark's own built-ins computing the formula the
+    // scaladoc documents for other engines (first 15 md5 hex chars, base 16)
+    Seq("a b c", "hello world x", "tok1 tok2 tok3").foreach { s =>
+      val expected = spark.sql(
+        s"SELECT CAST(conv(substring(md5('$s'), 1, 15), 16, 10) AS BIGINT)")
+        .head().getLong(0)
+      assert(org.apache.spark.sql.graft.HashUtil.md5Low60(UTF8String.fromString(s))
+        === expected, s)
+    }
+  }
+
+  test("portable winnowing selects window minima of the md5 gram hash") {
+    import spark.implicits._
+    val doc = (1 to 50).map(i => s"w$i").mkString(" ")
+    val Seq(portable) = Seq(doc).toDF("text")
+      .select(HashFunctions.winnowing(TextFunctions.tokens(col("text")), 3, 4, portable = true))
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    // independent model on the driver: md5-low-60 per gram, min per window
+    val toks = doc.split(" ")
+    val grams = toks.sliding(3).map(_.mkString(" ")).toArray
+    val gh = grams.map(g => org.apache.spark.sql.graft.HashUtil.md5Low60(
+      org.apache.spark.unsafe.types.UTF8String.fromString(g)))
+    val expected = gh.sliding(4).map(_.min).toSeq.distinct
+    assert(portable.sorted === expected.sorted)
+    // and it is a different hash family than the engine-internal one
+    val Seq(internal) = fps(doc)
+    assert(portable.toSet !== internal.toSet)
+  }
+
+  test("portable winnowingPairs surfaces the same near-dups (fixture corpus)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def pairs(portable: Boolean) =
+      Dedup.winnowingPairs(docs, threshold = 0.2, portableHash = portable)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(true) === pairs(false))
+  }
+
   test("winnowing_fingerprints is callable from SQL") {
     org.apache.spark.sql.graft.GraftFunctionRegistry.register(spark)
     val n = spark.sql(
