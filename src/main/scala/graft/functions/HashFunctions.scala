@@ -10,9 +10,12 @@ import org.apache.spark.sql.graft.{ColumnBridge, MinHashSignature, SimHash64, Wi
   */
 object HashFunctions {
 
-  /** 64-bit SimHash of an array<string> token column (xxhash64 votes). */
-  def simhash(toks: Column): Column =
-    ColumnBridge.column(SimHash64(ColumnBridge.expression(toks)))
+  /** 64-bit SimHash of an array<string> token column (xxhash64 votes).
+    * With `portable = true` the votes come from the md5-low-60-bits
+    * token hash any engine can recompute (cross-engine reproducible
+    * signatures; bits 60-63 always clear). */
+  def simhash(toks: Column, portable: Boolean = false): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(toks), portable))
 
   /** MinHash signature (array<long>, length numHashes) of an array<string>
     * shingle column. */

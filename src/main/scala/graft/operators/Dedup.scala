@@ -120,8 +120,15 @@ object Dedup {
     * least one chunk — recall is exact at every threshold. The default
     * (3 -> 4 x 16-bit chunks) is the classic web-dedup config; higher
     * thresholds mean narrower chunks and fatter candidate buckets, so
-    * keep maxHamming small at scale. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * keep maxHamming small at scale.
+    *
+    * Chunk blocking has EXACT recall (pigeonhole), so the output equals
+    * the all-pairs hamming <= maxHamming answer for the chosen hash
+    * family. With `portableHash = true` that family is the md5-low-60
+    * token hash any engine can recompute — the registered dedup_simhash
+    * query runs this way and carries a full DuckDB oracle. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      portableHash: Boolean = false): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 15,
       s"maxHamming must be in [1,15], got $maxHamming")
     val chunks = maxHamming + 1
@@ -129,7 +136,7 @@ object Dedup {
     val base = docs
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), HashFunctions.simhash(col("toks")).as("sim"))
+      .select(col("doc_id"), HashFunctions.simhash(col("toks"), portableHash).as("sim"))
     // chunk c covers bits [c*width, (c+1)*width) — the final chunk absorbs
     // the 64 - chunks*width remainder bits
     val chunked = base.selectExpr("doc_id", "sim",

@@ -35,8 +35,36 @@ object SimilarityQueries {
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.9)
 
+  // registered with portableHash = true: chunk blocking is exact-recall
+  // (pigeonhole), so the output is the all-pairs hamming <= 3 answer for
+  // the md5-low-60 hash family — which DuckDB recomputes signature-for-
+  // signature (per-bit vote aggregation + bit_count(xor)).
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
+    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3,
+      portableHash = true)
+
+  private val dedupSimhashSql =
+    """WITH toked AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents
+      |), th AS (
+      |  -- per-OCCURRENCE token hashes (md5 low 60 bits, the portable
+      |  -- formula of graft simhash(portable = true))
+      |  SELECT doc_id, CAST('0x' || substring(md5(unnest(toks)), 1, 15) AS BIGINT) AS h
+      |  FROM toked WHERE len(toks) >= 1
+      |), votes AS (
+      |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bits
+      |  GROUP BY 1, 2
+      |), sig AS (
+      |  SELECT doc_id, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sim
+      |  FROM votes GROUP BY 1
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.2)
@@ -240,7 +268,7 @@ object SimilarityQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("dedup_minhash_lsh", Some(dedupMinhashSql), dedupMinhash),
-    QueryDef("dedup_simhash", None, dedupSimhash),
+    QueryDef("dedup_simhash", Some(dedupSimhashSql), dedupSimhash),
     QueryDef("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
     QueryDef("dedup_winnowing", Some(dedupWinnowingSql), dedupWinnowing),
     QueryDef("sim_topk_brute", Some(simTopkBruteSql), simTopkBrute),

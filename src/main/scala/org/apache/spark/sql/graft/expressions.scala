@@ -161,6 +161,33 @@ object HashUtil {
     bits
   }
 
+  /** Portable-hash SimHash: per-token votes over the 60 bits of
+    * [[md5Low60]] instead of the engine-internal xxhash64 (bits 60-63
+    * are never set, which also keeps the signature positive in engines
+    * without unsigned longs). Any engine with md5 and integer bit ops
+    * reproduces the signature — and therefore the hamming-<=k pair set —
+    * bit-for-bit. */
+  def simhash64Portable(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](60)
+    var k = 0
+    while (k < n) {
+      if (!arr.isNullAt(k)) {
+        val h = md5Low60(arr.getUTF8String(k))
+        var i = 0
+        while (i < 60) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      k += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 60) { if (votes(i) > 0) bits |= (1L << i); i += 1 }
+    bits
+  }
+
   /** MinHash signature: each shingle is hashed once (xxhash64, seed 42),
     * then the j-th permutation is the cheap per-long remix
     * xxhash64(base, seed=j) — one string pass + numHashes long mixes per
@@ -513,19 +540,22 @@ case class WordShingles(child: Expression, n: Int)
   * formulation that evaluated lambdas interpretively per bit per token
   * (~37x slower end-to-end at sf0.1).
   */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, portable: Boolean = false)
     extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  private def fn: String = if (portable) "simhash64Portable" else "simhash64"
+
   override def nullSafeEval(a: Any): Any =
-    HashUtil.simhash64(a.asInstanceOf[ArrayData])
+    if (portable) HashUtil.simhash64Portable(a.asInstanceOf[ArrayData])
+    else HashUtil.simhash64(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = org.apache.spark.sql.graft.HashUtil.simhash64($x);")
+      s"${ev.value} = org.apache.spark.sql.graft.HashUtil.$fn($x);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -142,4 +142,26 @@ class DedupSpec extends SparkTestBase {
     // chunk blocking guarantees recall only through hamming 3 (4 chunks)
     assert(got === expected)
   }
+
+  test("portable simhash votes over md5-low-60 bits (driver-side model)") {
+    import graft.functions.{HashFunctions, TextFunctions}
+    import org.apache.spark.unsafe.types.UTF8String
+    val sims = docs.limit(50)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"),
+        HashFunctions.simhash(col("toks"), portable = true).as("sim"))
+      .collect()
+    sims.foreach { r =>
+      val toks = r.getSeq[String](1)
+      val votes = new Array[Int](60)
+      toks.foreach { t =>
+        val h = org.apache.spark.sql.graft.HashUtil.md5Low60(UTF8String.fromString(t))
+        (0 until 60).foreach(i => votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1))
+      }
+      val expected = (0 until 60).foldLeft(0L) {
+        case (acc, i) => if (votes(i) > 0) acc | (1L << i) else acc
+      }
+      assert(r.getLong(2) === expected, s"doc ${r.getLong(0)}")
+      assert((r.getLong(2) >>> 60) === 0L) // top 4 bits always clear
+    }
+  }
 }
