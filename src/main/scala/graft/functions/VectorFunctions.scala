@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnBridge, Dequantize8, FloatVectorDot, HyperplaneSignBits, Quantize8, QuantizedDot}
+import org.apache.spark.sql.graft.{ColumnBridge, Dequantize8, FloatVectorDot, HyperplaneSignBits, Quantize8, QuantizedDot, QuantizedDotRaw}
 
 /** User-facing vector math over array<float> embedding columns.
   * Backed by native codegen'd expressions (org.apache.spark.sql.graft).
@@ -37,9 +37,11 @@ object VectorFunctions {
 
   /** Symmetric int8 quantization of an embedding: struct<scale, q:binary>,
     * 4x smaller than float32 at rest and on the shuffle wire; max
-    * elementwise round-trip error scale/2. */
-  def quantize8(a: Column): Column =
-    ColumnBridge.column(Quantize8(ColumnBridge.expression(a)))
+    * elementwise round-trip error scale/2. With `portable = true` the
+    * bytes come from the all-f64 clamp(floor(v / (max|v|/127) + 0.5))
+    * formula any IEEE engine reproduces bit-for-bit. */
+  def quantize8(a: Column, portable: Boolean = false): Column =
+    ColumnBridge.column(Quantize8(ColumnBridge.expression(a), portable))
 
   def dequantize8(a: Column): Column =
     ColumnBridge.column(Dequantize8(ColumnBridge.expression(a)))
@@ -55,6 +57,19 @@ object VectorFunctions {
   def quantizedCosine(a: Column, b: Column): Column = {
     val d = quantizedDot(a, b)
     val n = sqrt(quantizedDot(a, a)) * sqrt(quantizedDot(b, b))
+    when(n =!= 0.0, d / n)
+  }
+
+  /** [[quantizedCosine]] computed from raw integer dots (no scale
+    * factors anywhere): with exact long inputs and one IEEE sqrt/division
+    * each, the double result is bit-identical in any engine evaluating
+    * dot_ab / (sqrt(dot_aa) * sqrt(dot_bb)) — the scoring form the
+    * cross-engine quantized top-k oracle requires. */
+  def quantizedCosineRaw(a: Column, b: Column): Column = {
+    def raw(x: Column, y: Column): Column =
+      ColumnBridge.column(QuantizedDotRaw(ColumnBridge.expression(x), ColumnBridge.expression(y)))
+    val d = raw(a, b).cast("double")
+    val n = sqrt(raw(a, a).cast("double")) * sqrt(raw(b, b).cast("double"))
     when(n =!= 0.0, d / n)
   }
 

@@ -173,22 +173,49 @@ object SimilarityQueries {
   // the cosine) — never dequantized, so the 4x byte saving of the
   // quantized index holds in the scoring scan, not just at rest. At scale
   // the quantize8 struct is a landed column; here it is computed in the
-  // same scan. Spark-side quantization arithmetic -> rows-only; recall vs
-  // exact is spec-checked (SimilaritySpec).
+  // same scan. Registered portable: the all-f64 quantizer and the
+  // raw-integer-dot cosine are both bit-reproducible in any IEEE engine,
+  // so the query carries a full DuckDB oracle (recall vs float-exact
+  // stays spec-checked in SimilaritySpec).
   private def simTopkQuantized(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, round}
-    import graft.functions.VectorFunctions.{quantize8, quantizedCosine}
+    import graft.functions.VectorFunctions.{quantize8, quantizedCosineRaw}
     val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), quantize8(col("embedding")).as("qz"))
+      .select(col("vec_id"), col("label"),
+        quantize8(col("embedding"), portable = true).as("qz"))
     val q = emb.filter(col("vec_id") === 0L).select(col("qz").as("q_qz"))
     emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0L)
       .select(col("vec_id"),
         col("label").cast(org.apache.spark.sql.types.LongType).as("label"),
-        round(quantizedCosine(col("qz"), col("q_qz")), 6).as("cos_sim"))
+        round(quantizedCosineRaw(col("qz"), col("q_qz")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
+
+  private val simTopkQuantizedSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), scaled AS (
+      |  SELECT vec_id, label, v,
+      |    CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS s
+      |  FROM (SELECT vec_id, label, v,
+      |          list_max(list_transform(v, y -> abs(y))) AS m FROM e)
+      |), q8 AS (
+      |  -- the portable quantizer: clamp(floor(v / scale + 0.5)) in f64
+      |  SELECT vec_id, label,
+      |    list_transform(v, x -> GREATEST(-127.0, LEAST(127.0, FLOOR(x / s + 0.5)))) AS q
+      |  FROM scaled
+      |), qq AS (
+      |  SELECT q FROM q8 WHERE vec_id = 0
+      |)
+      |SELECT a.vec_id, CAST(a.label AS BIGINT) AS label,
+      |  ROUND(list_dot_product(a.q, qq.q) /
+      |    (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(qq.q, qq.q))), 6) AS cos_sim
+      |FROM q8 a, qq
+      |WHERE a.vec_id <> 0
+      |ORDER BY cos_sim DESC, a.vec_id
+      |LIMIT 10""".stripMargin
 
   private val simTopkBruteSql =
     """WITH q AS (
@@ -272,7 +299,7 @@ object SimilarityQueries {
     QueryDef("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
     QueryDef("dedup_winnowing", Some(dedupWinnowingSql), dedupWinnowing),
     QueryDef("sim_topk_brute", Some(simTopkBruteSql), simTopkBrute),
-    QueryDef("sim_topk_quantized", None, simTopkQuantized),
+    QueryDef("sim_topk_quantized", Some(simTopkQuantizedSql), simTopkQuantized),
     QueryDef("sim_topk_ivf", None, simTopkIvf),
     QueryDef("sim_topk_batch", None, simTopkBatch),
     QueryDef("embed_neardup_cosine", Some(embedNearDupSql), embedNearDup),

@@ -337,6 +337,49 @@ object HashUtil {
     org.apache.spark.sql.catalyst.InternalRow(scale, q)
   }
 
+  /** Portable int8 quantization: all arithmetic in f64 (float inputs
+    * widen exactly), rounding spelled floor(x + 0.5) — every step is a
+    * single correctly-rounded IEEE op, so any engine computing
+    * clamp(floor(v / (max|v| / 127.0) + 0.5)) over CAST(v AS DOUBLE)
+    * reproduces the bytes bit-for-bit (DuckDB: list_transform +
+    * GREATEST/LEAST/FLOOR). The stored scale is the f64 value narrowed
+    * to f32 for the struct; cosine scoring cancels it anyway. */
+  def quantize8Portable(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(arr.getFloat(i).toDouble)
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+    val q = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val r = math.floor(arr.getFloat(i).toDouble / scale + 0.5)
+      q(i) = math.max(-127.0, math.min(127.0, r)).toByte
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale.toFloat, q)
+  }
+
+  /** Integer MAC over two quantized byte vectors, WITHOUT the scale
+    * product — exact in long. cos over raw dots equals cos over scaled
+    * dots mathematically, and unlike the scaled form it is bit-for-bit
+    * reproducible across engines (integer inputs, one IEEE div/sqrt
+    * each), which is what the quantized top-k oracle needs. */
+  def quantizedDotRaw(a: org.apache.spark.sql.catalyst.InternalRow,
+      b: org.apache.spark.sql.catalyst.InternalRow): Long = {
+    val qa = a.getBinary(1)
+    val qb = b.getBinary(1)
+    val n = math.min(qa.length, qb.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += qa(i).toLong * qb(i).toLong; i += 1 }
+    acc
+  }
+
   def dequantize8(scale: Float, q: Array[Byte]): ArrayData = {
     val out = new Array[Float](q.length)
     var i = 0
@@ -406,7 +449,7 @@ case class WhitespaceTokens(child: Expression)
   * storage/bandwidth half of an IVF-quantized ANN index. Dequantize with
   * [[Dequantize8]]; max elementwise round-trip error is scale / 2.
   */
-case class Quantize8(child: Expression)
+case class Quantize8(child: Expression, portable: Boolean = false)
     extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
@@ -415,12 +458,15 @@ case class Quantize8(child: Expression)
     StructField("q", BinaryType, nullable = false)))
   override def prettyName: String = "quantize8"
 
+  private def fn: String = if (portable) "quantize8Portable" else "quantize8"
+
   override def nullSafeEval(a: Any): Any =
-    HashUtil.quantize8(a.asInstanceOf[ArrayData])
+    if (portable) HashUtil.quantize8Portable(a.asInstanceOf[ArrayData])
+    else HashUtil.quantize8(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = org.apache.spark.sql.graft.HashUtil.quantize8($x);")
+      s"${ev.value} = org.apache.spark.sql.graft.HashUtil.$fn($x);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -475,6 +521,35 @@ case class QuantizedDot(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) =>
       s"${ev.value} = org.apache.spark.sql.graft.HashUtil.quantizedDot($x, $y);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** [[QuantizedDot]] without the scale product: the exact long MAC over
+  * the quantized bytes. Cosine over raw dots cancels the scales
+  * mathematically AND bit-for-bit across engines (integer inputs, one
+  * IEEE division and sqrt each) — the scoring form the quantized top-k
+  * oracle uses. */
+case class QuantizedDotRaw(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  private val quantType = StructType(Seq(
+    StructField("scale", FloatType, nullable = false),
+    StructField("q", BinaryType, nullable = false)))
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(quantType, quantType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "quantized_dot_raw"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.quantizedDotRaw(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashUtil.quantizedDotRaw($x, $y);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
