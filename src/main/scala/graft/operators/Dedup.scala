@@ -279,6 +279,60 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-dup CLUSTERS from a pair list: connected components with
+    * min-doc_id labels, i.e. the transitive closure a dedup pipeline
+    * actually applies (A~B and B~C must yield one keeper, not two
+    * independent pair decisions). Returns (doc_id, cluster_keeper,
+    * n_members) for every document that appears in a pair; the keeper is
+    * the component's minimum doc_id.
+    *
+    * Iterative min-label propagation over the edge list: each round every
+    * node takes the min of its own and its neighbors' labels. Rounds
+    * needed = component diameter; near-dup graphs are dense clusters of
+    * copies (diameter 1-2), so the loop converges in 2-3 rounds.
+    * Each round is one shuffle join on the PAIR list, which at 100 TB is
+    * orders of magnitude smaller than the corpus (it is the post-blocking
+    * dedup output) — the driver only orchestrates, labels never leave the
+    * cluster, localCheckpoint truncates the growing lineage. maxIter
+    * bounds adversarial path-shaped graphs; non-convergence throws
+    * rather than returning silently-wrong clusters (for genuinely
+    * huge-diameter graphs, switch to large-star/small-star, which
+    * converges in O(log n) rounds).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("v"), col("label").as("nlabel")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("nlabel")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "the pair graph has a path-shaped component longer than maxIter - " +
+          "raise maxIter or use a star-contraction variant")
+    val sizes = labels.groupBy(col("label").as("cluster_keeper"))
+      .agg(count(lit(1)).as("n_members"))
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_keeper"))
+      .join(sizes, "cluster_keeper")
+      .select(col("doc_id"), col("cluster_keeper"), col("n_members"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gram document-frequency profile of a corpus — the pre-flight check
     * for [[ngramJaccardPairs]]'s maxDf choice. One aggregation pass over
     * the inverted index; returns a single row with the max / p99 / p50

@@ -165,6 +165,49 @@ object SimilarityQueries {
   private val dedupNgramJaccardSql = jaccardPairsSql(0.2)
   private val dedupMinhashSql = jaccardPairsSql(0.9)
 
+  // near-dup CLUSTERS: connected components over the exact-Jaccard pair
+  // list — the transitive closure a dedup pipeline actually applies
+  // (A~B, B~C => one keeper for all three). Oracle: DuckDB recursive CTE
+  // computing min-reachable-id per node over the same pair list.
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.2))
+
+  private val dedupClustersSql = {
+    val pairsOnly =
+      """WITH toked AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |  FROM toked WHERE len(toks) >= 3
+        |), sized AS (
+        |  SELECT doc_id, grams, len(grams) AS n FROM sh WHERE len(grams) > 0
+        |), g AS (
+        |  SELECT doc_id, unnest(grams) AS gram FROM sized
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b
+        |FROM pairs JOIN sized sa ON doc_a = sa.doc_id JOIN sized sb ON doc_b = sb.doc_id
+        |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.2""".stripMargin
+    s"""WITH RECURSIVE p AS ($pairsOnly),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach AS (
+      |  SELECT DISTINCT u AS id, u AS lab FROM edges
+      |  UNION
+      |  SELECT e.u AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.v
+      |),
+      |labels AS (SELECT id, MIN(lab) AS cluster_keeper FROM reach GROUP BY id),
+      |sizes AS (SELECT cluster_keeper, COUNT(*) AS n_members FROM labels GROUP BY 1)
+      |SELECT l.id AS doc_id, l.cluster_keeper, s.n_members
+      |FROM labels l JOIN sizes s USING (cluster_keeper)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   private def simTopkBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
 
@@ -297,6 +340,7 @@ object SimilarityQueries {
     QueryDef("dedup_minhash_lsh", Some(dedupMinhashSql), dedupMinhash),
     QueryDef("dedup_simhash", Some(dedupSimhashSql), dedupSimhash),
     QueryDef("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
+    QueryDef("dedup_clusters", Some(dedupClustersSql), dedupClusters),
     QueryDef("dedup_winnowing", Some(dedupWinnowingSql), dedupWinnowing),
     QueryDef("sim_topk_brute", Some(simTopkBruteSql), simTopkBrute),
     QueryDef("sim_topk_quantized", Some(simTopkQuantizedSql), simTopkQuantized),
