@@ -155,6 +155,77 @@ object TextQueries {
       |WHERE bkt < CASE WHEN lang = 'en' THEN 20 ELSE 100 END
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- BM25 relevance scoring (k1 = 1.2, b = 0.75, Lucene idf) for a
+  // fixed 3-term query: the inverted-scoring shape — tokens explode,
+  // FILTER TO QUERY TERMS BEFORE THE SHUFFLE (the posting lists move,
+  // not the corpus), tf/df aggregation, broadcast of the tiny df/stats
+  // side. Per-term weights land in separate conditional sums added in a
+  // FIXED order (w1 + w2 + w3), so the double result is independent of
+  // aggregation order and bit-reproducible in the oracle — a plain
+  // sum(w) would depend on which partial arrives first.
+  private def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "hash", "join")
+    val k1 = 1.2
+    val b = 0.75
+    val toked = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val dl = toked.select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toked.select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    val perTerm = w.groupBy(col("doc_id")).agg(
+      sum(when(col("term") === terms(0), col("w"))).as("w1"),
+      sum(when(col("term") === terms(1), col("w"))).as("w2"),
+      sum(when(col("term") === terms(2), col("w"))).as("w3"))
+    perTerm
+      .select(col("doc_id"),
+        round(coalesce(col("w1"), lit(0.0)) + coalesce(col("w2"), lit(0.0)) +
+          coalesce(col("w3"), lit(0.0)), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  private val textBm25Sql =
+    """WITH toked AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents
+      |), sized AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM toked WHERE len(toks) > 0
+      |), stats AS (
+      |  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM sized
+      |), t AS (
+      |  SELECT doc_id, unnest(toks) AS term FROM sized
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM t
+      |  WHERE term IN ('spark', 'hash', 'join') GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+      |), w AS (
+      |  SELECT f.doc_id, f.term,
+      |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+      |      (f.tf * 2.2) / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * z.dl / s.avgdl)) AS w
+      |  FROM tf f JOIN dfreq d USING (term) JOIN sized z USING (doc_id) CROSS JOIN stats s
+      |), agg AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN term = 'spark' THEN w END) AS w1,
+      |    SUM(CASE WHEN term = 'hash' THEN w END) AS w2,
+      |    SUM(CASE WHEN term = 'join' THEN w END) AS w3
+      |  FROM w GROUP BY 1
+      |)
+      |SELECT doc_id,
+      |  ROUND(COALESCE(w1, 0.0) + COALESCE(w2, 0.0) + COALESCE(w3, 0.0), 4) AS bm25
+      |FROM agg ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
+
   // ---- cleaning pipeline: whitespace-normalize -> strip URLs -> mask
   // digits; per-source before/after size accounting.
   private def textClean(s: SparkSession, dir: String): DataFrame =
@@ -189,6 +260,7 @@ object TextQueries {
     QueryDef("text_langid", Some(textLangidSql), textLangid),
     QueryDef("text_quality", Some(textQualitySql), textQuality),
     QueryDef("text_tokens", Some(textTokensSql), textTokens),
+    QueryDef("text_bm25", Some(textBm25Sql), textBm25),
     QueryDef("text_fingerprint", Some(textFingerprintSql), textFingerprint),
   )
 }
