@@ -70,4 +70,12 @@ object TextFunctions {
     import org.apache.spark.sql.graft.{ColumnBridge, WordShingles}
     ColumnBridge.column(WordShingles(ColumnBridge.expression(toks), n))
   }
+
+  /** Per-document gram-multiplicity stats struct<n_grams, n_distinct,
+    * top_count> in one codegen'd pass — the repetition-filter primitive
+    * (no explode, no per-gram shuffle). */
+  def gramStats(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, GramStats}
+    ColumnBridge.column(GramStats(ColumnBridge.expression(toks), n))
+  }
 }

@@ -254,6 +254,102 @@ object TextQueries {
       |  COUNT(*) AS n_docs
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- Gopher-style repetition filtering (Rae et al. 2021 §A1.1): flag
+  // documents whose word-2-gram distribution is dominated by repeats.
+  // Per-doc stats come from the one-pass gram_stats expression — three
+  // longs per document cross the shuffle, never a gram (the explode +
+  // groupBy(doc, gram) formulation moves every occurrence). Per-source
+  // rollup uses ratio-of-integer-sums + one final division, so the
+  // doubles are bit-stable under any partial-aggregation order. The
+  // flagged predicate is pure integer math ((n-d)*10 >= n  <=>  dup
+  // fraction >= 0.1) — no float comparison can split the engines.
+  private def textRepetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), gramStats(tokens(col("text")), 2).as("g"))
+      .select(col("source"), col("g.n_grams").as("n_grams"),
+        col("g.n_distinct").as("n_distinct"), col("g.top_count").as("top_count"))
+      .filter(col("n_grams") > 0)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("top_count")).cast(DoubleType) / sum(col("n_grams")), 4)
+          .as("top_gram_mass"),
+        round(sum(col("n_grams") - col("n_distinct")).cast(DoubleType) /
+          sum(col("n_grams")), 4).as("dup_gram_mass"),
+        count(when((col("n_grams") - col("n_distinct")) * 10 >= col("n_grams"), 1))
+          .as("n_flagged"))
+      .orderBy(col("source"))
+
+  private val textRepetitionSql =
+    """WITH toked AS (
+      |  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+      |  FROM toked WHERE len(toks) >= 2
+      |), cnt AS (
+      |  SELECT doc_id, source, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3
+      |), per_doc AS (
+      |  SELECT doc_id, source, SUM(c) AS n_grams, COUNT(*) AS n_distinct,
+      |    MAX(c) AS top_count
+      |  FROM cnt GROUP BY 1, 2
+      |)
+      |SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  ROUND(CAST(SUM(top_count) AS DOUBLE) / SUM(n_grams), 4) AS top_gram_mass,
+      |  ROUND(CAST(SUM(n_grams - n_distinct) AS DOUBLE) / SUM(n_grams), 4) AS dup_gram_mass,
+      |  COUNT(CASE WHEN (n_grams - n_distinct) * 10 >= n_grams THEN 1 END) AS n_flagged
+      |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- cross-document duplicate-8-gram contamination: for each doc, the
+  // fraction of its distinct 8-grams that appear in at least one OTHER
+  // document — the train-set-overlap / boilerplate diagnostic that
+  // motivates substring-level dedup. Grams are md5-low-60 hashed BEFORE
+  // the shuffle (8-byte keys instead of ~50-byte strings; same portable
+  // formula as Sampling, so the oracle reproduces any collisions
+  // bit-for-bit), df is a gram-keyed count, and the per-doc rollup is a
+  // map-side-combinable integer aggregation. Top-20 by (frac desc,
+  // doc_id) is a total order — deterministic under ties.
+  private def gramContamination(s: SparkSession, dir: String): DataFrame = {
+    val dg = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 8)).as("gram"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast(LongType).as("gh"))
+    val gdf = dg.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    dg.join(gdf, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") > 1, 1)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast(DoubleType) / col("n_grams"), 4).as("shared_frac"))
+      .orderBy(col("shared_frac").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val gramContaminationSql =
+    """WITH toked AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents
+      |), dg AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substring(md5(unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+      |           toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])))), 1, 15)
+      |      AS BIGINT) AS gh
+      |  FROM toked WHERE len(toks) >= 8
+      |), gdf AS (
+      |  SELECT gh, COUNT(*) AS df FROM dg GROUP BY 1
+      |), per_doc AS (
+      |  SELECT d.doc_id, COUNT(*) AS n_grams,
+      |    COUNT(CASE WHEN g.df > 1 THEN 1 END) AS n_shared
+      |  FROM dg d JOIN gdf g USING (gh) GROUP BY 1
+      |)
+      |SELECT doc_id, n_grams, n_shared,
+      |  ROUND(CAST(n_shared AS DOUBLE) / n_grams, 4) AS shared_frac
+      |FROM per_doc ORDER BY shared_frac DESC, doc_id LIMIT 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_clean", Some(textCleanSql), textClean),
     QueryDef("sample_stratified", Some(sampleStratifiedSql), sampleStratified),
@@ -262,5 +358,7 @@ object TextQueries {
     QueryDef("text_tokens", Some(textTokensSql), textTokens),
     QueryDef("text_bm25", Some(textBm25Sql), textBm25),
     QueryDef("text_fingerprint", Some(textFingerprintSql), textFingerprint),
+    QueryDef("text_repetition", Some(textRepetitionSql), textRepetition),
+    QueryDef("dedup_contamination", Some(gramContaminationSql), gramContamination),
   )
 }

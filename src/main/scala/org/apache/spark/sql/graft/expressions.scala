@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -419,6 +420,34 @@ object HashUtil {
     }
     new GenericArrayData(seen.toArray())
   }
+
+  /** Per-document word-n-gram multiplicity stats in one pass:
+    * (total occurrences, distinct grams, count of the most frequent gram).
+    * The building block for Gopher-style repetition filters — computed
+    * in-row, so the repetition metrics of a corpus need NO per-gram
+    * shuffle (the explode+groupBy(doc, gram) formulation moves every gram
+    * occurrence through an exchange; this moves three longs per doc).
+    */
+  def gramStats(arr: ArrayData, n: Int): InternalRow = {
+    val num = arr.numElements()
+    val total = num - n + 1
+    if (total <= 0) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    val space = UTF8String.fromString(" ")
+    var top = 0
+    var i = 0
+    while (i < total) {
+      val parts = new Array[UTF8String](n)
+      var k = 0
+      while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
+      val g = UTF8String.concatWs(space, parts: _*)
+      val prev = counts.getOrDefault(g, Integer.valueOf(0)).intValue() + 1
+      counts.put(g, Integer.valueOf(prev))
+      if (prev > top) top = prev
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](total.toLong, counts.size.toLong, top.toLong))
+  }
 }
 
 /** Codegen'd whitespace tokenization (split on single spaces, empties
@@ -654,6 +683,34 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
       s"${ev.value} = org.apache.spark.sql.graft.HashUtil.minhashSignature($x, $numHashes);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Codegen'd per-document gram-multiplicity stats
+  * struct<n_grams, n_distinct, top_count> (all long) over an
+  * array<string> token column — see [[HashUtil.gramStats]]. Repetition
+  * scoring stays embarrassingly parallel: no explode, no per-gram
+  * exchange, three longs of state per document.
+  */
+case class GramStats(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(n >= 1, "n >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false)))
+  override def prettyName: String = "gram_stats"
+
+  override def nullSafeEval(a: Any): Any =
+    HashUtil.gramStats(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashUtil.gramStats($x, $n);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

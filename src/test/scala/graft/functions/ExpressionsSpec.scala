@@ -122,6 +122,40 @@ class ExpressionsSpec extends SparkTestBase {
     assert(math.abs(r(1) + 2.0f) < 0.02)
   }
 
+  test("gram_stats matches a plain-Scala multiset model") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val got = docs
+      .select(col("doc_id"), col("text"),
+        TextFunctions.gramStats(TextFunctions.tokens(col("text")), 2).as("g"))
+      .select(col("doc_id"), col("text"),
+        col("g.n_grams"), col("g.n_distinct"), col("g.top_count"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { row =>
+      val t = toks(row.getString(1))
+      val grams = t.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      assert(row.getLong(2) === grams.size.toLong, s"n_grams doc ${row.getLong(0)}")
+      assert(row.getLong(3) === counts.size.toLong, s"n_distinct doc ${row.getLong(0)}")
+      val top = if (counts.isEmpty) 0L else counts.values.max.toLong
+      assert(row.getLong(4) === top, s"top_count doc ${row.getLong(0)}")
+    }
+  }
+
+  test("gram_stats edge cases: short docs and degenerate repetition") {
+    import spark.implicits._
+    val df = Seq("one", "a a a a", "x y x y x").toDF("text")
+      .select(TextFunctions.gramStats(TextFunctions.tokens(col("text")), 2).as("g"))
+      .select(col("g.n_grams"), col("g.n_distinct"), col("g.top_count"))
+      .collect()
+    // fewer tokens than n -> all-zero stats, not null / negative
+    assert(df(0).getLong(0) === 0L && df(0).getLong(1) === 0L && df(0).getLong(2) === 0L)
+    // "a a a a": 3 occurrences of the single gram "a a"
+    assert(df(1).getLong(0) === 3L && df(1).getLong(1) === 1L && df(1).getLong(2) === 3L)
+    // "x y x y x": grams x-y, y-x, x-y, y-x -> 4 total, 2 distinct, top 2
+    assert(df(2).getLong(0) === 4L && df(2).getLong(1) === 2L && df(2).getLong(2) === 2L)
+  }
+
   test("hyperplane sign bits match a plain-Scala model") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
     val planes = VectorFunctions.planes(64, 16, 7L)
