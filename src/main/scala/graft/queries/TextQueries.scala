@@ -350,6 +350,36 @@ object TextQueries {
       |  ROUND(CAST(n_shared AS DOUBLE) / n_grams, 4) AS shared_frac
       |FROM per_doc ORDER BY shared_frac DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---- token-budget shard packing (graft.operators.Packing): fixed
+  // 5000-token offsets over the doc_id order. The shard id is a pure
+  // function of the exclusive prefix sum, so the single-threaded oracle
+  // cumsum and the two-phase distributed cumsum must agree exactly.
+  private def docsPackShards(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("w"))
+    graft.operators.Packing.packShards(docs, col("doc_id"), col("w"), 5000L)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sum_toks"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+  }
+
+  private val docsPackShardsSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, w,
+      |    COALESCE(SUM(w) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM t
+      |)
+      |SELECT CAST(cum // 5000 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(w) AS BIGINT) AS sum_toks,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_clean", Some(textCleanSql), textClean),
     QueryDef("sample_stratified", Some(sampleStratifiedSql), sampleStratified),
@@ -360,5 +390,6 @@ object TextQueries {
     QueryDef("text_fingerprint", Some(textFingerprintSql), textFingerprint),
     QueryDef("text_repetition", Some(textRepetitionSql), textRepetition),
     QueryDef("dedup_contamination", Some(gramContaminationSql), gramContamination),
+    QueryDef("docs_pack_shards", Some(docsPackShardsSql), docsPackShards),
   )
 }
