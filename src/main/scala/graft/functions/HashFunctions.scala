@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, MinHashSignature, SimHash64, WinnowingFingerprints}
+import org.apache.spark.sql.graft.{BloomFilterAgg, BloomMightContain, ColumnBridge, MinHashSignature, SimHash64, WinnowingFingerprints}
 
 /** Hash-sketch primitives for near-duplicate detection, backed by native
   * codegen'd expressions (org.apache.spark.sql.graft). Both run inside
@@ -33,4 +33,19 @@ object HashFunctions {
   def winnowing(toks: Column, n: Int, w: Int, portable: Boolean = false): Column =
     ColumnBridge.column(
       WinnowingFingerprints(ColumnBridge.expression(toks), n, w, portable))
+
+  /** Bloom filter (BinaryType bytes) over a pre-hashed long column.
+    * numBits/8 bytes of state, map-side partial merge = bitwise OR —
+    * broadcastable membership over an arbitrarily large build side. */
+  def bloomAgg(hash: Column, numBits: Int, numHashes: Int): Column =
+    ColumnBridge.column(
+      BloomFilterAgg(ColumnBridge.expression(hash), numBits, numHashes)
+        .toAggregateExpression())
+
+  /** Probe a [[bloomAgg]] filter: may-contain (false positives possible,
+    * false negatives impossible). Must use the numHashes the filter was
+    * built with. */
+  def bloomMightContain(bloom: Column, hash: Column, numHashes: Int): Column =
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(bloom),
+      ColumnBridge.expression(hash), numHashes))
 }

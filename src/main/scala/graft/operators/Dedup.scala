@@ -25,6 +25,30 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(col("keeper_id"), col("n_copies"))
 
+  /** Incremental (append-batch) dedup: the rows of `newDocs` whose `fp`
+    * already occurs in `oldFps` — exact membership, bloom-accelerated.
+    *
+    * Shape for "new batch vs. historical corpus" at scale: the history is
+    * folded into a numBits/8-byte bloom (map-side partial OR-merge), the
+    * bloom is broadcast, and the new batch is probed in place — the full
+    * batch never shuffles. Only bloom survivors (true dups + the ~
+    * (1-e^(-kn/m))^k false-positive sliver) enter the exact semi-join that
+    * removes false positives, so the final answer is EXACTLY the semi-join
+    * answer while the shuffle carries the candidate sliver, not the batch.
+    * Both inputs need an `fp` column; `newDocs` keeps its other columns.
+    */
+  def incrementalDups(oldFps: DataFrame, newDocs: DataFrame,
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val bloom = oldFps.agg(
+      HashFunctions.bloomAgg(xxhash64(col("fp")), numBits, numHashes).as("__bloom"))
+    val candidates = newDocs
+      .crossJoin(broadcast(bloom))
+      .filter(HashFunctions.bloomMightContain(col("__bloom"),
+        xxhash64(col("fp")), numHashes))
+      .drop("__bloom")
+    candidates.join(oldFps.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+  }
+
   /** Tokenized docs with distinct word-3-gram shingles. */
   def shingled(docs: DataFrame, n: Int = 3): DataFrame =
     docs

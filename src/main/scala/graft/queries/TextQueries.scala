@@ -380,6 +380,50 @@ object TextQueries {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // ---- incremental dedup: which docs of an incoming batch (sources
+  // src10+) already exist in the historical corpus (src0-src9), by
+  // sorted-distinct-token-set fingerprint (bag-of-words normalization —
+  // catches reorderings exact md5 misses). The old side folds into a
+  // broadcast bloom filter; only bloom survivors enter the exact
+  // semi-join (Dedup.incrementalDups), so the result is exactly the
+  // semi-join answer while the batch itself never shuffles.
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val fp = md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))))
+    val docs = Tables.documents(s, dir)
+      .withColumn("src_n", expr("CAST(substring(source, 4, 8) AS INT)"))
+    val oldFps = docs.filter(col("src_n") < 10).select(fp.as("fp"))
+    val newc = docs.filter(col("src_n") >= 10)
+      .select(col("doc_id"), col("source"), fp.as("fp"))
+    val dups = graft.operators.Dedup.incrementalDups(oldFps, newc)
+    val nNew = newc.groupBy(col("source")).agg(count(lit(1)).as("n_new"))
+    val nDup = dups.groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
+    nNew.join(nDup, Seq("source"), "left")
+      .select(col("source"), col("n_new"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_vs_old"),
+        (col("n_new") - coalesce(col("n_dup"), lit(0L))).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val dedupIncrementalSql =
+    """WITH f AS (
+      |  SELECT doc_id, source, CAST(substring(source, 4) AS INT) AS src_n,
+      |    md5(list_aggregate(list_sort(list_distinct(
+      |      list_filter(string_split(text, ' '), t -> t <> ''))), 'string_agg', ' ')) AS fp
+      |  FROM documents
+      |), oldc AS (
+      |  SELECT DISTINCT fp FROM f WHERE src_n < 10
+      |), newc AS (
+      |  SELECT doc_id, source, fp FROM f WHERE src_n >= 10
+      |), base AS (
+      |  SELECT source, COUNT(*) AS n_new FROM newc GROUP BY 1
+      |), d AS (
+      |  SELECT source, COUNT(*) AS n_dup FROM newc
+      |  WHERE fp IN (SELECT fp FROM oldc) GROUP BY 1
+      |)
+      |SELECT b.source, b.n_new, COALESCE(d.n_dup, 0) AS n_dup_vs_old,
+      |  b.n_new - COALESCE(d.n_dup, 0) AS n_kept
+      |FROM base b LEFT JOIN d USING (source) ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_clean", Some(textCleanSql), textClean),
     QueryDef("sample_stratified", Some(sampleStratifiedSql), sampleStratified),
@@ -391,5 +435,6 @@ object TextQueries {
     QueryDef("text_repetition", Some(textRepetitionSql), textRepetition),
     QueryDef("dedup_contamination", Some(gramContaminationSql), gramContamination),
     QueryDef("docs_pack_shards", Some(docsPackShardsSql), docsPackShards),
+    QueryDef("dedup_incremental", Some(dedupIncrementalSql), dedupIncremental),
   )
 }
