@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -54,5 +55,31 @@ object Sampling {
       case (acc, (value, p)) => when(stratum === value, lit(p)).otherwise(acc)
     }
     df.filter(bucket(keys, seed, 100) < pct)
+  }
+
+  /** EXACTLY `cap` rows per stratum (fewer if the stratum is smaller):
+    * rows are ranked inside each stratum by the portable hash (ties ->
+    * key order) and the first `cap` kept — the corpus-mixing /
+    * class-rebalancing step of a training pipeline. Unlike pct-based
+    * hash sampling (~pct%, binomial jitter), the count is exact; like
+    * it, membership is a pure function of (seed, keys) order statistics,
+    * so it's reproducible across runs, partitionings, and engines.
+    *
+    * SCALE: the rank is a per-stratum window — parallel across strata;
+    * within one stratum it is a sort of that stratum's rows in their
+    * hash-partitioned group, never a global single-task sort. A
+    * heavily-skewed giant stratum can pre-thin with hashSample down to
+    * O(cap) expected rows before the exact rank.
+    */
+  def balancedSample(df: DataFrame, stratum: Column, keys: Seq[Column],
+      cap: Int, seed: Long = 0L): DataFrame = {
+    require(cap >= 1, "cap >= 1")
+    val h = conv(substring(md5(concat_ws("|",
+      (lit(seed) +: keys).map(_.cast("string")): _*)), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(stratum).orderBy(h.asc, keys.head.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
   }
 }

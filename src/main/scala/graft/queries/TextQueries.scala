@@ -424,6 +424,31 @@ object TextQueries {
       |  b.n_new - COALESCE(d.n_dup, 0) AS n_kept
       |FROM base b LEFT JOIN d USING (source) ORDER BY source""".stripMargin
 
+  // ---- balanced corpus mixing: exactly 50 docs per language, selected
+  // by portable-hash order statistics (Sampling.balancedSample, seed 7).
+  // id_sum proves the engines picked the SAME 50 docs, not just the same
+  // count.
+  private def sampleBalanced(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.balancedSample(
+        Tables.documents(s, dir), col("lang"), Seq(col("doc_id")),
+        cap = 50, seed = 7L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+
+  private val sampleBalancedSql =
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substring(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn
+      |  FROM h
+      |)
+      |SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM r WHERE rn <= 50 GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_clean", Some(textCleanSql), textClean),
     QueryDef("sample_stratified", Some(sampleStratifiedSql), sampleStratified),
@@ -436,5 +461,6 @@ object TextQueries {
     QueryDef("dedup_contamination", Some(gramContaminationSql), gramContamination),
     QueryDef("docs_pack_shards", Some(docsPackShardsSql), docsPackShards),
     QueryDef("dedup_incremental", Some(dedupIncrementalSql), dedupIncremental),
+    QueryDef("sample_balanced", Some(sampleBalancedSql), sampleBalanced),
   )
 }

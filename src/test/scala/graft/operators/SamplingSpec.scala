@@ -41,4 +41,26 @@ class SamplingSpec extends SparkTestBase {
     assert(byLang("en") < full("en") / 2)
     (full.keySet - "en").foreach(l => assert(byLang(l) === full(l), l))
   }
+
+  test("balanced sample takes exactly cap per stratum, stable across partitionings") {
+    def sampled(parts: Int) =
+      Sampling.balancedSample(docs.repartition(parts), col("lang"),
+        Seq(col("doc_id")), cap = 30, seed = 7L)
+        .select(col("lang"), col("doc_id"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    val a = sampled(2)
+    assert(a === sampled(11), "membership must not depend on partitioning")
+    val perLang = a.groupBy(_._1).view.mapValues(_.size)
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (l, n) =>
+      assert(perLang(l) === math.min(30L, n), s"lang $l")
+    }
+  }
+
+  test("balanced sample keeps whole strata smaller than the cap") {
+    val got = Sampling.balancedSample(docs, col("lang"), Seq(col("doc_id")),
+      cap = 1000000, seed = 7L).count()
+    assert(got === docs.count())
+  }
 }
