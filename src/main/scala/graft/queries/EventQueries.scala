@@ -70,8 +70,27 @@ object EventQueries {
       | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
       |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin
 
+  private def eventsSliding(s: SparkSession, dir: String): DataFrame =
+    EventStreams.slidingCounts(Tables.events(s, dir))
+      .orderBy(col("win_start"), col("event_type"))
+
+  // each event belongs to the 3 slide-aligned windows starting at
+  // bucket(5min, ts) - k*5min, k in 0..2 — the same window set Spark's
+  // window(ts, 15min, 5min) generates (epoch-aligned in both engines)
+  private val eventsSlidingSql =
+    """WITH w AS (
+      |  SELECT event_type, value,
+      |    time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes' AS ws
+      |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+      |)
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("events_tumbling_window", Some(eventsTumblingSql), eventsTumbling),
+    QueryDef("events_sliding_window", Some(eventsSlidingSql), eventsSliding),
     QueryDef("events_sessionize", Some(eventsSessionizeSql), eventsSessionize),
     QueryDef("events_click_attribution",
       Some(eventsClickAttributionSql), eventsClickAttribution),

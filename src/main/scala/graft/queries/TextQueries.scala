@@ -449,6 +449,25 @@ object TextQueries {
       |SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       |FROM r WHERE rn <= 50 GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- vocabulary building: top-30 corpus tokens by occurrence count
+  // with document frequency — the vocab/tokenizer-training precursor.
+  // Pure integer aggregation; (n_occ desc, token) is a total order.
+  private def textVocab(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("token"))
+      .limit(30)
+
+  private val textVocabSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |  FROM documents
+      |)
+      |SELECT token, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM t GROUP BY 1 ORDER BY n_occ DESC, token LIMIT 30""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_clean", Some(textCleanSql), textClean),
     QueryDef("sample_stratified", Some(sampleStratifiedSql), sampleStratified),
@@ -462,5 +481,6 @@ object TextQueries {
     QueryDef("docs_pack_shards", Some(docsPackShardsSql), docsPackShards),
     QueryDef("dedup_incremental", Some(dedupIncrementalSql), dedupIncremental),
     QueryDef("sample_balanced", Some(sampleBalancedSql), sampleBalanced),
+    QueryDef("text_vocab", Some(textVocabSql), textVocab),
   )
 }

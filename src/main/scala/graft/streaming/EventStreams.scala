@@ -31,6 +31,24 @@ object EventStreams {
   def tumblingCountsStream(events: DataFrame): DataFrame =
     tumblingCounts(events.withWatermark("ts", "30 minutes"))
 
+  /** Sliding (hopping) windows: 15-minute windows every 5 minutes, so
+    * each event contributes to exactly 3 windows. window() replicates
+    * the event to its windows BEFORE the shuffle — the per-window state
+    * is an agg buffer (map-side combined), not an event list, and the
+    * streaming watermark closes windows whose end has passed. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "15 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).cast(DoubleType).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming variant with a watermark bounding open-window state. */
+  def slidingCountsStream(events: DataFrame): DataFrame =
+    slidingCounts(events.withWatermark("ts", "30 minutes"))
+
   /** Gap-based sessionization (30-minute inactivity) via window functions —
     * the batch formulation, ANSI-expressible for the oracle. */
   /** Epoch seconds for TIMESTAMP and TIMESTAMP_NTZ alike (NTZ cannot cast

@@ -46,6 +46,34 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("slidingCountsStream over MemoryStream matches the batch plan") {
+    import spark.implicits._
+    val events = Seq(
+      Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(5), 1, "view", 2.0),
+      Ev(3, ts(14), 2, "click", 3.0), Ev(4, ts(16), 2, "view", 4.0),
+      Ev(5, ts(31), 1, "click", 5.0), Ev(6, ts(44), 3, "view", 6.0))
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(events)
+    stream.addData(Seq(Ev(99, tsH(20, 0), 9, "late", 0.0)))
+
+    val q = EventStreams.slidingCountsStream(stream.toDF())
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sliding_out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val expected = EventStreams.slidingCounts(events.toDF())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === expected)
+    // every event must appear in exactly 3 windows: sum of n_events = 3 * |events|
+    val totalBatch = EventStreams.slidingCounts(events.toDF())
+      .agg(sum(col("n_events"))).head().getLong(0)
+    assert(totalBatch === 3L * events.size)
+  }
+
   test("stream-stream click attribution matches the batch interval join") {
     import spark.implicits._
     val events = Seq(
