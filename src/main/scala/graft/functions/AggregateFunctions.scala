@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, TopKByScore}
+import org.apache.spark.sql.graft.{ColumnBridge, MisraGries, TopKByScore}
 
 /** Custom aggregate functions backed by native TypedImperativeAggregates. */
 object AggregateFunctions {
@@ -14,4 +14,12 @@ object AggregateFunctions {
     ColumnBridge.column(
       TopKByScore(ColumnBridge.expression(score),
         ColumnBridge.expression(payload), k).toAggregateExpression())
+
+  /** Misra-Gries heavy-hitters summary: array<struct<item, cnt>> ordered
+    * (cnt desc, item), at most `capacity` entries of state anywhere in
+    * the plan. Estimates are within n/capacity of the true counts, and
+    * exact while distinct items <= capacity. */
+  def heavyHitters(item: Column, capacity: Int): Column =
+    ColumnBridge.column(
+      MisraGries(ColumnBridge.expression(item), capacity).toAggregateExpression())
 }

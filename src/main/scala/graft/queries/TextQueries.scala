@@ -468,6 +468,31 @@ object TextQueries {
       |SELECT token, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
       |FROM t GROUP BY 1 ORDER BY n_occ DESC, token LIMIT 30""".stripMargin
 
+  // ---- heavy hitters via the Misra-Gries sketch (capacity 512): top-10
+  // tokens WITHOUT a token-keyed shuffle — each partition carries a
+  // <=512-entry summary, merged once. Registered where distinct tokens
+  // (~100 here) stay under capacity, so the sketch is provably exact and
+  // the plain GROUP BY oracle must match it bit-for-bit; above capacity
+  // it degrades to the n/capacity error bound (MisraGriesSpec).
+  private def textHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AggregateFunctions.heavyHitters
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .agg(heavyHitters(col("token"), 512).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.item").as("token"), col("e.cnt").as("n_occ"))
+      .orderBy(col("n_occ").desc, col("token"))
+      .limit(10)
+  }
+
+  private val textHeavyHittersSql =
+    """WITH t AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |  FROM documents
+      |)
+      |SELECT token, COUNT(*) AS n_occ
+      |FROM t GROUP BY 1 ORDER BY n_occ DESC, token LIMIT 10""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_clean", Some(textCleanSql), textClean),
     QueryDef("sample_stratified", Some(sampleStratifiedSql), sampleStratified),
@@ -482,5 +507,6 @@ object TextQueries {
     QueryDef("dedup_incremental", Some(dedupIncrementalSql), dedupIncremental),
     QueryDef("sample_balanced", Some(sampleBalancedSql), sampleBalanced),
     QueryDef("text_vocab", Some(textVocabSql), textVocab),
+    QueryDef("text_heavy_hitters", Some(textHeavyHittersSql), textHeavyHitters),
   )
 }
