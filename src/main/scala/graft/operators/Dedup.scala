@@ -322,10 +322,24 @@ object Dedup {
     * rather than returning silently-wrong clusters (for genuinely
     * huge-diameter graphs, switch to large-star/small-star, which
     * converges in O(log n) rounds).
+    *
+    * Pair lists at or under `driverMax` (default = the 1M candidate-set
+    * contract verifyJaccard already enforces upstream) short-circuit to a
+    * driver-side union-find: the same answer, one collect of an
+    * already-bounded list instead of diameter-many distributed rounds —
+    * the IVF-centroid pattern (a provably tiny model may sit on the
+    * driver). The iterative path remains the scale route for pair lists
+    * produced outside that contract.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      driverMax: Long = 1000000L): DataFrame = {
+    // checkpoint BEFORE the u/v-swap union: both edge directions (and
+    // every propagation round) reread the materialized pair list instead
+    // of recomputing the candidate-generation plan per branch
+    val p0 = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    if (p0.count() <= driverMax) return unionFindOnDriver(p0)
+    val edges = p0.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(p0.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint()
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
@@ -354,6 +368,36 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_keeper"))
       .join(sizes, "cluster_keeper")
       .select(col("doc_id"), col("cluster_keeper"), col("n_members"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Union-find (path compression, union-by-min so the root IS the
+    * component minimum) over a driver-collected pair list. Only called on
+    * lists bounded by the verifyJaccard candidate contract. */
+  private def unionFindOnDriver(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent(root) != root) root = parent(root)
+      var cur = x
+      while (parent(cur) != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byRoot = parent.keys.toSeq.map(id => id -> find(id))
+    val sizes = byRoot.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    byRoot.sortBy(_._1)
+      .map { case (id, root) => (id, root, sizes(root)) }
+      .toDF("doc_id", "cluster_keeper", "n_members")
       .orderBy(col("doc_id"))
   }
 

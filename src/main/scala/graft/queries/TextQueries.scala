@@ -312,11 +312,15 @@ object TextQueries {
   // map-side-combinable integer aggregation. Top-20 by (frac desc,
   // doc_id) is a total order — deterministic under ties.
   private def gramContamination(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the posting list feeds BOTH the df count and the
+    // join-back; without it the tokenize+shingle+md5 pipeline (the
+    // expensive part) runs twice. 16 bytes/gram of checkpoint, linear.
     val dg = Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), 8)).as("gram"))
       .select(col("doc_id"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast(LongType).as("gh"))
+      .localCheckpoint()
     val gdf = dg.groupBy(col("gh")).agg(count(lit(1)).as("df"))
     dg.join(gdf, "gh")
       .groupBy(col("doc_id"))

@@ -143,17 +143,23 @@ class DedupSpec extends SparkTestBase {
     assert(got === expected)
   }
 
-  test("connected components merge overlapping pairs transitively") {
+  test("connected components merge overlapping pairs transitively, both paths") {
     import spark.implicits._
     // chain 1-2-3 (one cluster via transitivity), pair 10-11, triangle 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
       .toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(pairs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got === Set(
+    val expected = Set(
       (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
       (10L, 10L, 2L), (11L, 10L, 2L),
-      (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L)))
+      (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L))
+    // driver union-find path (pairs within the bounded-size contract)
+    val viaDriver = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaDriver === expected)
+    // distributed label-propagation path (forced with driverMax = 0)
+    val viaLoop = Dedup.connectedComponents(pairs, driverMax = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaLoop === expected)
   }
 
   test("connected components throw instead of returning unconverged labels") {
@@ -161,10 +167,10 @@ class DedupSpec extends SparkTestBase {
     // path 1-2-3-4-5: min label needs 4 rounds to reach the far end
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
     assertThrows[IllegalStateException] {
-      Dedup.connectedComponents(path, maxIter = 2).collect()
+      Dedup.connectedComponents(path, maxIter = 2, driverMax = 0L).collect()
     }
     // and converges fine with enough rounds
-    val ok = Dedup.connectedComponents(path, maxIter = 8).collect()
+    val ok = Dedup.connectedComponents(path, maxIter = 8, driverMax = 0L).collect()
     assert(ok.map(_.getLong(1)).toSet === Set(1L))
   }
 
