@@ -146,6 +146,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-partition the embedding space, then find near-duplicate
+    * pairs (cosine >= threshold) only WITHIN each cluster — the cluster
+    * plays the role LSH bands play for text near-dedup, bounding the
+    * quadratic step to cell-sized groups. The within-cell pair join is an
+    * equi-join on the cell id (shuffle bounded by sum of cell sizes
+    * squared, never |corpus|^2); the centroid model is the only collected
+    * state. Recall is bounded by cell purity: pairs straddling a cell
+    * boundary are missed, which SemDeDup accepts by design (and
+    * SimilaritySpec floors empirically against the exact tiled pairs).
+    */
+  def semanticDupPairs(embeddings: DataFrame, threshold: Double,
+      dim: Int = Dim, nCentroids: Int = 16, iters: Int = 2,
+      seed: Long = Seed): DataFrame = {
+    val cents = ivfCentroids(embeddings, dim, nCentroids, iters, seed)
+    // checkpoint: the C dot-products-per-row assignment feeds both join
+    // sides; without it the argmax scan runs twice
+    val assigned = embeddings
+      .withColumn("cluster", assignCluster(col("embedding"), cents))
+      .select(col("cluster"), col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("e_a"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("e_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("e_a"), col("e_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Batch ANN: many query vectors against the corpus through the IVF
     * index in ONE plan — each query explodes to its nProbe probe cells,
     * equi-joins the cluster-assigned corpus on the cell id (a bounded

@@ -335,8 +335,16 @@ object SimilarityQueries {
       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // SemDeDup-style semantic dedup: k-means cells bound the quadratic
+  // step; pairs only form within a cell. Rows-only by design — the cell
+  // assignment depends on engine-internal float k-means — with the
+  // subset-of-exact and planted-copy recall contracts in SimilaritySpec.
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", Some(dedupExactSql), dedupExact),
+    QueryDef("dedup_semantic", None, dedupSemantic),
     QueryDef("dedup_minhash_lsh", Some(dedupMinhashSql), dedupMinhash),
     QueryDef("dedup_simhash", Some(dedupSimhashSql), dedupSimhash),
     QueryDef("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),

@@ -497,6 +497,26 @@ object TextQueries {
       |SELECT token, COUNT(*) AS n_occ
       |FROM t GROUP BY 1 ORDER BY n_occ DESC, token LIMIT 10""".stripMargin
 
+  // ---- corpus length profile: fixed-width (10-token) histogram of
+  // document lengths — the sequence-length planning input for packing
+  // and truncation budgets. Pure integer bucketing.
+  private def textLengthHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(size(tokens(col("text"))).cast(LongType).as("n_toks"))
+      .select(expr("n_toks div 10 * 10").as("bucket"), col("n_toks"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+      .orderBy(col("bucket"))
+
+  private val textLengthHistogramSql =
+    """WITH t AS (
+      |  SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_toks
+      |  FROM documents
+      |)
+      |SELECT n_toks // 10 * 10 AS bucket, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks
+      |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_clean", Some(textCleanSql), textClean),
     QueryDef("sample_stratified", Some(sampleStratifiedSql), sampleStratified),
@@ -512,5 +532,6 @@ object TextQueries {
     QueryDef("sample_balanced", Some(sampleBalancedSql), sampleBalanced),
     QueryDef("text_vocab", Some(textVocabSql), textVocab),
     QueryDef("text_heavy_hitters", Some(textHeavyHittersSql), textHeavyHitters),
+    QueryDef("text_length_histogram", Some(textLengthHistogramSql), textLengthHistogram),
   )
 }

@@ -90,6 +90,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(tiled5 === exact)
   }
 
+  test("semantic (cluster-blocked) dedup pairs are a subset of the exact " +
+    "pairs and recover planted near-identical copies") {
+    import spark.implicits._
+    val exact = Similarity.nearDupPairs(emb, threshold = 0.4, maxVectors = 20000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Similarity.semanticDupPairs(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(exact), "cluster blocking must never invent a pair")
+    assert(sem.nonEmpty)
+    // planted near-identical copies (cos > 0.99) sit deep inside their
+    // cell — SemDeDup's actual operating regime — and must all be found
+    val base = emb.filter(col("vec_id") < 5L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val planted = base.map { case (id, v) =>
+      (id + 100000L, v.map(x => x * 1.02f + 0.003f).toSeq, 0)
+    }.toSeq.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+    val corpus = emb.unionByName(planted)
+    val got = Similarity.semanticDupPairs(corpus, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    base.foreach { case (id, _) =>
+      assert(got.contains((id, id + 100000L)), s"planted copy of $id missed")
+    }
+  }
+
   test("banded sign-LSH near-dup recovers planted high-cosine duplicates " +
     "and is a subset of the exact pairs") {
     import spark.implicits._
