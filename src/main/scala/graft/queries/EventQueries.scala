@@ -21,7 +21,7 @@ object EventQueries {
     """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts),
       |                '%Y-%m-%d %H:%M:%S') AS win_start,
       |  event_type, COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private def eventsSessionize(s: SparkSession, dir: String): DataFrame =
@@ -85,7 +85,7 @@ object EventQueries {
       |)
       |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val all: Seq[QueryDef] = Seq(

@@ -25,54 +25,78 @@ object StarQueries {
   private val Dec = DecimalType(18, 2)
   private def dec(c: Column): Column = c.cast(Dec)
 
+  /** Fixed-point sums: a 2-decimal value as integer cents. round(x*100)
+    * lands on the same integer the DECIMAL(18,2) cast would, sums become
+    * codegen'd LONG arithmetic (~2x the decimal aggregation throughput,
+    * exact under any aggregation order), and the final /100.0 is an IEEE
+    * correctly-rounded division — bit-identical to casting the exact
+    * decimal sum to double. Same formula on the DuckDB side. */
+  private def cents(c: Column): Column = round(c * lit(100)).cast(LongType)
+
   // ---- A2/A3/A4: the meta kernel shape: round(sum(j)/(sum(d)-sum(s))*f, 2)
-  // with a zero-denominator NULL guard (Versao_Np.py:65-81). Sums go through
-  // decimal so the ratio's operands are exact; division + round in double.
+  // with a zero-denominator NULL guard (Versao_Np.py:65-81). Sums are
+  // fixed-point (cents; the price*(1-disc) product in 1e-4 units) so the
+  // ratio's operands are exact; division + round in double.
   private def aggRatioKernel(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val num = sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-    val den = sum(dec(col("l_quantity"))) - sum(dec(col("l_tax")))
+    val num = sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+    val den = sum(cents(col("l_quantity"))) - sum(cents(col("l_tax")))
     li.groupBy(col("l_returnflag"))
       .agg(
-        num.cast(DoubleType).as("num_sum"),
-        den.cast(DoubleType).as("den_sum"),
-        when(den === lit(0), lit(null).cast(DoubleType))
-          .otherwise(round(num.cast(DoubleType) / den.cast(DoubleType) * lit(100.0), 2))
+        (num / lit(10000.0)).as("num_sum"),
+        (den / lit(100.0)).as("den_sum"),
+        when(den === lit(0L), lit(null).cast(DoubleType))
+          .otherwise(round((num / lit(10000.0)) / (den / lit(100.0)) * lit(100.0), 2))
           .as("meta_ratio"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
   }
 
   private val aggRatioKernelSql =
-    """SELECT l_returnflag,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS num_sum,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) - SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS den_sum,
-      |  CASE WHEN SUM(CAST(l_quantity AS DECIMAL(18,2))) - SUM(CAST(l_tax AS DECIMAL(18,2))) = 0 THEN NULL
-      |       ELSE ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-      |                  / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) - SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) * 100.0, 2)
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+      |    CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+      |  FROM lineitem
+      |)
+      |SELECT l_returnflag,
+      |  SUM(price_c * (100 - disc_c)) / 10000.0 AS num_sum,
+      |  (SUM(qty_c) - SUM(tax_c)) / 100.0 AS den_sum,
+      |  CASE WHEN SUM(qty_c) - SUM(tax_c) = 0 THEN NULL
+      |       ELSE ROUND((SUM(price_c * (100 - disc_c)) / 10000.0)
+      |                  / ((SUM(qty_c) - SUM(tax_c)) / 100.0) * 100.0, 2)
       |  END AS meta_ratio,
       |  COUNT(*) AS n_rows
-      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---- A1: plain grouped sums (null-skipping), TPC-H Q1 shape.
   private def aggSumsBasic(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
-        (sum(dec(col("l_quantity"))).cast(DoubleType) / count(col("l_quantity"))).as("avg_qty"),
+        (sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / lit(100.0)).as("sum_price"),
+        (sum(cents(col("l_quantity"))) / lit(100.0) / count(col("l_quantity")))
+          .as("avg_qty"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   private val aggSumsBasicSql =
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+    """WITH c AS (
+      |  SELECT l_returnflag, l_linestatus, l_quantity,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      |  FROM lineitem
+      |)
+      |SELECT l_returnflag, l_linestatus,
+      |  SUM(qty_c) / 100.0 AS sum_qty,
+      |  SUM(price_c) / 100.0 AS sum_price,
+      |  SUM(qty_c) / 100.0 / COUNT(l_quantity) AS avg_qty,
       |  COUNT(*) AS n_rows
-      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |FROM c GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // ---- J1: broadcast hash join against a tiny dimension (factors table
@@ -101,14 +125,14 @@ object StarQueries {
       .withColumn("nation_name", coalesce(col("n_name"), lit("UNKNOWN")))
       .groupBy(col("nation_name"))
       .agg(count(lit(1)).as("n_customers"),
-        sum(dec(col("c_acctbal"))).cast(DoubleType).as("sum_bal"))
+        (sum(cents(col("c_acctbal"))) / lit(100.0)).as("sum_bal"))
       .orderBy(col("nation_name"))
   }
 
   private val joinFallbackCoalesceSql =
     """SELECT COALESCE(n.n_name, 'UNKNOWN') AS nation_name,
       |  COUNT(*) AS n_customers,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |  SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS sum_bal
       |FROM customer c LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 15) n
       |  ON c.c_nationkey = n.n_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -148,14 +172,14 @@ object StarQueries {
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
-        sum(dec(col("o_totalprice"))).cast(DoubleType).as("revenue"),
+        (sum(cents(col("o_totalprice"))) / lit(100.0)).as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("c_mktsegment"))
   }
 
   private val joinInnerAggSql =
     """SELECT c_mktsegment,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
       |  COUNT(*) AS n_orders
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
@@ -171,14 +195,14 @@ object StarQueries {
         count(lit(1)).as("n_rows"),
         count(col("o_totalprice")).as("n_price"),
         count(col("o_orderpriority")).as("n_priority"),
-        sum(dec(col("o_totalprice"))).cast(DoubleType).as("sum_price"))
+        (sum(cents(col("o_totalprice"))) / lit(100.0)).as("sum_price"))
   }
 
   private val unionByNameDriftSql =
     """SELECT COUNT(*) AS n_rows,
       |  COUNT(o_totalprice) AS n_price,
       |  COUNT(o_orderpriority) AS n_priority,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
       |FROM (
       |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
       |  UNION ALL BY NAME
@@ -218,23 +242,23 @@ object StarQueries {
       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |) WHERE rk <= 3 ORDER BY c_mktsegment, rk, o_orderkey""".stripMargin
 
-  // ---- running window sum; decimal buffer so segment-tree vs sequential
-  // accumulation order cannot produce fp drift between engines.
+  // ---- running window sum; fixed-point (cents) buffer so segment-tree vs
+  // sequential accumulation order cannot produce fp drift between engines.
   private def windowRunning(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, dir)
       .select(col("o_custkey"), col("o_orderkey"),
-        sum(dec(col("o_totalprice"))).over(w).cast(DoubleType).as("running_total"))
+        (sum(cents(col("o_totalprice"))).over(w) / lit(100.0)).as("running_total"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   private val windowRunningSql =
     """SELECT o_custkey, o_orderkey,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_total
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
   // ---- A6: first-value-per-group via max_by on a unique key
@@ -298,7 +322,7 @@ object StarQueries {
   private def rollupAgg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+      .agg((sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
         count(lit(1)).as("n_rows"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
@@ -309,7 +333,7 @@ object StarQueries {
   private val rollupAggSql =
     """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
       |  COALESCE(l_linestatus, 'ALL') AS status,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
       |  COUNT(*) AS n_rows
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY flag, status""".stripMargin
@@ -391,15 +415,15 @@ object StarQueries {
     Tables.lineitem(s, dir)
       .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
       .groupBy(col("l_returnflag"), col("salt"))
-      .agg(sum(dec(col("l_quantity"))).as("part_qty"), count(lit(1)).as("part_n"))
+      .agg(sum(cents(col("l_quantity"))).as("part_qty"), count(lit(1)).as("part_n"))
       .groupBy(col("l_returnflag"))
-      .agg(sum(col("part_qty")).cast(DoubleType).as("sum_qty"),
+      .agg((sum(col("part_qty")) / lit(100.0)).as("sum_qty"),
         sum(col("part_n")).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
   private val skewSaltedAggSql =
     """SELECT l_returnflag,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
       |  COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
@@ -440,8 +464,8 @@ object StarQueries {
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("o_orderpriority"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-        .cast(DoubleType).as("revenue"))
+      .agg((sum(cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount")))) / lit(10000.0)).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -449,8 +473,8 @@ object StarQueries {
   private val q3ShippingPrioritySql =
     """SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
       |  o.o_orderpriority,
-      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-      |           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |  SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
       |FROM lineitem l
       |JOIN orders o ON l.l_orderkey = o.o_orderkey
       |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -478,16 +502,16 @@ object StarQueries {
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(dims), li("l_suppkey") === dims("s_suppkey"))
       .groupBy(col("n_name"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-        .cast(DoubleType).as("revenue"),
+      .agg((sum(cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount")))) / lit(10000.0)).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   private val q5LocalSupplierSql =
     """SELECT n.n_name,
-      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-      |           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem l
       |JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -15,6 +15,13 @@ object EventStreams {
 
   private val Dec = DecimalType(18, 2)
 
+  /** value summed exactly as integer cents (round(v*100), the fixed-point
+    * convention of StarQueries.cents): aggregation-order independent,
+    * codegen'd long arithmetic instead of decimal buffers, and the final
+    * /100.0 is correctly rounded — bit-matching the oracle. */
+  private def sumCents(c: org.apache.spark.sql.Column) =
+    sum(round(c * lit(100)).cast(LongType)) / lit(100.0)
+
   /** Tumbling 15-minute windows per event_type: count + exact sum.
     * Batch and streaming share this plan; on a stream, apply
     * withWatermark before calling. */
@@ -22,7 +29,7 @@ object EventStreams {
     events
       .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(Dec)).cast(DoubleType).as("sum_value"))
+        sumCents(col("value")).as("sum_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
@@ -40,7 +47,7 @@ object EventStreams {
     events
       .groupBy(window(col("ts"), "15 minutes", "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(Dec)).cast(DoubleType).as("sum_value"))
+        sumCents(col("value")).as("sum_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
