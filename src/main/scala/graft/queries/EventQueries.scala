@@ -88,8 +88,51 @@ object EventQueries {
       |  SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- sequential conversion funnel: signup -> first view after signup
+  // -> first click after that view -> first purchase after that click,
+  // per user. Each stage is one filtered aggregation joined on user_id
+  // (per-user stage frames are one row each — broadcastable at any fact
+  // scale); strict > comparisons make the stages genuinely sequential,
+  // not mere per-type presence.
+  private def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def stage(etype: String, prev: DataFrame, prevTs: String, out: String) =
+      ev.filter(col("event_type") === etype)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevTs))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = stage("view", s1, "t1", "t2")
+    val s3 = stage("click", s2, "t2", "t3")
+    val s4 = stage("purchase", s3, "t3", "t4")
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_then_view")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_then_click")))
+      .crossJoin(s4.agg(count(lit(1)).as("n_then_purchase")))
+  }
+
+  private val eventsFunnelSql =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1
+      |), s4 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1
+      |)
+      |SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+      |  (SELECT COUNT(*) FROM s2) AS n_then_view,
+      |  (SELECT COUNT(*) FROM s3) AS n_then_click,
+      |  (SELECT COUNT(*) FROM s4) AS n_then_purchase""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("events_tumbling_window", Some(eventsTumblingSql), eventsTumbling),
+    QueryDef("events_funnel", Some(eventsFunnelSql), eventsFunnel),
     QueryDef("events_sliding_window", Some(eventsSlidingSql), eventsSliding),
     QueryDef("events_sessionize", Some(eventsSessionizeSql), eventsSessionize),
     QueryDef("events_click_attribution",

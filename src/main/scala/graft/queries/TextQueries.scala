@@ -517,6 +517,49 @@ object TextQueries {
       |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks
       |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---- unigram-surprisal quality scoring (the perplexity-filter shape:
+  // score docs by how unlikely their tokens are under the corpus unigram
+  // LM; outliers are candidates for dropping). Per-token surprisal
+  // ln(N/n_t) is QUANTIZED to integer milli-nats before summing, so the
+  // per-doc sum is exact integer math under any aggregation order — both
+  // engines compute ln on the same rational, round to the same integer,
+  // and the one final division is bit-stable. The token->count model is
+  // a broadcast join (the vocab is tiny relative to the corpus).
+  private def textSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val model = tok.groupBy(col("token")).agg(count(lit(1)).as("n_t"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(broadcast(model), "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("n_total").cast(DoubleType) / col("n_t")) * lit(1000))
+          .cast(LongType).as("millinats"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("millinats")).as("sum_mn"), count(lit(1)).as("n_toks"))
+      .select(col("doc_id"), col("n_toks"),
+        round(col("sum_mn") / lit(1000.0) / col("n_toks"), 4).as("surprisal"))
+      .orderBy(col("surprisal").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  private val textSurprisalSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |  FROM documents
+      |), model AS (
+      |  SELECT token, COUNT(*) AS n_t FROM tok GROUP BY 1
+      |), total AS (
+      |  SELECT COUNT(*) AS n_total FROM tok
+      |), scored AS (
+      |  SELECT t.doc_id,
+      |    CAST(round(ln(CAST(n_total AS DOUBLE) / n_t) * 1000) AS BIGINT) AS millinats
+      |  FROM tok t JOIN model USING (token) CROSS JOIN total
+      |)
+      |SELECT doc_id, COUNT(*) AS n_toks,
+      |  ROUND(SUM(millinats) / 1000.0 / COUNT(*), 4) AS surprisal
+      |FROM scored GROUP BY 1 ORDER BY surprisal DESC, doc_id LIMIT 15""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_clean", Some(textCleanSql), textClean),
     QueryDef("sample_stratified", Some(sampleStratifiedSql), sampleStratified),
@@ -533,5 +576,6 @@ object TextQueries {
     QueryDef("text_vocab", Some(textVocabSql), textVocab),
     QueryDef("text_heavy_hitters", Some(textHeavyHittersSql), textHeavyHitters),
     QueryDef("text_length_histogram", Some(textLengthHistogramSql), textLengthHistogram),
+    QueryDef("text_surprisal", Some(textSurprisalSql), textSurprisal),
   )
 }
