@@ -57,6 +57,38 @@ class PlanShapeSpec extends SparkTestBase {
       s"tiled near-dup must stay an equi-join on tile ids:\n$p")
   }
 
+  test("repetition metrics never shuffle a gram: no explode before the agg") {
+    val p = plan("text_repetition")
+    // one pass of gram_stats per row, then a single partial/final agg on
+    // source — a Generate (explode) node would mean grams hit the exchange
+    assert(!p.contains("Generate"), s"text_repetition must not explode grams:\n$p")
+    assert(p.contains("gram_stats"), p)
+  }
+
+  test("heavy hitters aggregate without a token-keyed exchange") {
+    val p = plan("text_heavy_hitters")
+    // one global ObjectHashAggregate pair over the sketch — the only
+    // exchange is the single-row final merge, never hashpartitioning(token)
+    assert(!p.contains("hashpartitioning(token"),
+      s"misra-gries must not shuffle on the token:\n$p")
+    assert(p.contains("misra_gries"), p)
+  }
+
+  test("incremental dedup probes the bloom without shuffling the batch") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("bloom_might_contain"), p)
+    // the bloom reaches the probe side via a broadcast, and the exact
+    // verify join on the surviving sliver is itself broadcastable here
+    assert(p.contains("BroadcastExchange"), s"bloom must broadcast:\n$p")
+  }
+
+  test("balanced sampling ranks per stratum, never in a single partition") {
+    val p = plan("sample_balanced")
+    assert(!p.contains("SinglePartition") || !p.contains("row_number"),
+      s"per-stratum rank must not run in one task:\n$p")
+    assert(p.contains("hashpartitioning(lang"), s"rank partitioned by stratum:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_simhash")(spark, sf)
     df.collect() // let AQE finalize the stages
