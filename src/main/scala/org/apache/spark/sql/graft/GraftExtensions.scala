@@ -71,6 +71,31 @@ object GraftFunctionRegistry {
         "topk_by(score, payload, k) - top-k payloads by descending score."),
       (args: Seq[Expression]) =>
         TopKByScore(args.head, args(1), intArg(args(2), "topk_by"))),
+    (FunctionIdentifier("gram_stats"),
+      info(classOf[GramStats], "gram_stats",
+        "gram_stats(tokens, n) - struct<n_grams, n_distinct, top_count> " +
+          "word-n-gram multiplicity stats in one pass."),
+      (args: Seq[Expression]) =>
+        GramStats(args.head, intArg(args(1), "gram_stats"))),
+    (FunctionIdentifier("misra_gries"),
+      info(classOf[MisraGries], "misra_gries",
+        "misra_gries(item, capacity) - heavy-hitters summary as " +
+          "array<struct<item, cnt>>; exact while distinct <= capacity."),
+      (args: Seq[Expression]) =>
+        MisraGries(args.head, intArg(args(1), "misra_gries"))),
+    (FunctionIdentifier("bloom_filter_build"),
+      info(classOf[BloomFilterAgg], "bloom_filter_build",
+        "bloom_filter_build(hash, numBits, numHashes) - bloom filter bytes " +
+          "over a pre-hashed long column."),
+      (args: Seq[Expression]) =>
+        BloomFilterAgg(args.head, intArg(args(1), "bloom_filter_build"),
+          intArg(args(2), "bloom_filter_build"))),
+    (FunctionIdentifier("bloom_might_contain"),
+      info(classOf[BloomMightContain], "bloom_might_contain",
+        "bloom_might_contain(bloom, hash, numHashes) - may-contain probe " +
+          "of a bloom_filter_build filter."),
+      (args: Seq[Expression]) =>
+        BloomMightContain(args.head, args(1), intArg(args(2), "bloom_might_contain"))),
   )
 
   /** Imperative registration on an already-built session (tests, REPL). */

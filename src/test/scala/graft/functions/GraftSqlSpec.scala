@@ -45,4 +45,29 @@ class GraftSqlSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("literal integer"))
   }
+
+  test("gram_stats is callable from SQL") {
+    val row = spark.sql(
+      "SELECT gram_stats(array('a','b','a','b'), 2) AS g").head().getStruct(0)
+    assert(row.getLong(0) === 3L && row.getLong(1) === 2L && row.getLong(2) === 2L)
+  }
+
+  test("misra_gries and bloom functions compose in SQL") {
+    val hh = spark.sql(
+      """SELECT misra_gries(t, 8) AS mg
+        |FROM (SELECT explode(array('x','y','x','z','x')) AS t)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.head.getString(0) === "x" && hh.head.getLong(1) === 3L)
+
+    val probe = spark.sql(
+      """WITH b AS (
+        |  SELECT bloom_filter_build(xxhash64(t), 4096, 3) AS bl
+        |  FROM (SELECT explode(array('in1','in2')) AS t)
+        |)
+        |SELECT bloom_might_contain(bl, xxhash64('in1'), 3) AS hit,
+        |       bloom_might_contain(bl, xxhash64('definitely-not'), 3) AS miss
+        |FROM b""".stripMargin).head()
+    assert(probe.getBoolean(0) === true)
+    assert(probe.getBoolean(1) === false)
+  }
 }

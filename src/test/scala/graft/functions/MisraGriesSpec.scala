@@ -42,6 +42,27 @@ class MisraGriesSpec extends SparkTestBase {
     assert(est <= 2000L && est >= 2000L - bound, s"estimate $est")
   }
 
+  test("streaming heavy hitters (update mode) converge to the batch counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val stream = MemoryStream[String](spark)
+    val agg = stream.toDF().toDF("item")
+      .agg(AggregateFunctions.heavyHitters(col("item"), 32).as("mg"))
+    val q = agg.writeStream.format("memory").queryName("mg_out")
+      .outputMode("update").start()
+    try {
+      stream.addData("a", "b", "a")
+      q.processAllAvailable()
+      stream.addData("a", "c", "b", "a")
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("mg_out").collect()
+    val latest = rows.last.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // distinct (3) < capacity (32) -> incremental counts are exact
+    assert(latest === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+  }
+
   test("sketch top-10 equals the exact top-10 on the documents corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(explode(TextFunctions.tokens(col("text"))).as("item"))
