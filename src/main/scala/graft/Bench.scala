@@ -46,7 +46,12 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // record the noise regime alongside the numbers: this machine's other
+    // tenants inflate timings 2-3x (documented in README/benchsmoke), so a
+    // bench artifact is only interpretable WITH its load average
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","loadavg_1m":$load}""")
     spark.stop()
   }
 }
