@@ -75,9 +75,16 @@ object SimilarityQueries {
   // a full oracle for a windowed-fingerprint dedup, valid for any
   // corpus, not a data-dependent coincidence. Engine-internal runs keep
   // the default xxhash64 fold (no md5 cost per gram).
+  // maxCandidates raised above the 1M ad-hoc default: winnowing's
+  // candidate set is provably post-blocking (shared distinct window-min
+  // fingerprints, minShared >= 2), and on a heavily-duplicated corpus the
+  // TRUE pair count itself approaches the candidate count (a 10x
+  // replicated corpus has ~1M genuine duplicate pairs — observed 1.035M
+  // candidates at sf~1), so the bound must scale with duplicate mass,
+  // not sit at the unblocked-input tripwire.
   private def dedupWinnowing(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowingPairs(Tables.documents(s, dir), threshold = 0.2,
-      portableHash = true)
+      portableHash = true, maxCandidates = 16000000L)
 
   private val dedupWinnowingSql =
     """WITH toked AS (
