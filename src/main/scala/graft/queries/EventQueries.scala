@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -90,26 +90,35 @@ object EventQueries {
 
   // ---- sequential conversion funnel: signup -> first view after signup
   // -> first click after that view -> first purchase after that click,
-  // per user. Each stage is one filtered aggregation joined on user_id
-  // (per-user stage frames are one row each — broadcastable at any fact
-  // scale); strict > comparisons make the stages genuinely sequential,
-  // not mere per-type presence.
+  // per user. ONE user-partitioned shuffle: each stage's timestamp is a
+  // whole-partition window min over the previous stage's column (strict
+  // > comparisons make the stages genuinely sequential, not mere
+  // per-type presence), then a single global count of users per reached
+  // stage. The per-user event group is the unit of state — the shape
+  // that scales to any fact size with per-user cardinality bounded.
   private def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    def stage(etype: String, prev: DataFrame, prevTs: String, out: String) =
-      ev.filter(col("event_type") === etype)
-        .join(prev, "user_id")
-        .filter(col("ts") > col(prevTs))
-        .groupBy(col("user_id")).agg(min(col("ts")).as(out))
-    val s1 = ev.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val s2 = stage("view", s1, "t1", "t2")
-    val s3 = stage("click", s2, "t2", "t3")
-    val s4 = stage("purchase", s3, "t3", "t4")
-    s1.agg(count(lit(1)).as("n_signup"))
-      .crossJoin(s2.agg(count(lit(1)).as("n_then_view")))
-      .crossJoin(s3.agg(count(lit(1)).as("n_then_click")))
-      .crossJoin(s4.agg(count(lit(1)).as("n_then_purchase")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    def firstAfter(etype: String, prevTs: Column): Column =
+      min(when(col("event_type") === etype && col("ts") > prevTs, col("ts")))
+        .over(w)
+    Tables.events(s, dir)
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t2", firstAfter("view", col("t1")))
+      .withColumn("t3", firstAfter("click", col("t2")))
+      .withColumn("t4", firstAfter("purchase", col("t3")))
+      // stage times are constant per user: collapse to one row per user
+      // (no extra shuffle — same partitioning as the window), then count
+      // non-nulls; a countDistinct-per-stage would Expand every event 4x
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("u1"), max(col("t2")).as("u2"),
+        max(col("t3")).as("u3"), max(col("t4")).as("u4"))
+      .agg(
+        count(col("u1")).as("n_signup"),
+        count(col("u2")).as("n_then_view"),
+        count(col("u3")).as("n_then_click"),
+        count(col("u4")).as("n_then_purchase"))
   }
 
   private val eventsFunnelSql =

@@ -32,8 +32,13 @@ object SimilarityQueries {
   // Lower thresholds (where banding genuinely trades recall for work)
   // remain available on Dedup.minhashPairs and are recall-specced in
   // DedupSpec.
+  // maxCandidates raised like dedup_winnowing's: at threshold 0.9 the
+  // banded candidates are almost all TRUE duplicate pairs, so the bound
+  // must scale with duplicate mass (a 10x-replicated corpus has ~1M
+  // genuine pairs), not sit at the unblocked-input tripwire.
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.9)
+    Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.9,
+      maxCandidates = 16000000L)
 
   // registered with portableHash = true: chunk blocking is exact-recall
   // (pigeonhole), so the output is the all-pairs hamming <= 3 answer for
