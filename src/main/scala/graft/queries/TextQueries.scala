@@ -560,6 +560,42 @@ object TextQueries {
       |  ROUND(SUM(millinats) / 1000.0 / COUNT(*), 4) AS surprisal
       |FROM scored GROUP BY 1 ORDER BY surprisal DESC, doc_id LIMIT 15""".stripMargin
 
+  // ---- shard manifest: the artifact a training job consumes — for each
+  // packed shard, its doc count, token budget usage, id range, and a
+  // CONTENT hash (md5 over the per-doc md5s concatenated in doc_id
+  // order) that pins the exact byte content of the shard, so a rerun on
+  // any engine can prove shard-for-shard equality before training.
+  private def docsManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("w"),
+        md5(col("text")).as("fp"))
+    graft.operators.Packing.packShards(docs, col("doc_id"), col("w"), 5000L)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sum_toks"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        md5(concat_ws("", array_sort(collect_list(struct(col("doc_id"), col("fp"))))
+          .getField("fp"))).as("content_hash"))
+      .orderBy(col("shard"))
+  }
+
+  private val docsManifestSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w,
+      |    md5(text) AS fp
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, w, fp,
+      |    COALESCE(SUM(w) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM t
+      |)
+      |SELECT CAST(cum // 5000 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(w) AS BIGINT) AS sum_toks,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+      |  md5(string_agg(fp, '' ORDER BY doc_id)) AS content_hash
+      |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_clean", Some(textCleanSql), textClean),
     QueryDef("sample_stratified", Some(sampleStratifiedSql), sampleStratified),
@@ -577,5 +613,6 @@ object TextQueries {
     QueryDef("text_heavy_hitters", Some(textHeavyHittersSql), textHeavyHitters),
     QueryDef("text_length_histogram", Some(textLengthHistogramSql), textLengthHistogram),
     QueryDef("text_surprisal", Some(textSurprisalSql), textSurprisal),
+    QueryDef("docs_manifest", Some(docsManifestSql), docsManifest),
   )
 }
