@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, size, sum}
 
 import graft.{QueryDef, Tables}
 import graft.operators.{Dedup, Similarity}
@@ -185,8 +186,9 @@ object SimilarityQueries {
     Dedup.connectedComponents(
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.2))
 
-  private val dedupClustersSql = {
-    val pairsOnly =
+  // the jaccard-0.2 pair list as a standalone SQL body (shared by the
+  // clusters oracle and the end-to-end pipeline oracle)
+  private val jaccardPairsOnlySql =
       """WITH toked AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
         |  FROM documents
@@ -206,7 +208,9 @@ object SimilarityQueries {
         |SELECT doc_a, doc_b
         |FROM pairs JOIN sized sa ON doc_a = sa.doc_id JOIN sized sb ON doc_b = sb.doc_id
         |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.2""".stripMargin
-    s"""WITH RECURSIVE p AS ($pairsOnly),
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE p AS ($jaccardPairsOnlySql),
       |edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION ALL SELECT doc_b, doc_a FROM p),
       |reach AS (
       |  SELECT DISTINCT u AS id, u AS lab FROM edges
@@ -218,7 +222,54 @@ object SimilarityQueries {
       |SELECT l.id AS doc_id, l.cluster_keeper, s.n_members
       |FROM labels l JOIN sizes s USING (cluster_keeper)
       |ORDER BY doc_id""".stripMargin
+
+  // ---- the pipeline, end to end: near-dup clusters -> keep one doc per
+  // cluster -> pack the surviving corpus into 5000-token shards. One
+  // composed lazy plan across three operator families (Dedup blocking +
+  // connected components, anti-join survivor selection, Packing's
+  // two-phase prefix sum) — the shape a real training-data preparation
+  // run executes, oracle-checked end to end.
+  private def pipelineDedupPack(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(s, dir)
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, threshold = 0.2))
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_keeper"))
+      .select(col("doc_id"))
+    val survivors = docs.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(org.apache.spark.sql.types.LongType).as("w"))
+    graft.operators.Packing.packShards(survivors, col("doc_id"), col("w"), 5000L)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sum_toks"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
   }
+
+  private val pipelineDedupPackSql =
+    s"""WITH RECURSIVE p AS ($jaccardPairsOnlySql),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach AS (
+      |  SELECT DISTINCT u AS id, u AS lab FROM edges
+      |  UNION
+      |  SELECT e.u AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.v
+      |),
+      |labels AS (SELECT id, MIN(lab) AS cluster_keeper FROM reach GROUP BY id),
+      |losers AS (SELECT id FROM labels WHERE id <> cluster_keeper),
+      |surv AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w
+      |  FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+      |), c AS (
+      |  SELECT doc_id, w,
+      |    COALESCE(SUM(w) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM surv
+      |)
+      |SELECT CAST(cum // 5000 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(w) AS BIGINT) AS sum_toks,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
 
   private def simTopkBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
@@ -361,6 +412,7 @@ object SimilarityQueries {
     QueryDef("dedup_simhash", Some(dedupSimhashSql), dedupSimhash),
     QueryDef("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
     QueryDef("dedup_clusters", Some(dedupClustersSql), dedupClusters),
+    QueryDef("pipeline_dedup_pack", Some(pipelineDedupPackSql), pipelineDedupPack),
     QueryDef("dedup_winnowing", Some(dedupWinnowingSql), dedupWinnowing),
     QueryDef("sim_topk_brute", Some(simTopkBruteSql), simTopkBrute),
     QueryDef("sim_topk_quantized", Some(simTopkQuantizedSql), simTopkQuantized),
