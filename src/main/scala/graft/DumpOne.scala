@@ -1,5 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev utility: dump one or more named queries' outputs as parquet for a
+  * targeted oracle compare (a full Verify re-run is minutes at larger
+  * scale factors). Usage: runMain graft.DumpOne <sfDir> <outDir> <name...>
+  */
 object DumpOne {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -7,8 +12,11 @@ object DumpOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    SparkEntry.queries(args(0))(spark, args(1))
-      .write.mode("overwrite").parquet(args(2) + "/" + args(0))
+    args.drop(2).foreach { name =>
+      SparkEntry.queries(name)(spark, args(0))
+        .write.mode("overwrite").parquet(args(1) + "/" + name)
+      println(s"[dump] $name done")
+    }
     spark.stop()
   }
 }
