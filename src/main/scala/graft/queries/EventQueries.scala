@@ -139,8 +139,52 @@ object EventQueries {
       |  (SELECT COUNT(*) FROM s3) AS n_then_click,
       |  (SELECT COUNT(*) FROM s4) AS n_then_purchase""".stripMargin
 
+  // ---- z-score anomaly counts per event type (the metric-outlier
+  // data-quality screen). Both moments accumulate as EXACT integers
+  // (cents and squared cents), so mean and std are identical doubles in
+  // both engines regardless of aggregation order, and the 2-sigma
+  // predicate can't straddle engines. Stats are one tiny broadcast back
+  // onto the fact scan.
+  private def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_type"),
+      round(col("value") * lit(100)).cast("long").as("vc"))
+    val stats = base.groupBy(col("event_type"))
+      .agg(sum(col("vc")).as("s1"), sum(col("vc") * col("vc")).as("s2"),
+        count(lit(1)).as("n"))
+    base.join(broadcast(stats), "event_type")
+      .withColumn("mean", col("s1") / lit(100.0) / col("n"))
+      .withColumn("std",
+        sqrt(col("s2") / lit(10000.0) / col("n") - col("mean") * col("mean")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        count(when(abs(col("vc") / lit(100.0) - col("mean")) > lit(2.0) * col("std"), 1))
+          .as("n_outliers"),
+        round(max(col("mean")), 4).as("mean_value"),
+        round(max(col("std")), 4).as("std_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val eventsAnomalySql =
+    """WITH c AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+      |), st AS (
+      |  SELECT event_type, SUM(vc) AS s1, SUM(vc * vc) AS s2, COUNT(*) AS n
+      |  FROM c GROUP BY 1
+      |), j AS (
+      |  SELECT c.event_type, vc, n,
+      |    s1 / 100.0 / n AS mean,
+      |    sqrt(s2 / 10000.0 / n - (s1 / 100.0 / n) * (s1 / 100.0 / n)) AS std
+      |  FROM c JOIN st USING (event_type)
+      |)
+      |SELECT event_type, MAX(n) AS n_events,
+      |  COUNT(CASE WHEN abs(vc / 100.0 - mean) > 2.0 * std THEN 1 END) AS n_outliers,
+      |  ROUND(MAX(mean), 4) AS mean_value,
+      |  ROUND(MAX(std), 4) AS std_value
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("events_tumbling_window", Some(eventsTumblingSql), eventsTumbling),
+    QueryDef("events_anomaly", Some(eventsAnomalySql), eventsAnomaly),
     QueryDef("events_funnel", Some(eventsFunnelSql), eventsFunnel),
     QueryDef("events_sliding_window", Some(eventsSlidingSql), eventsSliding),
     QueryDef("events_sessionize", Some(eventsSessionizeSql), eventsSessionize),
