@@ -182,8 +182,31 @@ object EventQueries {
       |  ROUND(MAX(std), 4) AS std_value
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- semi-structured extraction: pull a typed field out of the JSON
+  // props column in the scan (codegen'd get_json_object path — no UDF,
+  // no schema inference job) and aggregate it. Exact integer sums.
+  private def eventsJsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_parsed"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  private val eventsJsonPropsSql =
+    """WITH p AS (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events
+      |)
+      |SELECT event_type, COUNT(k) AS n_parsed, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("events_tumbling_window", Some(eventsTumblingSql), eventsTumbling),
+    QueryDef("events_json_props", Some(eventsJsonPropsSql), eventsJsonProps),
     QueryDef("events_anomaly", Some(eventsAnomalySql), eventsAnomaly),
     QueryDef("events_funnel", Some(eventsFunnelSql), eventsFunnel),
     QueryDef("events_sliding_window", Some(eventsSlidingSql), eventsSliding),
