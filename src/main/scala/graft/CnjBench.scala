@@ -26,10 +26,10 @@ object CnjBench {
     val inDir = args(0)
     val outDir = if (args.length > 1) args(1) else "/tmp/cnj_bench_out"
     val load = ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    val corpusBytes = {
-      val d = new java.io.File(inDir)
-      Option(d.listFiles()).map(_.filter(_.isFile).map(_.length()).sum).getOrElse(0L)
-    }
+    val corpusFiles = Option(new java.io.File(inDir).listFiles())
+      .map(_.filter(_.isFile)).getOrElse(Array.empty[java.io.File])
+    val corpusBytes = corpusFiles.map(_.length()).sum
+    val nFiles = corpusFiles.length
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the corpus is 90 files, the largest ~119 MB: at the default 128 MB
@@ -68,7 +68,7 @@ object CnjBench {
     val total = (System.nanoTime() - t0) / 1e9
     val phaseJson = phases.map { case (k, v) => f""""$k":$v%.2f""" }.mkString(",")
     println(
-      f"""{"metric":"cnj_bench_total_sec","value":$total%.2f,"unit":"sec","phases":{$phaseJson},"corpus_bytes":$corpusBytes,"n_files":90,"loadavg_1m":$load%.2f}""")
+      f"""{"metric":"cnj_bench_total_sec","value":$total%.2f,"unit":"sec","phases":{$phaseJson},"corpus_bytes":$corpusBytes,"n_files":$nFiles,"loadavg_1m":$load%.2f}""")
     spark.stop()
   }
 }

@@ -34,7 +34,10 @@ object Dedup {
     * batch never shuffles. Only bloom survivors (true dups + the ~
     * (1-e^(-kn/m))^k false-positive sliver) enter the exact semi-join that
     * removes false positives, so the final answer is EXACTLY the semi-join
-    * answer while the shuffle carries the candidate sliver, not the batch.
+    * answer while the batch side of the shuffle carries the candidate
+    * sliver, not the batch. (The history side still exchanges its `fp`
+    * column once for the semi-join — left_semi deduplicates on its own, so
+    * no separate distinct pass is paid.)
     * Both inputs need an `fp` column; `newDocs` keeps its other columns.
     */
   def incrementalDups(oldFps: DataFrame, newDocs: DataFrame,
@@ -46,7 +49,7 @@ object Dedup {
       .filter(HashFunctions.bloomMightContain(col("__bloom"),
         xxhash64(col("fp")), numHashes))
       .drop("__bloom")
-    candidates.join(oldFps.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+    candidates.join(oldFps.select(col("fp")), Seq("fp"), "left_semi")
   }
 
   /** Tokenized docs with distinct word-3-gram shingles. */

@@ -31,12 +31,18 @@ object Packing {
 
   /** Adds `shard` (long) to `df`. `orderCol` must be a unique total order
     * (ties would make the cumsum — and so the packing — partition-order
-    * dependent). `weight` is coerced to long, null -> 0. */
+    * dependent). `weight` is coerced to long, null -> 0; NEGATIVE weights
+    * are rejected at evaluation time (raise_error in the same pass, no
+    * extra scan): a negative running sum would also break the `div`
+    * (truncate-toward-zero) vs SQL `//` (floor) equivalence the oracle
+    * relies on — the two only agree on non-negative numerators. */
   def packShards(df: DataFrame, orderCol: Column, weight: Column,
       budget: Long, numParts: Int = 32): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    val w = coalesce(weight.cast("long"), lit(0L))
     val base = df
-      .withColumn("_w", coalesce(weight.cast("long"), lit(0L)))
+      .withColumn("_w", when(w >= 0, w).otherwise(raise_error(
+        concat(lit("packShards: negative weight "), w.cast("string")))))
       .repartitionByRange(numParts, orderCol)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()

@@ -144,12 +144,19 @@ object EventQueries {
   // (cents and squared cents), so mean and std are identical doubles in
   // both engines regardless of aggregation order, and the 2-sigma
   // predicate can't straddle engines. Stats are one tiny broadcast back
-  // onto the fact scan.
+  // onto the fact scan. The squared moment goes through decimal(38,0):
+  // a long*long product overflows (and throws under ANSI) at |value| >
+  // ~30M cents^2-wise, while DuckDB's SUM(BIGINT) silently widens to
+  // HUGEINT — decimal keeps the Spark side exact AND non-divergent, and
+  // the decimal->double conversion at the /10000.0 step is the same
+  // correctly-rounded double DuckDB gets from HUGEINT.
   private def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.events(s, dir).select(col("event_type"),
       round(col("value") * lit(100)).cast("long").as("vc"))
     val stats = base.groupBy(col("event_type"))
-      .agg(sum(col("vc")).as("s1"), sum(col("vc") * col("vc")).as("s2"),
+      .agg(sum(col("vc")).as("s1"),
+        sum(col("vc").cast("decimal(19,0)") * col("vc").cast("decimal(19,0)"))
+          .as("s2"),
         count(lit(1)).as("n"))
     base.join(broadcast(stats), "event_type")
       .withColumn("mean", col("s1") / lit(100.0) / col("n"))

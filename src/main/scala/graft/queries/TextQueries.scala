@@ -521,10 +521,15 @@ object TextQueries {
   // score docs by how unlikely their tokens are under the corpus unigram
   // LM; outliers are candidates for dropping). Per-token surprisal
   // ln(N/n_t) is QUANTIZED to integer milli-nats before summing, so the
-  // per-doc sum is exact integer math under any aggregation order — both
-  // engines compute ln on the same rational, round to the same integer,
-  // and the one final division is bit-stable. The token->count model is
-  // a broadcast join (the vocab is tiny relative to the corpus).
+  // per-doc sum is exact integer math under any aggregation order. Both
+  // engines compute ln on the same rational, but libm log is not
+  // correctly rounded: a 1-ulp JVM-vs-DuckDB difference landing exactly
+  // on a .5 milli-nat boundary (~1e-9/token odds) could flip the rounded
+  // integer — the cross-engine guarantee is probabilistic, not exact, so
+  // an oracle mismatch here is investigated as quantization-boundary
+  // noise before logic. (Same caveat: text_bm25's 4-decimal rounding.)
+  // The token->count model is a broadcast join (the vocab is tiny
+  // relative to the corpus).
   private def textSurprisal(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))

@@ -59,4 +59,16 @@ class PackingSpec extends SparkTestBase {
     // cum before: 1->0, 2->5, 3->5, 4->5 ; floor(/6): 0,0,0,0
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
+
+  test("negative weights are rejected, not silently mis-packed") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (2L, -3L), (3L, 7L)).toDF("id", "w")
+    val ex = intercept[Exception] {
+      Packing.packShards(df, col("id"), col("w"), 6L, numParts = 2)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("negative weight")), ex.toString)
+  }
 }
