@@ -71,6 +71,15 @@ object TextFunctions {
     ColumnBridge.column(WordShingles(ColumnBridge.expression(toks), n))
   }
 
+  /** ALL word n-gram occurrences in document order (multiset semantics —
+    * the occurrence-counting input for collocation/PMI statistics). Same
+    * codegen'd single pass as [[shingles]]. */
+  def shinglesAll(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, WordShingles}
+    ColumnBridge.column(
+      WordShingles(ColumnBridge.expression(toks), n, distinct = false))
+  }
+
   /** Per-document gram-multiplicity stats struct<n_grams, n_distinct,
     * top_count> in one codegen'd pass — the repetition-filter primitive
     * (no explode, no per-gram shuffle). */

@@ -275,6 +275,41 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Blocked k-NN graph: each vector's exact top-`k` cosine neighbors
+    * WITHIN its block (here the label column; in a full pipeline the
+    * block is an IVF cell or shard assignment). The graph-construction
+    * shape behind SemDeDup, kNN-classification and graph-based ANN
+    * indexes: an equi-join on the block id co-partitions the quadratic
+    * step (never an all-pairs join), and the per-source ranking runs
+    * inside the SAME block partitioning — hash(block) co-locates every
+    * (block, src) group, so EnsureRequirements inserts no second
+    * exchange for the window, just a partition-local sort. Cost is
+    * sum(|block|^2) dots, bounded by the largest block, not the corpus.
+    */
+  def knnGraphWithinBlocks(embeddings: DataFrame, blockCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings
+      .select(col(blockCol).as("blk"), col("vec_id"), col("embedding"),
+        vecNorm(col("embedding")).as("nrm"))
+    val a = e.select(col("blk"), col("vec_id").as("src_id"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("blk"), col("vec_id").as("dst_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("blk"), col("src_id"))
+      .orderBy(col("cos_raw").desc, col("dst_id"))
+    a.join(b, "blk")
+      .filter(col("src_id") =!= col("dst_id"))
+      .withColumn("cos_raw",
+        when(col("na") * col("nb") =!= 0.0,
+          vecDot(col("ea"), col("eb")) / (col("na") * col("nb"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("src_id"), col("rnk").cast(LongType).as("knn_rank"),
+        col("dst_id"), round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy(col("src_id"), col("knn_rank"))
+  }
+
   /** Near-duplicate pairs via sign-LSH banding + exact cosine verify —
     * the candidates->verify shape of Dedup.minhashPairs applied to
     * embeddings, for the regime where it works: genuine near-duplicates

@@ -211,8 +211,71 @@ object EventQueries {
       |  MIN(k) AS min_k, MAX(k) AS max_k
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- weekly cohort retention (the engagement-decay table every
+  // product analytics stack derives). Weeks are pure integer epoch
+  // arithmetic (floor(epoch_seconds / 604800)) — no calendar/timezone
+  // semantics to diverge across engines. ONE user-keyed shuffle: the
+  // per-user week set is collected in the same aggregation that takes
+  // the cohort min, then exploded — per-user state is bounded by the
+  // number of distinct weeks in the corpus, so the shape holds at any
+  // fact size.
+  private def eventsRetention(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 604800").as("wk"))
+      .groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"), collect_set(col("wk")).as("wks"))
+      .select(col("cohort_week"), explode(col("wks")).as("wk"))
+      .groupBy(col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+
+  private val eventsRetentionSql =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 1000 // 604800 AS wk
+      |  FROM events
+      |), c AS (
+      |  SELECT user_id, wk,
+      |    MIN(wk) OVER (PARTITION BY user_id) AS cohort_week
+      |  FROM uw
+      |)
+      |SELECT cohort_week, wk - cohort_week AS week_offset,
+      |  COUNT(*) AS n_users
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- event-type transition matrix (the Markov-chain input for
+  // behavioral modeling / next-event prediction): count of consecutive
+  // (from, to) event-type pairs per user. One user-keyed shuffle for the
+  // lag window (per-user partitions — bounded state at any scale), then
+  // a tiny |types|^2 aggregation. (ts, event_id) is a deterministic
+  // total order within a user on both engines.
+  private def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val eventsTransitionsSql =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS from_type
+      |  FROM events
+      |)
+      |SELECT from_type, event_type AS to_type, COUNT(*) AS n_transitions
+      |FROM s WHERE from_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("events_tumbling_window", Some(eventsTumblingSql), eventsTumbling),
+    QueryDef("events_retention", Some(eventsRetentionSql), eventsRetention),
+    QueryDef("events_transitions", Some(eventsTransitionsSql), eventsTransitions),
     QueryDef("events_json_props", Some(eventsJsonPropsSql), eventsJsonProps),
     QueryDef("events_anomaly", Some(eventsAnomalySql), eventsAnomaly),
     QueryDef("events_funnel", Some(eventsFunnelSql), eventsFunnel),

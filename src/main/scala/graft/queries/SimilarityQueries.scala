@@ -398,6 +398,31 @@ object SimilarityQueries {
       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // blocked k-NN graph: exact top-3 neighbors within each label block.
+  // The label plays the role an IVF cell or shard id plays at scale —
+  // the equi-join on it bounds the quadratic step (see
+  // Similarity.knnGraphWithinBlocks). Fully deterministic (f64 cosine,
+  // dst_id tie-break), so DuckDB replays it exactly.
+  private def simKnnGraph(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphWithinBlocks(Tables.embeddings(s, dir), "label", k = 3)
+
+  private val simKnnGraphSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), p AS (
+      |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+      |    list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cr
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+      |), r AS (
+      |  SELECT src_id, dst_id, cr,
+      |    row_number() OVER (PARTITION BY src_id ORDER BY cr DESC, dst_id) AS knn_rank
+      |  FROM p
+      |)
+      |SELECT src_id, CAST(knn_rank AS BIGINT) AS knn_rank, dst_id,
+      |  ROUND(cr, 6) AS cos_sim
+      |FROM r WHERE knn_rank <= 3 ORDER BY src_id, knn_rank""".stripMargin
+
   // SemDeDup-style semantic dedup: k-means cells bound the quadratic
   // step; pairs only form within a cell. Rows-only by design — the cell
   // assignment depends on engine-internal float k-means — with the
@@ -420,5 +445,6 @@ object SimilarityQueries {
     QueryDef("sim_topk_batch", None, simTopkBatch),
     QueryDef("embed_neardup_cosine", Some(embedNearDupSql), embedNearDup),
     QueryDef("embed_neardup_blocked", Some(embedNearDupBlockedSql), embedNearDupBlocked),
+    QueryDef("sim_knn_graph", Some(simKnnGraphSql), simKnnGraph),
   )
 }

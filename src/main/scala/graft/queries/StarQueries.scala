@@ -524,6 +524,48 @@ object StarQueries {
       |GROUP BY n.n_name
       |ORDER BY revenue DESC, n.n_name""".stripMargin
 
+  // ---- TPC-H Q10 shape: returned-item revenue per customer — fact
+  // filtered on both sides (return flag on lineitem, one orderdate
+  // quarter on orders, both predicates pushed to the scans), customer
+  // joined on the shuffled key (a large dim at scale — NOT broadcast;
+  // AQE may still elect to at test SF), nation broadcast, top-20 by
+  // exact fixed-point-cents revenue. acctbal passes through MAX
+  // unrounded (it is functionally dependent on the group key, and
+  // re-rounding a double invites half-even-vs-half-up divergence).
+  private def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast(TimestampType)
+    val hi = lit("1996-04-01").cast(TimestampType)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg((sum(cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount")))) / lit(10000.0)).as("revenue"),
+        max(col("c_acctbal")).as("acctbal"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10ReturnedItemsSql =
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+      |  SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+      |  MAX(c.c_acctbal) AS acctbal
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE l.l_returnflag = 'R'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin
+
   // ---- pivot: one row per priority, one count column per order status
   // (wide-format reshaping; explicit value list keeps the plan static —
   // at scale an unpinned pivot needs a distinct-values job first).
@@ -566,6 +608,7 @@ object StarQueries {
     QueryDef("set_intersect_except", Some(setIntersectExceptSql), setIntersectExcept),
     QueryDef("q3_shipping_priority", Some(q3ShippingPrioritySql), q3ShippingPriority),
     QueryDef("q5_local_supplier", Some(q5LocalSupplierSql), q5LocalSupplier),
+    QueryDef("q10_returned_items", Some(q10ReturnedItemsSql), q10ReturnedItems),
     QueryDef("agg_ratio_kernel", Some(aggRatioKernelSql), aggRatioKernel),
     QueryDef("agg_topk_per_group", Some(aggTopkPerGroupSql), aggTopkPerGroup),
     QueryDef("agg_sums_basic", Some(aggSumsBasicSql), aggSumsBasic),

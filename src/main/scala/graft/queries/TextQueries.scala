@@ -601,8 +601,113 @@ object TextQueries {
       |  md5(string_agg(fp, '' ORDER BY doc_id)) AS content_hash
       |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // ---- bigram collocation mining via PMI (the phrase/tokenizer-merge
+  // discovery statistic): top-20 bigrams by pointwise mutual information
+  // among those occurring >= 5 times. Bigram extraction is a codegen'd
+  // per-row pass (shinglesAll — multiset, no shuffle beyond the two
+  // count aggregations); unigram and total counts come back as broadcast
+  // joins, so the corpus-sized side never reshuffles. PMI is quantized
+  // to integer milli-nats with the same probabilistic cross-engine
+  // caveat as text_surprisal (both engines ln the same rational; a
+  // 1-ulp libm difference at a .5 milli-nat boundary is ~1e-9/gram).
+  private def textCollocations(s: SparkSession, dir: String): DataFrame = {
+    val toked = Tables.documents(s, dir).select(tokens(col("text")).as("toks"))
+    val uni = toked.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val nUni = uni.agg(sum(col("c_w")).as("n_uni"))
+    val bi = toked.select(explode(shinglesAll(col("toks"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+    val nBi = bi.agg(sum(col("c_ab")).as("n_bi"))
+    bi.filter(col("c_ab") >= 5)
+      .withColumn("w1", split_part(col("bg"), lit(" "), lit(1)))
+      .withColumn("w2", split_part(col("bg"), lit(" "), lit(2)))
+      .join(broadcast(uni.select(col("w").as("w1"), col("c_w").as("c_a"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c_w").as("c_b"))), "w2")
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nBi))
+      .withColumn("millinats", round(
+        log((col("c_ab").cast(DoubleType) * col("n_uni") * col("n_uni")) /
+            (col("n_bi").cast(DoubleType) * col("c_a") * col("c_b"))) * lit(1000))
+        .cast(LongType))
+      .select(col("bg").as("bigram"), col("c_ab").as("n_pair"),
+        (col("millinats") / lit(1000.0)).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(20)
+  }
+
+  private val textCollocationsSql =
+    """WITH t AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |), uni AS (
+      |  SELECT unnest(toks) AS w FROM t
+      |), uc AS (
+      |  SELECT w, COUNT(*) AS c_w FROM uni GROUP BY 1
+      |), nu AS (
+      |  SELECT COUNT(*) AS n_uni FROM uni
+      |), bgs AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      |  FROM t WHERE len(toks) >= 2
+      |), bc AS (
+      |  SELECT bg, COUNT(*) AS c_ab FROM bgs GROUP BY 1
+      |), nb AS (
+      |  SELECT COUNT(*) AS n_bi FROM bgs
+      |)
+      |SELECT b.bg AS bigram, b.c_ab AS n_pair,
+      |  CAST(round(ln((CAST(b.c_ab AS DOUBLE) * n_uni * n_uni) /
+      |    (CAST(n_bi AS DOUBLE) * a.c_w * c.c_w)) * 1000) AS BIGINT)
+      |    / 1000.0 AS pmi
+      |FROM bc b
+      |JOIN uc a ON a.w = string_split(b.bg, ' ')[1]
+      |JOIN uc c ON c.w = string_split(b.bg, ' ')[2]
+      |CROSS JOIN nu CROSS JOIN nb
+      |WHERE b.c_ab >= 5
+      |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin
+
+  // ---- token-window chunking (the context-length shaping step before
+  // training or embedding: overlapping 40-token windows at stride 30).
+  // Pure map-side work — a bounded explode (~n_toks/stride rows per doc)
+  // with NO shuffle; the final sort is presentation-only. Each chunk
+  // carries an md5 content hash so any engine can verify chunk-for-chunk
+  // equality of a re-run, same contract as docs_manifest.
+  private def docsChunk(s: SparkSession, dir: String): DataFrame = {
+    val chunkLen = 40
+    val stride = 30
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n_chunks", expr(s"(size(toks) - 1) div $stride + 1"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("piece",
+        slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkLen)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("piece")).cast(LongType).as("n_toks"),
+        md5(concat_ws(" ", col("piece"))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val docsChunkSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |), n AS (
+      |  SELECT doc_id, toks, (len(toks) - 1) // 30 + 1 AS n_chunks
+      |  FROM t WHERE len(toks) > 0
+      |), c AS (
+      |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM n
+      |)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(len(list_slice(toks, chunk_idx * 30 + 1, chunk_idx * 30 + 40)) AS BIGINT) AS n_toks,
+      |  md5(array_to_string(list_slice(toks, chunk_idx * 30 + 1, chunk_idx * 30 + 40), ' ')) AS chunk_hash
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_clean", Some(textCleanSql), textClean),
+    QueryDef("text_collocations", Some(textCollocationsSql), textCollocations),
+    QueryDef("docs_chunk", Some(docsChunkSql), docsChunk),
     QueryDef("sample_stratified", Some(sampleStratifiedSql), sampleStratified),
     QueryDef("text_langid", Some(textLangidSql), textLangid),
     QueryDef("text_quality", Some(textQualitySql), textQuality),

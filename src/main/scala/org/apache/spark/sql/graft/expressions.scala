@@ -403,6 +403,26 @@ object HashUtil {
     acc.toDouble * a.getFloat(0).toDouble * b.getFloat(0).toDouble
   }
 
+  /** ALL word n-gram occurrences (n consecutive tokens joined by one
+    * space) in document order — the occurrence-counting input for
+    * collocation/PMI statistics, where multiplicity matters; empty when
+    * fewer than n tokens. */
+  def wordShinglesAll(arr: ArrayData, n: Int): ArrayData = {
+    val num = arr.numElements()
+    if (num < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](num - n + 1)
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= num - n) {
+      val parts = new Array[UTF8String](n)
+      var k = 0
+      while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct word n-grams (n consecutive tokens joined by one space),
     * first-occurrence order; empty when fewer than n tokens. */
   def wordShingles(arr: ArrayData, n: Int): ArrayData = {
@@ -613,12 +633,15 @@ case class WinnowingFingerprints(child: Expression, n: Int, w: Int,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Codegen'd distinct word-n-gram shingling of an array<string> token
-  * column — one pass per row inside whole-stage codegen, replacing a
+/** Codegen'd word-n-gram shingling of an array<string> token column —
+  * one pass per row inside whole-stage codegen, replacing a
   * transform(sequence(...), concat_ws(element_at...)) + array_distinct
-  * chain of interpreted higher-order lambdas.
+  * chain of interpreted higher-order lambdas. `distinct` (the default)
+  * yields each gram once in first-occurrence order (the set semantics
+  * dedup blocking wants); `distinct = false` yields every occurrence in
+  * document order (the multiset semantics collocation counting wants).
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with ImplicitCastInputTypes {
 
   require(n >= 1, "n >= 1")
@@ -627,12 +650,15 @@ case class WordShingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
+  private def fn: String = if (distinct) "wordShingles" else "wordShinglesAll"
+
   override def nullSafeEval(a: Any): Any =
-    HashUtil.wordShingles(a.asInstanceOf[ArrayData], n)
+    if (distinct) HashUtil.wordShingles(a.asInstanceOf[ArrayData], n)
+    else HashUtil.wordShinglesAll(a.asInstanceOf[ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = org.apache.spark.sql.graft.HashUtil.wordShingles($x, $n);")
+      s"${ev.value} = org.apache.spark.sql.graft.HashUtil.$fn($x, $n);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

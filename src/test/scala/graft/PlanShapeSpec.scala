@@ -89,6 +89,31 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("hashpartitioning(lang"), s"rank partitioned by stratum:\n$p")
   }
 
+  test("knn graph prunes to top-k before the shuffle (WindowGroupLimit)") {
+    val p = plan("sim_knn_graph")
+    // Spark's rank-limit pushdown must kick in: a partial WindowGroupLimit
+    // truncates each (block, src) group to k rows BEFORE the exchange, so
+    // the shuffle carries O(n*k), not the full O(sum |block|^2) pair set
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"block join must be an equi-join:\n$p")
+  }
+
+  test("q10 pushes both fact-side filters into the scans") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag must push down:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"orderdate must push down:\n$p")
+  }
+
+  test("chunking is map-side only: no exchange before the chunk rows exist") {
+    val df = SparkEntry.queries("docs_chunk")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // one exchange total — the presentation orderBy; generation itself
+    // (tokens -> explode -> slice -> md5) never shuffles
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"chunk generation must not shuffle:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_simhash")(spark, sf)
     df.collect() // let AQE finalize the stages

@@ -72,6 +72,25 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("shinglesAll keeps every occurrence in document order") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val got = docs
+      .select(col("text"),
+        TextFunctions.shinglesAll(TextFunctions.tokens(col("text")), 2).as("sh"))
+      .collect()
+    var sawDuplicate = false
+    got.foreach { row =>
+      val t = toks(row.getString(0))
+      val expected =
+        if (t.length < 2) Seq.empty
+        else t.sliding(2).map(_.mkString(" ")).toSeq
+      assert(row.getSeq[String](1) === expected)
+      if (expected.distinct.size < expected.size) sawDuplicate = true
+    }
+    // the corpus must actually exercise the multiset-vs-set difference
+    assert(sawDuplicate, "no doc with a repeated bigram — test is vacuous")
+  }
+
   test("minhash signature matches a plain-Scala model") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
     val sh = TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)
