@@ -398,6 +398,84 @@ object SimilarityQueries {
       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // cross-source near-dup contamination (the train/test leakage check
+  // run before any evaluation): near-dup pairs whose two docs come from
+  // DIFFERENT sources, aggregated per source pair. Composition over
+  // ngramJaccardPairs (same candidate machinery as dedup_ngram_jaccard;
+  // excluded from the bench loop like the other compositions) plus two
+  // slim (doc_id, source) joins — at scale the pair list is tiny next
+  // to the corpus, so these joins broadcast.
+  private def dedupCrossSource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{greatest, least}
+    val docs = Tables.documents(s, dir)
+    val srcA = docs.select(col("doc_id").as("doc_a"), col("source").as("src_a"))
+    val srcB = docs.select(col("doc_id").as("doc_b"), col("source").as("src_b"))
+    Dedup.ngramJaccardPairs(docs, threshold = 0.2)
+      .join(srcA, "doc_a")
+      .join(srcB, "doc_b")
+      .filter(col("src_a") =!= col("src_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private val dedupCrossSourceSql =
+    s"""WITH p AS ($jaccardPairsOnlySql)
+      |SELECT least(da.source, db.source) AS source_a,
+      |  greatest(da.source, db.source) AS source_b, COUNT(*) AS n_pairs
+      |FROM p
+      |JOIN documents da ON p.doc_a = da.doc_id
+      |JOIN documents db ON p.doc_b = db.doc_id
+      |WHERE da.source <> db.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // per-label centroid statistics (the embedding-table profile: class
+  // balance + centroid magnitude — collapsed classes show up as
+  // near-zero centroid norms). Per-dimension sums are quantized to
+  // exact integers (1e-6 resolution) so every aggregation order yields
+  // the same value, and the norm's sum of squares stays in exact
+  // decimal until one final sqrt — deterministic doubles on both
+  // engines. Two bounded shuffles: (label, dim) then label.
+  private def embedCentroids(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{posexplode, round => sround, sqrt}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val q = Tables.embeddings(s, dir)
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        sround(col("v").cast(DoubleType) * lit(1000000)).cast(LongType).as("q"))
+    q.groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .select(col("label"), col("n"),
+        (col("sq").cast("decimal(38,0)") * col("sq")).as("sq2"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"), sum(col("sq2")).as("ssq"))
+      .select(col("label"), col("n_vecs"),
+        sround(sqrt(col("ssq").cast(DoubleType)) / lit(1000000.0) / col("n_vecs"), 6)
+          .as("centroid_norm"))
+      .orderBy(col("label"))
+  }
+
+  private val embedCentroidsSql =
+    """WITH x AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    unnest(list_transform(range(1, len(embedding) + 1),
+      |      i -> {'dim': i,
+      |            'q': CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)})) AS e
+      |  FROM embeddings
+      |), d AS (
+      |  SELECT label, e.dim AS dim, SUM(e.q) AS sq, COUNT(*) AS n
+      |  FROM x GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT label, MAX(n) AS n_vecs, SUM(CAST(sq AS HUGEINT) * sq) AS ssq
+      |  FROM d GROUP BY 1
+      |)
+      |SELECT label, n_vecs,
+      |  ROUND(sqrt(CAST(ssq AS DOUBLE)) / 1000000.0 / n_vecs, 6) AS centroid_norm
+      |FROM agg ORDER BY label""".stripMargin
+
   // blocked k-NN graph: exact top-3 neighbors within each label block.
   // The label plays the role an IVF cell or shard id plays at scale —
   // the equi-join on it bounds the quadratic step (see
@@ -446,5 +524,7 @@ object SimilarityQueries {
     QueryDef("embed_neardup_cosine", Some(embedNearDupSql), embedNearDup),
     QueryDef("embed_neardup_blocked", Some(embedNearDupBlockedSql), embedNearDupBlocked),
     QueryDef("sim_knn_graph", Some(simKnnGraphSql), simKnnGraph),
+    QueryDef("dedup_cross_source", Some(dedupCrossSourceSql), dedupCrossSource),
+    QueryDef("embed_centroids", Some(embedCentroidsSql), embedCentroids),
   )
 }

@@ -665,6 +665,35 @@ object TextQueries {
       |WHERE b.c_ab >= 5
       |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin
 
+  // ---- mixture rebalancing weights (the dataset-mixing planning step:
+  // what per-document sampling weight makes every language contribute
+  // equally?). weight = total / (n_langs * n_docs_lang) — all-integer
+  // until one final division, so both engines land on the identical
+  // double. The output is a |langs|-row model meant to broadcast back
+  // onto the corpus to drive weighted sampling (sample_balanced is the
+  // exact-count take of the same idea).
+  private def docsMixWeights(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(sum(col("n_docs")).as("n_total"),
+      count(lit(1)).as("n_langs"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_total").cast(DoubleType) /
+          (col("n_langs") * col("n_docs")), 6).as("sample_weight"))
+      .orderBy(col("lang"))
+  }
+
+  private val docsMixWeightsSql =
+    """WITH c AS (
+      |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total, COUNT(*) AS n_langs FROM c
+      |)
+      |SELECT lang, n_docs,
+      |  ROUND(CAST(n_total AS DOUBLE) / (n_langs * n_docs), 6) AS sample_weight
+      |FROM c CROSS JOIN t ORDER BY lang""".stripMargin
+
   // ---- token-window chunking (the context-length shaping step before
   // training or embedding: overlapping 40-token windows at stride 30).
   // Pure map-side work — a bounded explode (~n_toks/stride rows per doc)
@@ -708,6 +737,7 @@ object TextQueries {
     QueryDef("text_clean", Some(textCleanSql), textClean),
     QueryDef("text_collocations", Some(textCollocationsSql), textCollocations),
     QueryDef("docs_chunk", Some(docsChunkSql), docsChunk),
+    QueryDef("docs_mix_weights", Some(docsMixWeightsSql), docsMixWeights),
     QueryDef("sample_stratified", Some(sampleStratifiedSql), sampleStratified),
     QueryDef("text_langid", Some(textLangidSql), textLangid),
     QueryDef("text_quality", Some(textQualitySql), textQuality),
