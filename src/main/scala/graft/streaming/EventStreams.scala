@@ -127,6 +127,37 @@ object EventStreams {
   // bytecode-level access to the accessors
   final case class SessionState(start: Long, lastTs: Long, n: Long)
 
+  final case class TransitionOut(user_id: Long, from_type: String, to_type: String)
+  // not `private`: state encoder access, same as SessionState
+  final case class LastEvent(ts: Long, eventId: Long, etype: String)
+
+  /** Streaming event-type transitions: per incoming event, emit the
+    * (previous type -> this type) pair for its user — the incremental
+    * form of the events_transitions batch lag window. State is ONE small
+    * record per user (the last event seen), i.e. bounded by user
+    * cardinality, not stream length; a count aggregation downstream
+    * maintains the live Markov transition matrix. Batch-equivalent for
+    * in-order delivery per user (the micro-batch sort handles intra-batch
+    * disorder; the spec pins stream-vs-batch equality). */
+  def transitionsStream(events: Dataset[Ev]): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[Ev], state: GroupState[LastEvent]) => {
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[TransitionOut]
+          sorted.foreach { e =>
+            last.foreach(l => out += TransitionOut(userId, l.etype, e.event_type))
+            last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   /** Streaming sessionization with explicit state
     * (flatMapGroupsWithState + event-time timeout): emits a session when
     * the inactivity gap elapses. The custom-state capability lock —
