@@ -665,6 +665,64 @@ object TextQueries {
       |WHERE b.c_ab >= 5
       |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin
 
+  // ---- quality-gate funnel (the filter report every corpus pipeline
+  // publishes: how many docs each gate drops, per source). ONE codegen'd
+  // pass computes every per-doc metric (tokens + gram_stats — no gram
+  // ever shuffles), and all three gates are INTEGER comparisons
+  // (cross-multiplied rationals), so the counts are engine-exact:
+  // length >= 30 tokens; top-bigram mass <= 1/16 of grams; mean word
+  // length <= 5.8 chars (n_chars*10 <= n_toks*58). The only shuffle is
+  // the |sources|-row rollup.
+  private def docsQualityGate(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("source"), col("n_chars"),
+        size(col("toks")).cast(LongType).as("n_toks"),
+        gramStats(col("toks"), 2).as("g"))
+      .withColumn("len_ok", col("n_toks") >= 30)
+      .withColumn("rep_ok",
+        col("g.n_grams") === 0 || col("g.top_count") * 16 <= col("g.n_grams"))
+      .withColumn("wordlen_ok", col("n_chars") * 10 <= col("n_toks") * 58)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(!col("len_ok"), 1)).as("n_len_fail"),
+        count(when(!col("rep_ok"), 1)).as("n_rep_fail"),
+        count(when(!col("wordlen_ok"), 1)).as("n_wordlen_fail"),
+        count(when(col("len_ok") && col("rep_ok") && col("wordlen_ok"), 1))
+          .as("n_kept"))
+      .withColumn("keep_rate",
+        round(col("n_kept").cast(DoubleType) / col("n_total"), 4))
+      .orderBy(col("source"))
+
+  private val docsQualityGateSql =
+    """WITH toked AS (
+      |  SELECT doc_id, source, n_chars,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+      |  FROM toked WHERE len(toks) >= 2
+      |), cnt AS (
+      |  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2
+      |), gs AS (
+      |  SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS top_count FROM cnt GROUP BY 1
+      |), flags AS (
+      |  SELECT t.source,
+      |    (CAST(len(t.toks) AS BIGINT) >= 30) AS len_ok,
+      |    (COALESCE(g.n_grams, 0) = 0 OR COALESCE(g.top_count, 0) * 16 <= g.n_grams) AS rep_ok,
+      |    (t.n_chars * 10 <= CAST(len(t.toks) AS BIGINT) * 58) AS wordlen_ok
+      |  FROM toked t LEFT JOIN gs g ON t.doc_id = g.doc_id
+      |)
+      |SELECT source, COUNT(*) AS n_total,
+      |  COUNT(CASE WHEN NOT len_ok THEN 1 END) AS n_len_fail,
+      |  COUNT(CASE WHEN NOT rep_ok THEN 1 END) AS n_rep_fail,
+      |  COUNT(CASE WHEN NOT wordlen_ok THEN 1 END) AS n_wordlen_fail,
+      |  COUNT(CASE WHEN len_ok AND rep_ok AND wordlen_ok THEN 1 END) AS n_kept,
+      |  ROUND(CAST(COUNT(CASE WHEN len_ok AND rep_ok AND wordlen_ok THEN 1 END) AS DOUBLE)
+      |    / COUNT(*), 4) AS keep_rate
+      |FROM flags GROUP BY source ORDER BY source""".stripMargin
+
   // ---- mixture rebalancing weights (the dataset-mixing planning step:
   // what per-document sampling weight makes every language contribute
   // equally?). weight = total / (n_langs * n_docs_lang) — all-integer
@@ -738,6 +796,7 @@ object TextQueries {
     QueryDef("text_collocations", Some(textCollocationsSql), textCollocations),
     QueryDef("docs_chunk", Some(docsChunkSql), docsChunk),
     QueryDef("docs_mix_weights", Some(docsMixWeightsSql), docsMixWeights),
+    QueryDef("docs_quality_gate", Some(docsQualityGateSql), docsQualityGate),
     QueryDef("sample_stratified", Some(sampleStratifiedSql), sampleStratified),
     QueryDef("text_langid", Some(textLangidSql), textLangid),
     QueryDef("text_quality", Some(textQualitySql), textQuality),
