@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed per-stratum global rank — the building block for exact
+  * quantile bucketing over a full corpus (e.g. CCNet-style head/middle/
+  * tail perplexity splits per language) without the classic cliff.
+  *
+  * `row_number() OVER (PARTITION BY stratum ORDER BY ...)` puts an entire
+  * stratum into ONE task: at 100 TB a single language is most of the
+  * corpus, so the window sort is a single-partition global sort. This is
+  * the two-phase formulation instead (same shape as [[Packing.packShards]]):
+  *
+  *   1. range-repartition on (stratum, order...) — a global order across
+  *      partitions, parallel sorting within each;
+  *   2. per-(partition, stratum) row counts — numParts × |strata| longs —
+  *      collected and prefix-summed on the driver into exclusive offsets
+  *      (metadata-sized, like packShards' partition subtotals: the one
+  *      legitimate driver collect);
+  *   3. per-partition `row_number` (parallel; the window partition is the
+  *      range-partition id × stratum, bounded by task size) plus the
+  *      broadcast offset.
+  *
+  * The repartitioned frame is localCheckpoint-ed so phases 2 and 3 see the
+  * SAME partitioning (range boundaries come from sampling; recomputation
+  * could re-sample and mis-align the offsets).
+  */
+object Ranking {
+
+  /** Adds `out` (long, 1-based rank within each value of `stratum`, in
+    * `order`). `stratum` must be a non-null string column; `order` must be
+    * a total order within each stratum (include a unique tie-break — ties
+    * would make the rank partition-order dependent). */
+  def stratifiedRank(df: DataFrame, stratum: Column, order: Seq[Column],
+      numParts: Int = 32, out: String = "rnk"): DataFrame = {
+    require(order.nonEmpty, "stratifiedRank needs at least one order column")
+    val base = df
+      .withColumn("_st", stratum.cast("string"))
+      .repartitionByRange(numParts, (col("_st") +: order): _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = base.groupBy(col("_pid"), col("_st"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    // exclusive prefix per stratum over partition ids, keyed "pid|stratum"
+    val offsets: Map[String, Long] = counts.keys.groupBy(_._2).flatMap {
+      case (st, ks) =>
+        val pids = ks.map(_._1).toSeq.sorted
+        pids.zip(pids.scanLeft(0L)((acc, p) => acc + counts((p, st))).dropRight(1))
+          .map { case (p, off) => s"$p|$st" -> off }
+    }
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(typedLit(offsets), concat_ws("|", col("_pid"), col("_st")))
+    val win = Window.partitionBy(col("_pid"), col("_st")).orderBy(order: _*)
+    base
+      .withColumn(out, offCol + row_number().over(win).cast("long"))
+      .drop("_pid", "_st")
+  }
+}

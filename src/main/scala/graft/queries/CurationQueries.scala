@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * before anything touches a tokenizer: PII redaction, learned-classifier
+  * quality scoring, and perplexity-tercile bucketing (the CCNet
+  * head/middle/tail split). Every query has an exact DuckDB oracle; the
+  * regex subset is restricted to syntax Java regex and RE2 interpret
+  * identically (no backreferences, no lookaround).
+  */
+object CurationQueries {
+
+  // ---- PII detection + redaction ------------------------------------
+  //
+  // The harness documents table is synthetic word salad with no natural
+  // PII, so the query PLANTS deterministic PII from doc_id arithmetic —
+  // identically in both engines — and then detects and redacts it; the
+  // oracle therefore exercises the actual regex/redaction logic, not a
+  // vacuous all-zero scan. (CurationSpec covers realistic strings.)
+  // Redaction order matters: emails first (they contain digits), then
+  // IPv4, then long digit runs.
+  private[queries] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[queries] val LongNumRe = "\\d{9,}"
+
+  /** Counts of each PII class and the redacted form; pure map-side
+    * per-row work (codegen'd regexps in the scan projection) — the only
+    * shuffle is the tiny per-source aggregate. */
+  private[queries] def piiColumns(text: Column): Seq[(String, Column)] = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongNumRe, "<NUM>")
+    Seq(
+      "n_emails" -> regexp_count(text, lit(EmailRe)).cast(LongType),
+      "n_ips" -> regexp_count(text, lit(Ipv4Re)).cast(LongType),
+      "n_longnums" -> regexp_count(text, lit(LongNumRe)).cast(LongType),
+      "redacted" -> redacted)
+  }
+
+  private def textPii(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).withColumn("aug",
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" host 10.0.0."),
+            (col("doc_id") % 256).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" acct "),
+            (col("doc_id") + 100000000L).cast("string"))).otherwise(lit(""))))
+    val cols = piiColumns(col("aug"))
+    val scored = cols.foldLeft(planted) { case (df, (n, c)) => df.withColumn(n, c) }
+    scored
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("n_emails") + col("n_ips") + col("n_longnums") > 0, 1))
+          .as("n_pii_docs"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_ips")).as("n_ips"),
+        sum(col("n_longnums")).as("n_longnums"),
+        sum(length(col("aug")).cast(LongType) - length(col("redacted")))
+          .as("chars_delta"))
+      .orderBy(col("source"))
+  }
+
+  private val textPiiSql =
+    s"""WITH planted AS (
+      |  SELECT source, text ||
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN ' host 10.0.0.' || (doc_id % 256) ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0
+      |         THEN ' acct ' || (doc_id + 100000000) ELSE '' END AS aug
+      |  FROM documents
+      |), scored AS (
+      |  SELECT source, aug,
+      |    CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_emails,
+      |    CAST(len(regexp_extract_all(aug, '$Ipv4Re')) AS BIGINT) AS n_ips,
+      |    CAST(len(regexp_extract_all(aug, '$LongNumRe')) AS BIGINT) AS n_longnums,
+      |    regexp_replace(regexp_replace(regexp_replace(aug,
+      |      '$EmailRe', '<EMAIL>', 'g'),
+      |      '$Ipv4Re', '<IP>', 'g'),
+      |      '$LongNumRe', '<NUM>', 'g') AS redacted
+      |  FROM planted
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(*) FILTER (WHERE n_emails + n_ips + n_longnums > 0) AS n_pii_docs,
+      |  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+      |  CAST(SUM(n_ips) AS BIGINT) AS n_ips,
+      |  CAST(SUM(n_longnums) AS BIGINT) AS n_longnums,
+      |  CAST(SUM(CAST(length(aug) AS BIGINT) - length(redacted)) AS BIGINT)
+      |    AS chars_delta
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- hashed-linear classifier scoring ------------------------------
+  //
+  // The fastText-style quality-classifier shape: hash each token into one
+  // of 64 buckets, look up a per-bucket weight, sum, normalize by token
+  // count. The "model" here is a deterministic integer formula over the
+  // portable md5 bucket (so the oracle recomputes it bit-for-bit); a real
+  // model is a 64-float broadcast array — the PLAN is identical. Scoring
+  // is entirely map-side via higher-order functions: no token explode, no
+  // doc-keyed shuffle — a document never leaves its partition, only the
+  // per-source roll-up moves. Integer weight sums make the aggregate
+  // order-independent, hence exact on any engine.
+  private def docsClassifierScore(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (t: Column) =>
+      pmod(conv(substring(md5(concat(lit("w|"), t)), 1, 15), 16, 10)
+        .cast(LongType), lit(64L))
+    val weight = (t: Column) => (bucket(t) * 37L) % 21L - 10L
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("source"),
+        size(col("toks")).cast(LongType).as("n_toks"),
+        aggregate(transform(col("toks"), weight), lit(0L), _ + _).as("raw"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("raw") > 0, 1)).as("n_kept"),
+        sum(col("raw")).as("sum_raw"),
+        sum(col("n_toks")).as("sum_toks"))
+      .withColumn("score_mean",
+        round(col("sum_raw").cast(DoubleType) / col("sum_toks"), 4))
+      .orderBy(col("source"))
+  }
+
+  private val docsClassifierScoreSql =
+    """WITH toked AS (
+      |  SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents
+      |), s AS (
+      |  SELECT source, CAST(len(toks) AS BIGINT) AS n_toks,
+      |    CAST(coalesce(list_sum(list_transform(toks, t ->
+      |      ((CAST('0x' || substring(md5('w|' || t), 1, 15) AS BIGINT) % 64)
+      |        * 37) % 21 - 10)), 0) AS BIGINT) AS raw
+      |  FROM toked
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(*) FILTER (WHERE raw > 0) AS n_kept,
+      |  CAST(SUM(raw) AS BIGINT) AS sum_raw,
+      |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+      |  ROUND(SUM(raw) * 1.0 / SUM(n_toks), 4) AS score_mean
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- perplexity-tercile bucketing (CCNet head/middle/tail) ----------
+  //
+  // Per-doc unigram surprisal in integer milli-nats (the text_surprisal
+  // quantization, so per-doc sums are aggregation-order exact), then each
+  // language's docs split into exact terciles by rank:
+  // bucket = 1 + ((rank-1) * 3) div n_lang. The rank comes from
+  // Ranking.stratifiedRank — the two-phase range-partition formulation —
+  // NOT a PARTITION BY lang window, which would sort an entire language
+  // in one task at 100 TB. The oracle uses the plain row_number() window
+  // (DuckDB runs at oracle scale); both produce the identical rank
+  // because (score, doc_id) is a total order computed from the same
+  // integers on both engines.
+  private def docsPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+    val model = tok.groupBy(col("token")).agg(count(lit(1)).as("n_t"))
+    // corpus token total from the (tiny) model, not a third scan of tok
+    val total = model.agg(sum(col("n_t")).as("n_total"))
+    val perDoc = tok.join(broadcast(model), "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("lang"),
+        round(log(col("n_total").cast(DoubleType) / col("n_t")) * lit(1000))
+          .cast(LongType).as("mn"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("mn")).as("sum_mn"), count(lit(1)).as("n_toks"))
+      .withColumn("score", col("sum_mn").cast(DoubleType) / col("n_toks"))
+    val ranked = graft.operators.Ranking.stratifiedRank(
+      perDoc, col("lang"), Seq(col("score"), col("doc_id")))
+    // per-lang totals from the ranked frame (localCheckpoint-ed inside
+    // stratifiedRank) — NOT from perDoc, which would replay the whole
+    // token pipeline a second time
+    val counts = ranked.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    ranked.join(broadcast(counts), "lang")
+      .withColumn("bucket", expr("((rnk - 1) * 3) div n_lang") + 1)
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("sum_mn")) / lit(1000.0) / sum(col("n_toks")), 4)
+          .as("mean_surprisal"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  private val docsPplBucketsSql =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |  FROM documents
+      |), model AS (
+      |  SELECT token, COUNT(*) AS n_t FROM tok GROUP BY 1
+      |), total AS (
+      |  SELECT COUNT(*) AS n_total FROM tok
+      |), per_doc AS (
+      |  SELECT doc_id, lang,
+      |    SUM(CAST(round(ln(CAST(n_total AS DOUBLE) / n_t) * 1000) AS BIGINT))
+      |      AS sum_mn,
+      |    COUNT(*) AS n_toks
+      |  FROM tok JOIN model USING (token) CROSS JOIN total
+      |  GROUP BY doc_id, lang
+      |), ranked AS (
+      |  SELECT lang, sum_mn, n_toks,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY sum_mn * 1.0 / n_toks, doc_id) AS rnk,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      |  FROM per_doc
+      |)
+      |SELECT lang, CAST(1 + ((rnk - 1) * 3) // n_lang AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  ROUND(SUM(sum_mn) / 1000.0 / SUM(n_toks), 4) AS mean_surprisal
+      |FROM ranked GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("text_pii", Some(textPiiSql), textPii),
+    QueryDef("docs_classifier_score", Some(docsClassifierScoreSql), docsClassifierScore),
+    QueryDef("docs_ppl_buckets", Some(docsPplBucketsSql), docsPplBuckets),
+  )
+}

@@ -501,6 +501,45 @@ object SimilarityQueries {
       |  ROUND(cr, 6) AS cos_sim
       |FROM r WHERE knn_rank <= 3 ORDER BY src_id, knn_rank""".stripMargin
 
+  // range (threshold) search: ALL corpus vectors within cosine >= tau of
+  // each probe — the retrieval-augmented-filtering shape (top-k returns a
+  // fixed count; range search returns whatever clears the bar). The probe
+  // set broadcasts (5 rows), scoring is a codegen'd dot product in the
+  // scan projection, the tau filter runs before anything moves — so the
+  // corpus never shuffles; only the qualifying sliver reaches the final
+  // (small) ordered output. Exact f64 cosine, identical in DuckDB.
+  private def simRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, round}
+    import graft.functions.VectorFunctions.cosine
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos_sim", round(cosine(col("embedding"), col("p_emb")), 6))
+      .filter(col("cos_sim") >= 0.25)
+      .select(col("probe_id"), col("vec_id"),
+        col("label").cast("long").as("label"), col("cos_sim"))
+      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  private val simRangeSearchSql =
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+      |  FROM embeddings WHERE vec_id < 5
+      |), scored AS (
+      |  SELECT p.probe_id, e.vec_id, CAST(e.label AS BIGINT) AS label,
+      |    ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv) /
+      |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |                             CAST(e.embedding AS DOUBLE[])))
+      |       * sqrt(list_dot_product(p.pv, p.pv))), 6) AS cos_sim
+      |  FROM embeddings e, p
+      |  WHERE e.vec_id <> p.probe_id
+      |)
+      |SELECT probe_id, vec_id, label, cos_sim
+      |FROM scored WHERE cos_sim >= 0.25
+      |ORDER BY probe_id, cos_sim DESC, vec_id""".stripMargin
+
   // SemDeDup-style semantic dedup: k-means cells bound the quadratic
   // step; pairs only form within a cell. Rows-only by design — the cell
   // assignment depends on engine-internal float k-means — with the
@@ -524,6 +563,7 @@ object SimilarityQueries {
     QueryDef("embed_neardup_cosine", Some(embedNearDupSql), embedNearDup),
     QueryDef("embed_neardup_blocked", Some(embedNearDupBlockedSql), embedNearDupBlocked),
     QueryDef("sim_knn_graph", Some(simKnnGraphSql), simKnnGraph),
+    QueryDef("sim_range_search", Some(simRangeSearchSql), simRangeSearch),
     QueryDef("dedup_cross_source", Some(dedupCrossSourceSql), dedupCrossSource),
     QueryDef("embed_centroids", Some(embedCentroidsSql), embedCentroids),
   )

@@ -566,6 +566,45 @@ object StarQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin
 
+  // ---- TPC-H Q18 shape (large-volume customers): a HAVING filter on a
+  // fact-table aggregate, semi-joined back through orders to customers.
+  // Scale notes: the lineitem aggregate is partial/final (map-side
+  // combine), the >300 filter on the agg output makes the surviving
+  // order set small — AQE picks a broadcast for the orders join at
+  // runtime when it is; the plan degrades gracefully to a shuffle join
+  // on o_orderkey when it isn't (nothing here assumes the filtered set
+  // fits in memory). l_quantity is whole-number doubles, so the sum is
+  // exact in any aggregation order; cast to BIGINT pins the schema.
+  private def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast(LongType).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    big
+      .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q18LargeOrdersSql =
+    """WITH big AS (
+      |  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+      |  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300
+      |)
+      |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+      |  o.o_totalprice, big.total_qty
+      |FROM big
+      |JOIN orders o ON big.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin
+
   // ---- pivot: one row per priority, one count column per order status
   // (wide-format reshaping; explicit value list keeps the plan static —
   // at scale an unpinned pivot needs a distinct-values job first).
@@ -609,6 +648,7 @@ object StarQueries {
     QueryDef("q3_shipping_priority", Some(q3ShippingPrioritySql), q3ShippingPriority),
     QueryDef("q5_local_supplier", Some(q5LocalSupplierSql), q5LocalSupplier),
     QueryDef("q10_returned_items", Some(q10ReturnedItemsSql), q10ReturnedItems),
+    QueryDef("q18_large_orders", Some(q18LargeOrdersSql), q18LargeOrders),
     QueryDef("agg_ratio_kernel", Some(aggRatioKernelSql), aggRatioKernel),
     QueryDef("agg_topk_per_group", Some(aggTopkPerGroupSql), aggTopkPerGroup),
     QueryDef("agg_sums_basic", Some(aggSumsBasicSql), aggSumsBasic),
