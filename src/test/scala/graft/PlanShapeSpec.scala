@@ -114,6 +114,39 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges <= 1, s"chunk generation must not shuffle:\n$p")
   }
 
+  test("range search broadcasts the probes; the corpus never shuffles") {
+    val p = plan("sim_range_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe set must broadcast:\n$p")
+    // the only SHUFFLE exchange is the presentation orderBy of the tiny
+    // result (the BroadcastExchange of the probes is the point) — never a
+    // repartition of the embeddings scan
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(shuffles <= 1, s"corpus must not shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge join:\n$p")
+  }
+
+  test("classifier scoring has exactly one exchange: the per-source roll-up") {
+    val p = plan("docs_classifier_score")
+    assert(!p.contains("Generate"), s"scoring must not explode tokens:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    // partial/final agg exchange + the presentation sort, nothing else
+    assert(exchanges <= 2, s"expected agg+sort exchanges only:\n$p")
+  }
+
+  test("q18 keeps the top-100 as TakeOrderedAndProject after the having-filter") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"q18 must not global-sort:\n$p")
+  }
+
+  test("pii scan is map-side: regexes run in the scan projection") {
+    val p = plan("text_pii")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    // partial/final per-source agg + presentation sort only
+    assert(exchanges <= 2, s"pii must not add exchanges:\n$p")
+    assert(!p.contains("Generate"), p)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_simhash")(spark, sf)
     df.collect() // let AQE finalize the stages
