@@ -48,11 +48,15 @@ object CnjBench {
     }
     new java.io.File(outDir).mkdirs()
     val t0 = System.nanoTime()
-    // mirrors MetasJob.runAll step-for-step, with per-phase timing
+    // mirrors MetasJob.runAll step-for-step, with per-phase timing: the
+    // raw corpus is NOT cached (the ~1 GB InMemoryRelation costs ~10x
+    // the one CSV re-scan it saves — measured 63.5 s -> ~12 s for the
+    // resumo phase at the 930 MB corpus); only the few-dozen-row
+    // per-court aggregate is, so the chart phase reads cache, not corpus
     val data = t("plan_read_headers")(Reader.readDir(spark, inDir))
-    data.cache()
+    val typed = MetasJob.resumoTyped(spark, data).cache()
     try {
-      val res = MetasJob.stringlyOutput(MetasJob.resumoTyped(spark, data))
+      val res = MetasJob.stringlyOutput(typed)
       t("resumo_agg_join_write") {
         MetasJob.writeCsv(res, s"$outDir/ResumoMetas.csv")
       }
@@ -64,7 +68,7 @@ object CnjBench {
           .map(r => (r.getString(0), r.getDouble(1)))
         MetasJob.writeChartPng(chart, s"$outDir/grafico_meta1.png")
       }
-    } finally data.unpersist()
+    } finally typed.unpersist()
     val total = (System.nanoTime() - t0) / 1e9
     val phaseJson = phases.map { case (k, v) => f""""$k":$v%.2f""" }.mkString(",")
     println(

@@ -124,7 +124,13 @@ object MetasJob {
     * naming the court. One distinct row per unmapped branch with the
     * sorted courts it covers; a null branch (the pandas NaN-ramo case)
     * is reported too. Tiny by construction (bounded by the number of
-    * distinct branches), so [[runAll]] collects and logs it. */
+    * distinct branches), so [[runAll]] collects and logs it.
+    *
+    * Accepts any frame carrying (ramo_justica, sigla_tribunal) — raw
+    * corpus rows or the per-court aggregate give identical output (the
+    * groupBy/collect_set only sees distinct pairs, and those pairs ARE
+    * the aggregate's keys), so [[runAll]] feeds it the cached per-court
+    * summary instead of re-scanning the corpus. */
   def unmappedBranches(data: DataFrame): DataFrame = {
     val mapped = Factors.byBranch.keys.toSeq
     data
@@ -229,15 +235,21 @@ object MetasJob {
   /** Full run: ResumoMetas.csv + Consolidado.csv + grafico_meta1.png. */
   def runAll(spark: SparkSession, inDir: String, outDir: String): Unit = {
     new java.io.File(outDir).mkdirs()
+    // The raw corpus is NOT cached: building the InMemoryRelation for
+    // ~1 GB of expanded rows costs ~10x the one extra CSV scan it would
+    // save (measured at the 930 MB corpus). What IS cached is the
+    // per-court aggregate — a few dozen rows — so the warning channel
+    // and the chart reuse it instead of re-running scan+agg. Net: the
+    // corpus is read exactly twice (aggregate, Consolidado write).
     val data = Reader.readDir(spark, inDir)
-    data.cache() // scanned by both Consolidado and the aggregate
+    val typed = resumoTyped(spark, data).cache()
     try {
-      val res = stringlyOutput(resumoTyped(spark, data))
+      val res = stringlyOutput(typed)
       writeCsv(res, s"$outDir/ResumoMetas.csv")
       // mirror the reference's once-per-branch fallback warning
-      // (Versao_Np.py:29,168-169)
+      // (Versao_Np.py:29,168-169) — off the cached per-court summary
       val log = org.slf4j.LoggerFactory.getLogger(getClass)
-      unmappedBranches(data).collect().foreach { r =>
+      unmappedBranches(typed).collect().foreach { r =>
         val siglas = r.getSeq[String](1).mkString(", ")
         log.warn(s"branch '${r.getString(0)}' (courts: $siglas) has no specific " +
           "factors; falling back to Justiça Estadual")
@@ -248,6 +260,6 @@ object MetasJob {
       writeCsv(data, s"$outDir/Consolidado.csv", singleFile = false)
       val chart = chartData(res).collect().map(r => (r.getString(0), r.getDouble(1)))
       writeChartPng(chart, s"$outDir/grafico_meta1.png")
-    } finally data.unpersist()
+    } finally typed.unpersist()
   }
 }

