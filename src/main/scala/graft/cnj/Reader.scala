@@ -176,7 +176,9 @@ object Reader {
               var i = 0
               while (i < nKeys) {
                 val p = pos(i)
-                arr(i) = if (p < 0) null else parts(p)
+                // empty field -> null: pandas reads an empty cell as NaN,
+                // and Spark's CSV source maps it to null the same way
+                arr(i) = if (p < 0 || parts(p).isEmpty) null else parts(p)
                 i += 1
               }
               while (i < nOut) {
