@@ -222,8 +222,72 @@ object CurationQueries {
       |  ROUND(SUM(sum_mn) / 1000.0 / SUM(n_toks), 4) AS mean_surprisal
       |FROM ranked GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
 
+  // ---- deterministic hash split (train/val/test) ---------------------
+  //
+  // The reproducible-split primitive every training pipeline needs: a
+  // document's split is a pure function of its id (first two hex chars
+  // of md5, compared lexicographically: < 'cc' ≈ 79.7% train, < 'e6' ≈
+  // 10.2% val, rest test), so re-runs, engines, and backfills agree
+  // without coordination. Pure map-side projection + tiny aggregate —
+  // no shuffle carries document text; the same expression scales to any
+  // corpus size and is the idiom for holdout carve-outs at 100 TB.
+  private def docsSplitHash(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("sum_chars"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  private val docsSplitHashSql =
+    """SELECT source,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+      |         THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+      |         THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY source, split
+      |ORDER BY source, split""".stripMargin
+
+  // ---- deterministic per-group hash sample ---------------------------
+  //
+  // Uniform k-per-group sampling that is reproducible by construction:
+  // rank by md5(doc_id) within each source and keep the first 20. Unlike
+  // fraction-based sampling the result is engine- and run-independent
+  // (the oracle is exact), and the rank<=k predicate is pushed below the
+  // shuffle as a per-partition group-limit (WindowGroupLimit), so each
+  // mapper forwards at most k rows per group — the shuffle carries
+  // O(groups x k), not the corpus.
+  private def sampleHashTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 20)
+      .select(col("source"), col("doc_id"), col("rnk"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  private val sampleHashTopkSql =
+    """WITH ranked AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      |  FROM documents)
+      |SELECT source, doc_id, CAST(rnk AS BIGINT) AS rnk
+      |FROM ranked WHERE rnk <= 20
+      |ORDER BY source, rnk""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("text_pii", Some(textPiiSql), textPii),
+    QueryDef("docs_split_hash", Some(docsSplitHashSql), docsSplitHash),
+    QueryDef("sample_hash_topk", Some(sampleHashTopkSql), sampleHashTopk),
     QueryDef("docs_classifier_score", Some(docsClassifierScoreSql), docsClassifierScore),
     QueryDef("docs_ppl_buckets", Some(docsPplBucketsSql), docsPplBuckets),
   )

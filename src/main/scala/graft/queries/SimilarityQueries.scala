@@ -547,8 +547,56 @@ object SimilarityQueries {
   private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
     Similarity.semanticDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
 
+  // ---- blocked edit-distance near-dup verification ------------------
+  //
+  // The verify kernel of an edit-distance dedup pass: candidate pairs
+  // come from cheap blocking — (lang, length bucket, 12-char prefix) —
+  // and only blocked pairs pay the O(len^2) levenshtein. Both engines
+  // implement the identical Levenshtein metric, so the oracle is exact.
+  // At 100 TB the blocking step is the same shape as the MinHash/LSH
+  // candidate generators above (equi-join on a compact block key; no
+  // cross product); this operator is the per-pair verifier those
+  // candidates feed. Boundary straddlers (near-dups landing in adjacent
+  // length buckets) are the documented blocking tradeoff, mirrored
+  // exactly in the oracle.
+  private def dedupEditdist(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, levenshtein, substring}
+    val b = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"), col("text"),
+      expr("n_chars div 20").as("lb"), substring(col("text"), 1, 12).as("pfx"))
+    val a = b.select(b.columns.map(c => col(c).as(s"a_$c")).toIndexedSeq: _*)
+    val c = b.select(b.columns.map(c => col(c).as(s"c_$c")).toIndexedSeq: _*)
+    // conjunct order is load-bearing: And short-circuits left-to-right
+    // in the joined-row condition, so the cheap id inequality must sit
+    // BEFORE the O(len^2) levenshtein — otherwise every hash-matched
+    // pair (including each doc's self-match) pays the DP before being
+    // discarded (measured 13 s -> 1.4 s at sf0.1)
+    a.join(c,
+        col("a_lang") === col("c_lang") && col("a_lb") === col("c_lb") &&
+          col("a_pfx") === col("c_pfx") &&
+          (col("a_doc_id") < col("c_doc_id") &&
+            levenshtein(col("a_text"), col("c_text")) <= 20))
+      .select(col("a_doc_id").as("doc_a"), col("c_doc_id").as("doc_b"),
+        levenshtein(col("a_text"), col("c_text")).cast("bigint").as("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val dedupEditdistSql =
+    """WITH b AS (
+      |  SELECT doc_id, lang, text, n_chars // 20 AS lb,
+      |    substring(text, 1, 12) AS pfx
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+      |  CAST(levenshtein(a.text, c.text) AS BIGINT) AS dist
+      |FROM b a JOIN b c
+      |  ON a.lang = c.lang AND a.lb = c.lb AND a.pfx = c.pfx
+      | AND a.doc_id < c.doc_id
+      |WHERE levenshtein(a.text, c.text) <= 20
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", Some(dedupExactSql), dedupExact),
+    QueryDef("dedup_editdist", Some(dedupEditdistSql), dedupEditdist),
     QueryDef("dedup_semantic", None, dedupSemantic),
     QueryDef("dedup_minhash_lsh", Some(dedupMinhashSql), dedupMinhash),
     QueryDef("dedup_simhash", Some(dedupSimhashSql), dedupSimhash),

@@ -147,6 +147,28 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Generate"), p)
   }
 
+  test("hash sample prunes to k per group before the shuffle (WindowGroupLimit)") {
+    val p = plan("sample_hash_topk")
+    // each mapper forwards at most k rows per source: partial
+    // WindowGroupLimit below the exchange, so the shuffle carries
+    // O(groups x k) rows, not the corpus
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
+  }
+
+  test("hash split is map-side: one exchange for the tiny aggregate only") {
+    val p = plan("docs_split_hash")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the aggregate exchange:\n$p")
+    assert(!p.contains("Sort ") || p.contains("rangepartitioning"),
+      s"split assignment itself must not sort the corpus:\n$p")
+  }
+
+  test("editdist dedup blocks with an equi-join, not a cross product") {
+    val p = plan("dedup_editdist")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must plan an equi-join:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_simhash")(spark, sf)
     df.collect() // let AQE finalize the stages
