@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.OperatorQueries.all ++
       graft.queries.EventQueries.all ++
       graft.queries.MediaQueries.all ++
-      graft.queries.CurationQueries.all
+      graft.queries.CurationQueries.all ++
+      graft.queries.QualityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -169,6 +169,22 @@ class PlanShapeSpec extends SparkTestBase {
       s"blocking must plan an equi-join:\n$p")
   }
 
+  test("column profiling scans the table once, not once per column") {
+    val p = plan("profile_columns")
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"profile must be one pass over the table:\n$p")
+    // multiple exact COUNT(DISTINCT) columns plan as a single Expand
+    assert(p.contains("Expand"), s"expected the multi-distinct Expand:\n$p")
+  }
+
+  test("constraint checks: one scan per table, fk riding the same pass") {
+    val p = plan("quality_constraints")
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"one scan of orders + one of customer:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"referential check must ride a broadcast left join:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_simhash")(spark, sf)
     df.collect() // let AQE finalize the stages
