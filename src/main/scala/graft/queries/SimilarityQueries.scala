@@ -564,7 +564,14 @@ object SimilarityQueries {
     val b = Tables.documents(s, dir).select(
       col("doc_id"), col("lang"), col("text"),
       expr("n_chars div 20").as("lb"), substring(col("text"), 1, 12).as("pfx"))
-    val a = b.select(b.columns.map(c => col(c).as(s"a_$c")).toIndexedSeq: _*)
+    // the probe side drives the O(len^2) DP work, and with a broadcast
+    // build its parallelism is whatever the file layout gave the scan —
+    // a single-file corpus would run the whole quadratic verify in ONE
+    // task. Round-robin to the session's parallelism: one cheap shuffle
+    // of the corpus text buys even distribution of the dominant compute
+    // (measured at a 50k-doc/236k-pair corpus: stuck single-task -> ~3 s)
+    val a = b.repartition(s.sparkContext.defaultParallelism)
+      .select(b.columns.map(c => col(c).as(s"a_$c")).toIndexedSeq: _*)
     val c = b.select(b.columns.map(c => col(c).as(s"c_$c")).toIndexedSeq: _*)
     // conjunct order is load-bearing: And short-circuits left-to-right
     // in the joined-row condition, so the cheap id inequality must sit
