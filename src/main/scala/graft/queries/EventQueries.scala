@@ -24,6 +24,31 @@ object EventQueries {
       |  SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // the streaming quality gate's batch form: per-window violation
+  // counters over deterministically planted violations (the harness
+  // events are clean; same device as text_pii) — the stream-vs-batch
+  // equivalence lives in EventStreamsSpec
+  private def eventsQualityWindow(s: SparkSession, dir: String): DataFrame =
+    EventStreams.qualityMonitor(Tables.events(s, dir))
+      .orderBy(col("win_start"))
+
+  private val eventsQualityWindowSql =
+    """WITH t AS (
+      |  SELECT time_bucket(INTERVAL '15 minutes', ts) AS w,
+      |    CASE WHEN event_id % 7 = 0 THEN value - 500.0 ELSE value END AS v,
+      |    CASE WHEN event_id % 13 = 0 THEN 'bad_' || event_type
+      |         ELSE event_type END AS et,
+      |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE user_id END AS uid
+      |  FROM events)
+      |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_value,
+      |  CAST(SUM(CASE WHEN et NOT IN ('click','view','purchase','signup','error')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_type,
+      |  CAST(SUM(CASE WHEN uid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_null_user
+      |FROM t GROUP BY w ORDER BY win_start""".stripMargin
+
   private def eventsSessionize(s: SparkSession, dir: String): DataFrame =
     EventStreams.sessionize(Tables.events(s, dir))
 
@@ -274,6 +299,7 @@ object EventQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("events_tumbling_window", Some(eventsTumblingSql), eventsTumbling),
+    QueryDef("events_quality_window", Some(eventsQualityWindowSql), eventsQualityWindow),
     QueryDef("events_retention", Some(eventsRetentionSql), eventsRetention),
     QueryDef("events_transitions", Some(eventsTransitionsSql), eventsTransitions),
     QueryDef("events_json_props", Some(eventsJsonPropsSql), eventsJsonProps),

@@ -56,6 +56,46 @@ object EventStreams {
   def slidingCountsStream(events: DataFrame): DataFrame =
     slidingCounts(events.withWatermark("ts", "30 minutes"))
 
+  /** Windowed data-quality monitor — the quality_constraints idea as a
+    * continuous check: per 15-minute tumbling window, violation counts
+    * for negative values, out-of-domain event types, and null user ids.
+    * The harness events are clean, so violations are PLANTED
+    * deterministically from event_id arithmetic (identically in the
+    * oracle — same device as text_pii): the counters exercised are the
+    * real ones. State per open window is four longs; the watermark (in
+    * [[qualityMonitorStream]]) bounds how many stay open. */
+  def qualityMonitor(events: DataFrame): DataFrame = {
+    val okTypes = Seq("click", "view", "purchase", "signup", "error")
+    val tainted = events
+      .withColumn("v",
+        when(col("event_id") % 7 === 0, col("value") - lit(500.0))
+          .otherwise(col("value")))
+      .withColumn("et",
+        when(col("event_id") % 13 === 0, concat(lit("bad_"), col("event_type")))
+          .otherwise(col("event_type")))
+      .withColumn("uid",
+        when(col("event_id") % 11 === 0, lit(null).cast(LongType))
+          .otherwise(col("user_id")))
+    tainted
+      .groupBy(window(col("ts"), "15 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("v") < 0, 1L).otherwise(0L)).as("n_neg_value"),
+        sum(when(!col("et").isin(okTypes: _*), 1L).otherwise(0L))
+          .as("n_bad_type"),
+        sum(when(col("uid").isNull, 1L).otherwise(0L)).as("n_null_user"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("n_events"), col("n_neg_value"), col("n_bad_type"),
+        col("n_null_user"))
+  }
+
+  /** Streaming variant: the same plan with a watermark — the batch
+    * oracle (events_quality_window) certifies the counters, the
+    * MemoryStream spec certifies the incremental execution. */
+  def qualityMonitorStream(events: DataFrame): DataFrame =
+    qualityMonitor(events.withWatermark("ts", "30 minutes"))
+
   /** Gap-based sessionization (30-minute inactivity) via window functions —
     * the batch formulation, ANSI-expressible for the oracle. */
   /** Epoch seconds for TIMESTAMP and TIMESTAMP_NTZ alike (NTZ cannot cast
