@@ -26,7 +26,8 @@ object Bench {
     // so the suite total counts each operator's work once instead of
     // re-billing the ngram candidate generation three times. Name them
     // via SPARK_GRAFT_ONLY to time them individually.
-    val composition = Set("dedup_clusters", "pipeline_dedup_pack", "dedup_cross_source")
+    val composition = Set("dedup_clusters", "dedup_keep_best",
+      "pipeline_dedup_pack", "dedup_cross_source")
     val skip = anchorOnly ++ composition
     val selected = SparkEntry.queries.filter { case (k, _) =>
       only.map(_.contains(k)).getOrElse(!skip.contains(k)) }

@@ -223,6 +223,51 @@ object SimilarityQueries {
       |FROM labels l JOIN sizes s USING (cluster_keeper)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- quality-aware keeper selection: real dedup pipelines keep the
+  // BEST member of each near-dup cluster (longest / highest-scoring),
+  // not the lowest id. One row per cluster: the argmax by (n_chars,
+  // then id) via a per-cluster rank — cluster count is corpus-bounded
+  // and the window partitions by cluster key, so no single-task sort.
+  // Composition query (re-runs the ngram candidate machinery): excluded
+  // from the default bench loop like dedup_clusters.
+  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.2))
+    val w = Window.partitionBy(col("cluster_keeper"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clusters.join(docs, "doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("cluster_keeper").as("cluster_id"),
+        col("doc_id").as("best_doc_id"), col("n_members"),
+        col("n_chars").cast("bigint").as("best_n_chars"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private lazy val dedupKeepBestSql =
+    s"""WITH RECURSIVE p AS ($jaccardPairsOnlySql),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach AS (
+      |  SELECT DISTINCT u AS id, u AS lab FROM edges
+      |  UNION
+      |  SELECT e.u AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.v
+      |),
+      |labels AS (SELECT id, MIN(lab) AS cluster_keeper FROM reach GROUP BY id),
+      |sizes AS (SELECT cluster_keeper, COUNT(*) AS n_members FROM labels GROUP BY 1),
+      |ranked AS (
+      |  SELECT l.id AS doc_id, l.cluster_keeper, s.n_members, d.n_chars,
+      |    row_number() OVER (PARTITION BY l.cluster_keeper
+      |      ORDER BY d.n_chars DESC, l.id) AS rnk
+      |  FROM labels l JOIN sizes s USING (cluster_keeper)
+      |  JOIN documents d ON d.doc_id = l.id
+      |)
+      |SELECT cluster_keeper AS cluster_id, doc_id AS best_doc_id,
+      |  n_members, CAST(n_chars AS BIGINT) AS best_n_chars
+      |FROM ranked WHERE rnk = 1 ORDER BY cluster_id""".stripMargin
+
   // ---- the pipeline, end to end: near-dup clusters -> keep one doc per
   // cluster -> pack the surviving corpus into 5000-token shards. One
   // composed lazy plan across three operator families (Dedup blocking +
@@ -609,6 +654,7 @@ object SimilarityQueries {
     QueryDef("dedup_simhash", Some(dedupSimhashSql), dedupSimhash),
     QueryDef("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
     QueryDef("dedup_clusters", Some(dedupClustersSql), dedupClusters),
+    QueryDef("dedup_keep_best", Some(dedupKeepBestSql), dedupKeepBest),
     QueryDef("pipeline_dedup_pack", Some(pipelineDedupPackSql), pipelineDedupPack),
     QueryDef("dedup_winnowing", Some(dedupWinnowingSql), dedupWinnowing),
     QueryDef("sim_topk_brute", Some(simTopkBruteSql), simTopkBrute),
