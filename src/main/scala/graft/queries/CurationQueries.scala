@@ -284,9 +284,55 @@ object CurationQueries {
       |FROM ranked WHERE rnk <= 20
       |ORDER BY source, rnk""".stripMargin
 
+  // ---- deterministic source interleave (curriculum mixing execution) --
+  //
+  // docs_mix_weights plans per-source sampling weights; this is the
+  // EXECUTION side: emit a training order that round-robins the sources
+  // (position = (rank-1)*n_sources + source_index), so a sequential
+  // reader sees an even source mix in every prefix of the stream. Fully
+  // deterministic, so the oracle is exact. Per-source ranks are pruned
+  // to the first 200 below the shuffle (WindowGroupLimit — only the
+  // head of each source moves); the source-index table is a broadcast
+  // of |sources| rows.
+  private def docsInterleave(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("src_idx", row_number().over(Window.orderBy(col("source"))))
+    val withN = srcIdx.crossJoin(srcIdx.agg(count(lit(1)).as("n_src")))
+    val r = docs.select(col("source"), col("doc_id"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .filter(col("rnk") <= 200)
+    r.join(broadcast(withN), "source")
+      .select(
+        ((col("rnk") - 1) * col("n_src") + col("src_idx") - 1)
+          .cast(LongType).as("position"),
+        col("source"), col("doc_id"))
+      .orderBy(col("position"))
+      .limit(200)
+  }
+
+  private val docsInterleaveSql =
+    """WITH s AS (
+      |  SELECT source, row_number() OVER (ORDER BY source) AS src_idx
+      |  FROM (SELECT DISTINCT source FROM documents)
+      |), n AS (SELECT COUNT(*) AS n_src FROM s),
+      |r AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+      |  FROM documents
+      |)
+      |SELECT CAST((r.rnk - 1) * n.n_src + s.src_idx - 1 AS BIGINT) AS position,
+      |  r.source, r.doc_id
+      |FROM r JOIN s USING (source) CROSS JOIN n
+      |WHERE r.rnk <= 200
+      |ORDER BY position LIMIT 200""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("text_pii", Some(textPiiSql), textPii),
     QueryDef("docs_split_hash", Some(docsSplitHashSql), docsSplitHash),
+    QueryDef("docs_interleave", Some(docsInterleaveSql), docsInterleave),
     QueryDef("sample_hash_topk", Some(sampleHashTopkSql), sampleHashTopk),
     QueryDef("docs_classifier_score", Some(docsClassifierScoreSql), docsClassifierScore),
     QueryDef("docs_ppl_buckets", Some(docsPplBucketsSql), docsPplBuckets),

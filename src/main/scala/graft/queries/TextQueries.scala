@@ -791,8 +791,54 @@ object TextQueries {
       |  md5(array_to_string(list_slice(toks, chunk_idx * 30 + 1, chunk_idx * 30 + 40), ' ')) AS chunk_hash
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---- bigram conditional-probability LM table — the count-based
+  // n-gram language-model estimate P(w2|w1) = c(w1 w2)/c(w1), the
+  // statistic KenLM-style models are built from. Same two count
+  // aggregations as collocations (bigram extraction is a codegen'd
+  // per-row pass; unigram counts come back as a broadcast join), but
+  // the score is a pure rational of two exact integer counts — both
+  // engines round-trip the identical double, so unlike the PMI query
+  // there is NO libm caveat: the oracle is exact. Top 20 by support.
+  private def textBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val toked = Tables.documents(s, dir).select(tokens(col("text")).as("toks"))
+    val uni = toked.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val bi = toked.select(explode(shinglesAll(col("toks"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("n_pair"))
+    bi
+      .withColumn("w1", split_part(col("bg"), lit(" "), lit(1)))
+      .withColumn("w2", split_part(col("bg"), lit(" "), lit(2)))
+      .join(broadcast(uni.select(col("w").as("w1"), col("c_w").as("n_w1"))), "w1")
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        round(col("n_pair").cast(DoubleType) / col("n_w1"), 4).as("cond_p"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val textBigramLmSql =
+    """WITH t AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |), uni AS (
+      |  SELECT unnest(toks) AS w FROM t
+      |), uc AS (
+      |  SELECT w, COUNT(*) AS c_w FROM uni GROUP BY 1
+      |), bi AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |  FROM t WHERE len(toks) >= 2
+      |), bc AS (
+      |  SELECT bg, COUNT(*) AS n_pair FROM bi GROUP BY 1
+      |)
+      |SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+      |  n_pair, uc.c_w AS n_w1,
+      |  round(CAST(n_pair AS DOUBLE) / uc.c_w, 4) AS cond_p
+      |FROM bc JOIN uc ON uc.w = split_part(bg, ' ', 1)
+      |ORDER BY n_pair DESC, w1, w2 LIMIT 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_clean", Some(textCleanSql), textClean),
+    QueryDef("text_bigram_lm", Some(textBigramLmSql), textBigramLm),
     QueryDef("text_collocations", Some(textCollocationsSql), textCollocations),
     QueryDef("docs_chunk", Some(docsChunkSql), docsChunk),
     QueryDef("docs_mix_weights", Some(docsMixWeightsSql), docsMixWeights),

@@ -185,6 +185,12 @@ class PlanShapeSpec extends SparkTestBase {
       s"referential check must ride a broadcast left join:\n$p")
   }
 
+  test("source interleave prunes each source's head below the shuffle") {
+    val p = plan("docs_interleave")
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global limit must not sort all:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_simhash")(spark, sf)
     df.collect() // let AQE finalize the stages
