@@ -85,9 +85,13 @@ object QualityQueries {
   // dimension tags each order with match/no-match, and one aggregate
   // computes all five violation counters. Adding a check adds a counter
   // to that aggregate, not a scan.
-  private def qualityConstraints(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val c = Tables.customer(s, dir)
+  private def qualityConstraints(s: SparkSession, dir: String): DataFrame =
+    constraintReport(Tables.orders(s, dir), Tables.customer(s, dir))
+
+  /** The check kernel on explicit frames — the harness feeds the real
+    * tables (clean: the report proves all-zero), the spec feeds
+    * corrupted copies (the report proves each counter fires). */
+  private[queries] def constraintReport(o: DataFrame, c: DataFrame): DataFrame = {
     val wide = o
       .join(broadcast(c.select(col("c_custkey"))),
         col("o_custkey") === col("c_custkey"), "left")
