@@ -142,11 +142,17 @@ object Reader {
   /** The single-scan parse plan: text source over `paths`, one
     * flatMap-style partition pass resolving each row's file spec from
     * the broadcast map. */
-  private def parsed(spark: SparkSession, specs: Map[String, FileSpec], paths: Seq[String]): DataFrame = {
+  private def parsed(spark: SparkSession, specs: Map[String, FileSpec], paths: Seq[String]): DataFrame =
+    parsedFrom(spark, spark.read.textFile(paths: _*).toDF("value"), specs)
+
+  /** Parse stage over any text frame (batch or stream) carrying a
+    * `value` line column from a file source — `input_file_name()`
+    * resolves per row in both cases. */
+  private def parsedFrom(spark: SparkSession, text: DataFrame, specs: Map[String, FileSpec]): DataFrame = {
     val bSpecs = spark.sparkContext.broadcast(specs)
     val nKeys = CnjSchema.keyCols.length
     val nOut = nKeys + CnjSchema.numericCols.length
-    val rows = spark.read.textFile(paths: _*)
+    val rows = text
       .select(input_file_name().as("_f"), col("value"))
       .mapPartitions { it =>
         val specMap = bSpecs.value
@@ -204,5 +210,22 @@ object Reader {
     val specs = files.flatMap(p => fileSpec(p).map(normalizePath(p) -> _)).toMap
     require(specs.nonEmpty, s"no readable CNJ csv files under $dir")
     parsed(spark, specs, files.filter(p => specs.contains(normalizePath(p))).toIndexedSeq)
+  }
+
+  /** The SURVEY §2.9 north star: the same tolerant ingest as a
+    * Structured Streaming file source — the identical parse stage over
+    * `readStream.text`, so court files landing in the directory are
+    * picked up incrementally and every downstream aggregation becomes a
+    * continuously-updating result. The per-file header map is
+    * snapshotted at stream start: rows from files not present then are
+    * dropped, exactly like a headerless file in batch (re-plan to admit
+    * new schemas — header discovery is driver-side I/O, not state). */
+  def readDirStream(spark: SparkSession, dir: String): DataFrame = {
+    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.endsWith(".csv"))
+      .map(_.getPath).sorted
+    val specs = files.flatMap(p => fileSpec(p).map(normalizePath(p) -> _)).toMap
+    require(specs.nonEmpty, s"no readable CNJ csv files under $dir")
+    parsedFrom(spark, spark.readStream.text(s"$dir/*.csv"), specs)
   }
 }
