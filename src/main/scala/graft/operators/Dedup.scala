@@ -52,9 +52,21 @@ object Dedup {
     candidates.join(oldFps.select(col("fp")), Seq("fp"), "left_semi")
   }
 
-  /** Tokenized docs with distinct word-3-gram shingles. */
+  /** Tokenized docs with distinct word-3-gram shingles.
+    *
+    * Round-robined to the session parallelism first: every dedup
+    * operator's dominant work (shingling, gram explode, index self-join
+    * fan-out) is per-row compute downstream of this frame, and with a
+    * small-file corpus the scan would hand the whole chain ONE
+    * partition. AQE cannot rescue it — it sizes shuffles by map-output
+    * bytes, and the pair-join's row fan-out is invisible to that
+    * heuristic. Same rule as SCALE.md §9: when per-row compute
+    * dominates, partition count comes from the compute budget, not the
+    * file layout (measured: dedup_ngram_jaccard's main stage 1.33 s in
+    * one task at sf0.1; parallelized it amortizes across the cores). */
   def shingled(docs: DataFrame, n: Int = 3): DataFrame =
     docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .withColumn("sh", TextFunctions.shingles(col("toks"), n))
       .filter(size(col("sh")) > 0)
