@@ -109,12 +109,18 @@ object Similarity {
   }
 
   /** Cluster id = argmax cosine against the (unit-norm) centroids;
-    * ties -> lowest id. Pure codegen'd column over C dot products. */
-  def assignCluster(emb: Column, centroids: Array[Array[Double]]): Column = {
-    val dots = centroids.toIndexedSeq.map(ct => vecDot(emb, typedlit(ct.map(_.toFloat))))
-    val arr = array(dots: _*)
-    (array_position(arr, array_max(arr)) - 1).cast("int")
-  }
+    * ties -> lowest id. Pure codegen'd column over C dot products.
+    * Empty centroid set (possible only when the table that seeded
+    * k-means was empty) yields a typed null column — the zero-element
+    * array() literal would otherwise fail analysis as NULL-typed, even
+    * though no row ever materializes it. */
+  def assignCluster(emb: Column, centroids: Array[Array[Double]]): Column =
+    if (centroids.isEmpty) lit(null).cast("int")
+    else {
+      val dots = centroids.toIndexedSeq.map(ct => vecDot(emb, typedlit(ct.map(_.toFloat))))
+      val arr = array(dots: _*)
+      (array_position(arr, array_max(arr)) - 1).cast("int")
+    }
 
   /** IVF-flat approximate top-k: assign the corpus to `nCentroids` coarse
     * cells, probe the `nProbe` cells nearest the query, exact cosine only
@@ -126,8 +132,13 @@ object Similarity {
       dim: Int = Dim, nCentroids: Int = 16, nProbe: Int = 6,
       iters: Int = 2, seed: Long = Seed): DataFrame = {
     val cents = ivfCentroids(embeddings, dim, nCentroids, iters, seed)
-    val qVec = embeddings.filter(col("vec_id") === queryVecId)
-      .select(col("embedding")).head().getSeq[Float](0).toArray.map(_.toDouble)
+    // a query op needs its query: fail with the contract, not a bare
+    // NoSuchElementException out of head()
+    val qRows = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).head(1)
+    require(qRows.nonEmpty,
+      s"ivfTopK: query vec_id=$queryVecId not present in the embedding table")
+    val qVec = qRows(0).getSeq[Float](0).toArray.map(_.toDouble)
     val probes = cents.zipWithIndex
       .map { case (ct, i) =>
         i -> ct.zip(qVec).map { case (a, b) => a * b }.sum
