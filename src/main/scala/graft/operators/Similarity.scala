@@ -259,7 +259,13 @@ object Similarity {
   def tiledNearDupPairs(embeddings: DataFrame, threshold: Double,
       blocks: Int = 16): DataFrame = {
     require(blocks >= 1, s"blocks must be >= 1, got $blocks")
+    // compute-budget partitioning (SCALE.md §9): the tile fan-out and
+    // norm computation are per-row compute on both map sides; a
+    // small-file corpus would run each in ONE task (measured 2x ~550 ms
+    // single-task stages at sf0.1). One corpus-sized shuffle is noise
+    // against the Theta(n^2) tile join it feeds.
     val e = embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
       .withColumn("g", pmod(hash(col("vec_id")), lit(blocks)))
     val left = e
