@@ -8,10 +8,12 @@ import graft.cnj.{MetasJob, Reader}
   * reference's published runs time (BASELINE.md, 25.28-81.76 s across
   * four machines at ~0.93 GB) — read the 90-file CSV corpus, compute the
   * Resumo aggregate, write ResumoMetas.csv + Consolidado.csv +
-  * grafico_meta1.png — via the same code path as [[MetasJob.runAll]]
-  * (cached parse shared by both sinks; Consolidado sharded, the
-  * documented S5/S6 divergence: a coalesce(1) of the full corpus funnels
-  * every byte through one task).
+  * grafico_meta1.png — via the same code path as [[MetasJob.runAll]]:
+  * only the few-dozen-row per-court aggregate is cached (the raw-corpus
+  * InMemoryRelation cost ~10x the one re-scan it saved), the corpus is
+  * read exactly twice, and Consolidado is sharded — the documented S5/S6
+  * divergence: a coalesce(1) of the full corpus would funnel every byte
+  * through one task.
   *
   * Prints human-readable phase lines plus ONE machine-readable JSON line
   * (`{"metric":"cnj_bench_total_sec",...}`) carrying phase timings,

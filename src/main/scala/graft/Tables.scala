@@ -17,10 +17,26 @@ object Tables {
   // through Tables.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // sessions whose end-of-application eviction hook is installed; without
+  // it, a long-lived JVM cycling SparkSessions would pin every stopped
+  // session (and its analyzed plans / file indexes) here forever
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   private def cached(spark: SparkSession, path: String)
-      (load: => DataFrame): DataFrame =
+      (load: => DataFrame): DataFrame = {
+    if (hooked.add(spark)) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            cache.keySet.removeIf(_._1 eq spark)
+            hooked.remove(spark)
+          }
+        })
+    }
     cache.computeIfAbsent((spark, path), _ => load)
+  }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cached(spark, s"$sfDir/$name.parquet") {

@@ -127,17 +127,26 @@ object Reader {
   def readFile(spark: SparkSession, path: String): Option[DataFrame] =
     fileSpec(path).map(spec => parsed(spark, Map(normalizePath(path) -> spec), Seq(path)))
 
-  /** `input_file_name()` yields a URI ("file:/..."); driver-side paths
-    * are plain. Key the broadcast map by the plain absolute path and
-    * strip the scheme on the executor. */
+  /** `input_file_name()` yields a URL-ENCODED URI ("file:/a/b%20c.csv" —
+    * Spark's FileScanRDD publishes `PartitionedFile.urlEncodedPath`);
+    * driver-side paths are plain. Key the broadcast map by the plain
+    * absolute path and DECODE on the executor — a bare scheme-strip
+    * would silently drop every row of a file whose path contains a
+    * space, '%', or any non-ASCII character (court names make that a
+    * realistic path shape, and tolerant ingest must not lose files
+    * silently). */
   private def normalizePath(p: String): String = new File(p).getAbsolutePath
 
-  private def stripScheme(uri: String): String = {
-    val noScheme = if (uri.startsWith("file:")) uri.substring(5) else uri
-    var i = 0
-    while (i + 1 < noScheme.length && noScheme.charAt(i) == '/' && noScheme.charAt(i + 1) == '/') i += 1
-    noScheme.substring(i)
-  }
+  private[cnj] def decodeFileUri(uri: String): String =
+    try new java.net.URI(uri).getPath
+    catch {
+      case _: java.net.URISyntaxException =>
+        // not URI-parseable (unencoded specials): best-effort scheme strip
+        val noScheme = if (uri.startsWith("file:")) uri.substring(5) else uri
+        var i = 0
+        while (i + 1 < noScheme.length && noScheme.charAt(i) == '/' && noScheme.charAt(i + 1) == '/') i += 1
+        noScheme.substring(i)
+    }
 
   /** The single-scan parse plan: text source over `paths`, one
     * flatMap-style partition pass resolving each row's file spec from
@@ -164,7 +173,7 @@ object Reader {
           val f = r.getString(0)
           if (f != lastFile) {
             lastFile = f
-            lastSpec = specMap.getOrElse(stripScheme(f), null)
+            lastSpec = specMap.getOrElse(decodeFileUri(f), null)
           }
           val spec = lastSpec
           val line0 = r.getString(1)

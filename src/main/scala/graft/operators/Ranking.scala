@@ -29,21 +29,35 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  // reserved internal column names — improbable enough that a caller
+  // collision is a bug worth failing on (see require below)
+  private val stCol = "_graft_stratum"
+  private val pidCol = "_graft_pid"
+
   /** Adds `out` (long, 1-based rank within each value of `stratum`, in
-    * `order`). `stratum` must be a non-null string column; `order` must be
-    * a total order within each stratum (include a unique tie-break — ties
-    * would make the rank partition-order dependent). */
+    * `order`). `stratum` must be a non-null string column — ENFORCED at
+    * the phase-2 collect (a null stratum would silently produce null
+    * ranks: the driver-side offset key and the executor-side concat_ws
+    * lookup key disagree on null rendering); `order` must be a total
+    * order within each stratum (include a unique tie-break — ties would
+    * make the rank partition-order dependent). The internal columns get
+    * collision-proof names so caller columns survive untouched. */
   def stratifiedRank(df: DataFrame, stratum: Column, order: Seq[Column],
       numParts: Int = 32, out: String = "rnk"): DataFrame = {
     require(order.nonEmpty, "stratifiedRank needs at least one order column")
+    require(!df.columns.contains(stCol) && !df.columns.contains(pidCol),
+      s"stratifiedRank reserves columns $stCol/$pidCol")
     val base = df
-      .withColumn("_st", stratum.cast("string"))
-      .repartitionByRange(numParts, (col("_st") +: order): _*)
-      .withColumn("_pid", spark_partition_id())
+      .withColumn(stCol, stratum.cast("string"))
+      .repartitionByRange(numParts, (col(stCol) +: order): _*)
+      .withColumn(pidCol, spark_partition_id())
       .localCheckpoint()
-    val counts = base.groupBy(col("_pid"), col("_st"))
+    val counted = base.groupBy(col(pidCol), col(stCol))
       .agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      .collect()
+    counted.foreach(r => require(!r.isNullAt(1),
+      "stratifiedRank: null stratum value — filter or fill nulls first"))
+    val counts = counted.map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
     // exclusive prefix per stratum over partition ids, keyed "pid|stratum"
     val offsets: Map[String, Long] = counts.keys.groupBy(_._2).flatMap {
       case (st, ks) =>
@@ -53,10 +67,10 @@ object Ranking {
     }
     val offCol =
       if (offsets.isEmpty) lit(0L)
-      else element_at(typedLit(offsets), concat_ws("|", col("_pid"), col("_st")))
-    val win = Window.partitionBy(col("_pid"), col("_st")).orderBy(order: _*)
+      else element_at(typedLit(offsets), concat_ws("|", col(pidCol), col(stCol)))
+    val win = Window.partitionBy(col(pidCol), col(stCol)).orderBy(order: _*)
     base
       .withColumn(out, offCol + row_number().over(win).cast("long"))
-      .drop("_pid", "_st")
+      .drop(pidCol, stCol)
   }
 }

@@ -622,7 +622,11 @@ object SimilarityQueries {
     // in the joined-row condition, so the cheap id inequality must sit
     // BEFORE the O(len^2) levenshtein — otherwise every hash-matched
     // pair (including each doc's self-match) pays the DP before being
-    // discarded (measured 13 s -> 1.4 s at sf0.1)
+    // discarded (measured 13 s -> 1.4 s at sf0.1). Survivors pay the DP
+    // a second time in the projection below; computing it once behind a
+    // filter doesn't survive Catalyst (predicate pushdown re-substitutes
+    // the alias into the join condition, recreating the slow plan), and
+    // survivors <= candidates bounds the total at 2x the minimum.
     a.join(c,
         col("a_lang") === col("c_lang") && col("a_lb") === col("c_lb") &&
           col("a_pfx") === col("c_pfx") &&

@@ -60,6 +60,32 @@ class ReaderSpec extends SparkTestBase {
     assert(df.count() == 2)
   }
 
+  test("files with spaces and non-ASCII in the path are not silently dropped") {
+    // input_file_name() publishes the URL-ENCODED path ("%20", "%C3%A3");
+    // a raw-path map lookup would miss and flatMap every row to None —
+    // silent data loss. decodeFileUri must round-trip the encoding.
+    // (Non-ASCII covered by the direct unit test below — this JVM's
+    // filesystem locale cannot create such paths.)
+    val dir = Files.createTempDirectory("readerspec enc")
+    writeCsv(dir, "teste_TRE SP.csv", Seq(
+      "sigla_tribunal,ramo_justica,julgados_2025",
+      "DD,Justiça Estadual,7"))
+    val df = Reader.readDir(spark, dir.toString)
+    val rows = df.select("sigla_tribunal", "julgados_2025").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "DD")
+    assert(rows(0).getDouble(1) == 7.0)
+  }
+
+  test("decodeFileUri round-trips encoded specials and tolerates raw paths") {
+    assert(Reader.decodeFileUri("file:/a/teste%20TRE%20S%C3%A3o.csv") ==
+      "/a/teste TRE São.csv")
+    assert(Reader.decodeFileUri("file:///a/b%25c.csv") == "/a/b%c.csv")
+    // unencoded specials (not URI-parseable): best-effort scheme strip
+    assert(Reader.decodeFileUri("file:/a/plain path.csv") == "/a/plain path.csv")
+    assert(Reader.decodeFileUri("/no/scheme.csv") == "/no/scheme.csv")
+  }
+
   test("columns absent from a file land as null in the canonical schema") {
     val dir = Files.createTempDirectory("readerspec3")
     writeCsv(dir, "teste_CC.csv", Seq(
