@@ -535,7 +535,8 @@ object SimilarityQueries {
       |), p AS (
       |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
       |    list_dot_product(a.v, b.v) /
-      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cr
+      |      NULLIF(sqrt(list_dot_product(a.v, a.v))
+      |             * sqrt(list_dot_product(b.v, b.v)), 0) AS cr
       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
       |), r AS (
       |  SELECT src_id, dst_id, cr,

@@ -670,8 +670,10 @@ object TextQueries {
   // pass computes every per-doc metric (tokens + gram_stats — no gram
   // ever shuffles), and all three gates are INTEGER comparisons
   // (cross-multiplied rationals), so the counts are engine-exact:
-  // length >= 30 tokens; top-bigram mass <= 1/16 of grams; mean word
-  // length <= 5.8 chars (n_chars*10 <= n_toks*58). The only shuffle is
+  // length >= 30 tokens; top-bigram mass <= 1/16 of grams; mean token
+  // SPAN <= 5.8 chars (n_chars*10 <= n_toks*58 — n_chars counts the
+  // separator spaces too, so the span is mean word length + ~1; the
+  // equivalent cut on bare word length is ~4.8). The only shuffle is
   // the |sources|-row rollup.
   private def docsQualityGate(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -764,7 +766,14 @@ object TextQueries {
     Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
-      .withColumn("n_chunks", expr(s"(size(toks) - 1) div $stride + 1"))
+      // a window starting past size-chunkLen adds no new token (its
+      // content is a subset of the previous window), so the chunk count
+      // is 1 + ceil((n - chunkLen)/stride) clamped at 1 — emitting the
+      // naive ceil(n/stride) would duplicate suffixes whenever
+      // n mod stride is in 1..(chunkLen-stride), over-weighting them in
+      // a training corpus
+      .withColumn("n_chunks",
+        expr(s"1 + greatest(0L, (size(toks) - $chunkLen + $stride - 1) div $stride)"))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
       .withColumn("piece",
@@ -781,7 +790,8 @@ object TextQueries {
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
       |  FROM documents
       |), n AS (
-      |  SELECT doc_id, toks, (len(toks) - 1) // 30 + 1 AS n_chunks
+      |  SELECT doc_id, toks,
+      |    1 + greatest(0, (len(toks) - 40 + 30 - 1) // 30) AS n_chunks
       |  FROM t WHERE len(toks) > 0
       |), c AS (
       |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM n

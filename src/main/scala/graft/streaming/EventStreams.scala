@@ -177,8 +177,14 @@ object EventStreams {
     * record per user (the last event seen), i.e. bounded by user
     * cardinality, not stream length; a count aggregation downstream
     * maintains the live Markov transition matrix. Batch-equivalent for
-    * in-order delivery per user (the micro-batch sort handles intra-batch
-    * disorder; the spec pins stream-vs-batch equality). */
+    * in-order delivery per user: the micro-batch sort (full Timestamp
+    * precision + event_id — the same total order as the batch lag
+    * window) handles intra-batch disorder, and a CROSS-batch straggler
+    * older than the stored state is DROPPED rather than emitted as a
+    * time-reversed transition the batch form would never produce (the
+    * stored (ts, event_id) exists precisely for this comparison; the
+    * alternatives — emitting it out of order or regressing state — both
+    * corrupt the downstream matrix). */
   def transitionsStream(events: Dataset[Ev]): Dataset[TransitionOut] = {
     import events.sparkSession.implicits._
     events
@@ -186,12 +192,19 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, evs: Iterator[Ev], state: GroupState[LastEvent]) => {
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // full Timestamp precision: getTime is ms-truncated, getNanos
+          // restores the sub-ms fraction the batch lag window orders by
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           var last = state.getOption
           val out = Seq.newBuilder[TransitionOut]
           sorted.foreach { e =>
-            last.foreach(l => out += TransitionOut(userId, l.etype, e.event_type))
-            last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+            val inOrder = last.forall(l =>
+              l.ts < e.ts.getTime ||
+                (l.ts == e.ts.getTime && l.eventId < e.event_id))
+            if (inOrder) {
+              last.foreach(l => out += TransitionOut(userId, l.etype, e.event_type))
+              last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+            } // else: cross-batch straggler — drop, keep the newer state
           }
           last.foreach(state.update)
           out.result().iterator
