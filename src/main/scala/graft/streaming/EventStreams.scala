@@ -228,7 +228,8 @@ object EventStreams {
             state.remove()
             Iterator(SessionOut(userId, s.start, s.n, (s.lastTs - s.start) / 1000))
           } else {
-            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // same full-precision intra-batch order as transitionsStream
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
             var closed = List.empty[SessionOut]
             var cur = state.getOption
             sorted.foreach { e =>
