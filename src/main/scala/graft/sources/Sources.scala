@@ -52,4 +52,15 @@ object Sources {
     * action). */
   def unionAligned(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** ORC scan — the other mainstream columnar landing format (bundled
+    * with Spark; same pushdown/pruning surface as parquet: the scan node
+    * reports PushedFilters and a pruned ReadSchema). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink with the same overwrite-directory contract as the other
+    * writers. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

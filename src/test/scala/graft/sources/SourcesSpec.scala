@@ -57,4 +57,17 @@ class SourcesSpec extends SparkTestBase {
     assert(u.filter(col("v").isNull).count() === 1)
     assert(u.filter(col("s").isNull).count() === 1)
   }
+
+  test("orc round-trip: pushdown and pruning reach the scan") {
+    import spark.implicits._
+    val df = Seq((1L, 1.5, "a"), (2L, 2.5, "b"), (3L, 3.5, "c")).toDF("id", "v", "s")
+    val dir = Files.createTempDirectory("graft-orc").toString
+    Sources.writeOrc(df, dir)
+    val back = Sources.orc(spark, dir)
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val plan = back.filter(col("id") > 1L).select("id", "s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,1)"), plan)
+    assert(!plan.contains("v:double"), s"column v must be pruned from the read:\n$plan")
+  }
 }
