@@ -362,7 +362,8 @@ object SimilarityQueries {
       |)
       |SELECT a.vec_id, CAST(a.label AS BIGINT) AS label,
       |  ROUND(list_dot_product(a.q, qq.q) /
-      |    (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(qq.q, qq.q))), 6) AS cos_sim
+      |    NULLIF(sqrt(list_dot_product(a.q, a.q))
+      |           * sqrt(list_dot_product(qq.q, qq.q)), 0), 6) AS cos_sim
       |FROM q8 a, qq
       |WHERE a.vec_id <> 0
       |ORDER BY cos_sim DESC, a.vec_id
@@ -374,8 +375,8 @@ object SimilarityQueries {
       |)
       |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
       |  ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
-      |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-      |     * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+      |    NULLIF(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+      |           * sqrt(list_dot_product(q.qv, q.qv)), 0), 6) AS cos_sim
       |FROM embeddings e, q
       |WHERE e.vec_id <> 0
       |ORDER BY cos_sim DESC, e.vec_id
@@ -424,10 +425,10 @@ object SimilarityQueries {
       |)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |  ROUND(list_dot_product(a.v, b.v) /
-      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      |    NULLIF(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0), 6) AS cos_sim
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |WHERE list_dot_product(a.v, b.v) /
-      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+      |    NULLIF(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
   private val embedNearDupSql =
@@ -437,10 +438,10 @@ object SimilarityQueries {
       |)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |  ROUND(list_dot_product(a.v, b.v) /
-      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      |    NULLIF(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0), 6) AS cos_sim
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |WHERE list_dot_product(a.v, b.v) /
-      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+      |    NULLIF(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
   // cross-source near-dup contamination (the train/test leakage check
@@ -576,9 +577,9 @@ object SimilarityQueries {
       |), scored AS (
       |  SELECT p.probe_id, e.vec_id, CAST(e.label AS BIGINT) AS label,
       |    ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv) /
-      |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-      |                             CAST(e.embedding AS DOUBLE[])))
-      |       * sqrt(list_dot_product(p.pv, p.pv))), 6) AS cos_sim
+      |      NULLIF(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |                                   CAST(e.embedding AS DOUBLE[])))
+      |             * sqrt(list_dot_product(p.pv, p.pv)), 0), 6) AS cos_sim
       |  FROM embeddings e, p
       |  WHERE e.vec_id <> p.probe_id
       |)

@@ -168,8 +168,22 @@ object EventStreams {
   final case class SessionState(start: Long, lastTs: Long, n: Long)
 
   final case class TransitionOut(user_id: Long, from_type: String, to_type: String)
-  // not `private`: state encoder access, same as SessionState
-  final case class LastEvent(ts: Long, eventId: Long, etype: String)
+  // not `private`: state encoder access, same as SessionState.
+  // `tsMicros` is epoch MICROseconds — the corpus timestamps are
+  // micro-precision, so this is full fidelity, unlike the ms-truncated
+  // getTime a previous revision stored (which made the straggler
+  // comparison disagree with the sort for same-millisecond events).
+  final case class LastEvent(tsMicros: Long, eventId: Long, etype: String)
+
+  /** THE event order: epoch micros + event_id — one definition shared by
+    * every intra-batch sort and the cross-batch straggler comparison, so
+    * the keys cannot drift apart (they did once: a sort gained sub-ms
+    * precision the state comparison lacked). Matches the batch
+    * formulations' ORDER BY (ts, event_id) exactly at the corpus's
+    * micro-precision. */
+  private def evMicros(e: Ev): Long =
+    e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+  private def evOrderKey(e: Ev): (Long, Long) = (evMicros(e), e.event_id)
 
   /** Streaming event-type transitions: per incoming event, emit the
     * (previous type -> this type) pair for its user — the incremental
@@ -192,18 +206,18 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, evs: Iterator[Ev], state: GroupState[LastEvent]) => {
-          // full Timestamp precision: getTime is ms-truncated, getNanos
-          // restores the sub-ms fraction the batch lag window orders by
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          val sorted = evs.toSeq.sortBy(evOrderKey)
           var last = state.getOption
           val out = Seq.newBuilder[TransitionOut]
           sorted.foreach { e =>
+            val m = evMicros(e)
+            // SAME key as the sort — state comparison and sort order
+            // must agree or in-order events get misclassified
             val inOrder = last.forall(l =>
-              l.ts < e.ts.getTime ||
-                (l.ts == e.ts.getTime && l.eventId < e.event_id))
+              l.tsMicros < m || (l.tsMicros == m && l.eventId < e.event_id))
             if (inOrder) {
               last.foreach(l => out += TransitionOut(userId, l.etype, e.event_type))
-              last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+              last = Some(LastEvent(m, e.event_id, e.event_type))
             } // else: cross-batch straggler — drop, keep the newer state
           }
           last.foreach(state.update)
@@ -228,13 +242,21 @@ object EventStreams {
             state.remove()
             Iterator(SessionOut(userId, s.start, s.n, (s.lastTs - s.start) / 1000))
           } else {
-            // same full-precision intra-batch order as transitionsStream
-            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            val sorted = evs.toSeq.sortBy(evOrderKey)
             var closed = List.empty[SessionOut]
             var cur = state.getOption
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
+                // cross-batch straggler inside the current session's span:
+                // count it, but NEVER regress lastTs — moving it backwards
+                // would shrink the timeout and close the session early
+                // (the time-reversed analogue of the transitions fix)
+                case Some(s) if t < s.lastTs =>
+                  if (t >= s.start) cur = Some(s.copy(n = s.n + 1))
+                // else: predates the open session entirely — the batch
+                // form would have merged it into an earlier, already-
+                // emitted session; unrecoverable in append mode, drop
                 case Some(s) if t - s.lastTs <= gapMs =>
                   cur = Some(s.copy(lastTs = t, n = s.n + 1))
                 case Some(s) =>
