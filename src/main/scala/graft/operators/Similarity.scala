@@ -130,8 +130,20 @@ object Similarity {
     * read. */
   def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
       dim: Int = Dim, nCentroids: Int = 16, nProbe: Int = 6,
-      iters: Int = 2, seed: Long = Seed): DataFrame = {
-    val cents = ivfCentroids(embeddings, dim, nCentroids, iters, seed)
+      iters: Int = 2, seed: Long = Seed): DataFrame =
+    ivfTopKWith(embeddings, ivfCentroids(embeddings, dim, nCentroids, iters, seed),
+      queryVecId, k, nProbe)
+
+  /** [[ivfTopK]] against a pre-trained centroid model. Every arithmetic
+    * step — probe selection AND cell assignment — uses the FLOAT-cast
+    * model (the exact values [[assignCluster]] broadcasts), so pinning
+    * the float model reproduces the query bit-for-bit in another engine:
+    * float->double casts are exact, dots accumulate sequentially in
+    * double on both sides, ties break toward the lower cluster id. */
+  def ivfTopKWith(embeddings: DataFrame, cents: Array[Array[Double]],
+      queryVecId: Long, k: Int, nProbe: Int = 6): DataFrame = {
+    // the model assignCluster actually evaluates: double -> float -> double
+    val centsF = cents.map(_.map(_.toFloat.toDouble))
     // a query op needs its query: fail with the contract, not a bare
     // NoSuchElementException out of head()
     val qRows = embeddings.filter(col("vec_id") === queryVecId)
@@ -139,7 +151,7 @@ object Similarity {
     require(qRows.nonEmpty,
       s"ivfTopK: query vec_id=$queryVecId not present in the embedding table")
     val qVec = qRows(0).getSeq[Float](0).toArray.map(_.toDouble)
-    val probes = cents.zipWithIndex
+    val probes = centsF.zipWithIndex
       .map { case (ct, i) =>
         i -> ct.zip(qVec).map { case (a, b) => a * b }.sum
       }
@@ -170,8 +182,14 @@ object Similarity {
     */
   def semanticDupPairs(embeddings: DataFrame, threshold: Double,
       dim: Int = Dim, nCentroids: Int = 16, iters: Int = 2,
-      seed: Long = Seed): DataFrame = {
-    val cents = ivfCentroids(embeddings, dim, nCentroids, iters, seed)
+      seed: Long = Seed): DataFrame =
+    semanticDupPairsWith(embeddings,
+      ivfCentroids(embeddings, dim, nCentroids, iters, seed), threshold)
+
+  /** [[semanticDupPairs]] against a pre-trained centroid model (see
+    * [[ivfTopKWith]] for the cross-engine reproducibility contract). */
+  def semanticDupPairsWith(embeddings: DataFrame, cents: Array[Array[Double]],
+      threshold: Double): DataFrame = {
     // checkpoint: the C dot-products-per-row assignment feeds both join
     // sides; without it the argmax scan runs twice
     val assigned = embeddings
@@ -201,8 +219,17 @@ object Similarity {
     */
   def ivfBatchTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int = Dim, nCentroids: Int = 16, nProbe: Int = 6,
-      iters: Int = 2, seed: Long = Seed): DataFrame = {
-    val cents = ivfCentroids(corpus, dim, nCentroids, iters, seed)
+      iters: Int = 2, seed: Long = Seed): DataFrame =
+    ivfBatchTopKWith(corpus, queries,
+      ivfCentroids(corpus, dim, nCentroids, iters, seed), k, nProbe)
+
+  /** [[ivfBatchTopK]] against a pre-trained centroid model (see
+    * [[ivfTopKWith]] for the cross-engine reproducibility contract: the
+    * probe dots here already evaluate against the float-cast model via
+    * typedlit, and TopKByScore orders (score desc, payload asc) with
+    * null/NaN scores skipped). */
+  def ivfBatchTopKWith(corpus: DataFrame, queries: DataFrame,
+      cents: Array[Array[Double]], k: Int, nProbe: Int = 6): DataFrame = {
     val assigned = corpus
       .withColumn("cluster", assignCluster(col("embedding"), cents))
       .select(col("cluster"), col("vec_id"), col("embedding"))

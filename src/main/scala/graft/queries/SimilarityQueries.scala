@@ -9,11 +9,12 @@ import graft.operators.{Dedup, Similarity}
 /** Dedup + similarity-search harness queries over documents/embeddings.
   * Exact variants carry DuckDB oracles — including dedup_minhash_lsh,
   * whose 0.9 threshold puts banding recall at ~1 so its output equals
-  * the exact-Jaccard answer. Hash-based variants whose output genuinely
-  * depends on Spark-specific hashing (simhash chunks, winnowing window
-  * minima, IVF cell assignment) get the rows-only check plus
-  * cross-operator scalatest coverage (hash candidates must recover the
-  * exact-Jaccard pairs).
+  * the exact-Jaccard answer. The IVF family pins its trained centroid
+  * model at run time so the oracle replays cell assignment in plain SQL
+  * (see pinnedCents). Hash-based variants whose output genuinely depends
+  * on Spark-specific hashing (simhash chunks, winnowing window minima)
+  * get the rows-only check plus cross-operator scalatest coverage (hash
+  * candidates must recover the exact-Jaccard pairs).
   */
 object SimilarityQueries {
 
@@ -382,13 +383,129 @@ object SimilarityQueries {
       |ORDER BY cos_sim DESC, e.vec_id
       |LIMIT 10""".stripMargin
 
+  // ---- pinned IVF centroid models -----------------------------------
+  //
+  // The k-means model lives in the JVM, so a DuckDB oracle cannot retrain
+  // it — but it doesn't have to: each IVF query pins the EXACT float-cast
+  // centroids it evaluated (the values assignCluster broadcasts), and the
+  // oracle SQL — built by Verify AFTER the queries ran — inlines them as
+  // DOUBLE literals. Cell assignment (argmax dot, ties -> lowest id),
+  // probe selection and in-cell exact cosine are then plain ANSI SQL with
+  // the same sequential-double arithmetic as FloatVectorDot, making the
+  // comparison exact even if training itself drifted an ulp between runs.
+  private val pinnedCents =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
+  private def trainAndPin(s: SparkSession, dir: String, name: String): Array[Array[Double]] = {
+    val cents = Similarity.ivfCentroids(Tables.embeddings(s, dir),
+      Similarity.Dim, c = 16, iters = 2, seed = Similarity.Seed)
+    pinnedCents.put(name, cents.map(_.map(_.toFloat)))
+    cents
+  }
+
+  /** One float as a DuckDB DOUBLE literal: Double.toString round-trips,
+    * and the `e0` suffix forces the lexer down the DOUBLE path (a plain
+    * 17-digit decimal would parse as DECIMAL(38,..), whose cast back to
+    * double can differ in the last ulp). */
+  private def dlit(f: Float): String = {
+    val s = java.lang.Double.toString(f.toDouble)
+    if (s.contains("E")) s else s + "e0"
+  }
+
+  /** `(VALUES (0, [..]), ..) AS cents(cluster_id, cv)` from the pinned
+    * model; None until the query has run (Verify's dump order guarantees
+    * it has). */
+  private def centsValues(name: String): Option[String] =
+    Option(pinnedCents.get(name)).map { cs =>
+      cs.zipWithIndex.map { case (c, i) =>
+        s"    ($i, [${c.map(dlit).mkString(", ")}]::DOUBLE[])"
+      }.mkString("(VALUES\n", ",\n", ") AS t(cluster_id, cv)")
+    }
+
+  // argmax-cosine cell assignment, shared by the three IVF oracles: for
+  // unit-ish centroids argmax dot == argmax cosine; row_number's
+  // (d DESC, cluster_id) picks the first maximum like array_position
+  private val assignedSql =
+    """assigned AS (
+      |  SELECT vec_id, label, v, cluster_id FROM (
+      |    SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v, c.cluster_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+      |                 c.cluster_id) AS rn
+      |    FROM embeddings e, cents c)
+      |  WHERE rn = 1)""".stripMargin
+
+  private def simTopkIvfSql: Option[String] = centsValues("sim_topk_ivf").map { cv =>
+    s"""WITH cents AS (SELECT * FROM $cv),
+      |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      |probes AS (
+      |  SELECT cluster_id FROM (
+      |    SELECT c.cluster_id,
+      |      row_number() OVER (ORDER BY list_dot_product(c.cv, q.qv) DESC,
+      |                         c.cluster_id) AS rn
+      |    FROM cents c, q)
+      |  WHERE rn <= 6),
+      |$assignedSql
+      |SELECT a.vec_id, CAST(a.label AS BIGINT) AS label,
+      |  ROUND(list_dot_product(a.v, q.qv) /
+      |    NULLIF(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv)), 0), 6) AS cos_sim
+      |FROM assigned a, q
+      |WHERE a.cluster_id IN (SELECT cluster_id FROM probes) AND a.vec_id <> 0
+      |ORDER BY cos_sim DESC, a.vec_id
+      |LIMIT 10""".stripMargin
+  }
+
+  private def simTopkBatchSql: Option[String] = centsValues("sim_topk_batch").map { cv =>
+    s"""WITH cents AS (SELECT * FROM $cv),
+      |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id < 8),
+      |probes AS (
+      |  SELECT q_id, cluster_id FROM (
+      |    SELECT q.q_id, c.cluster_id,
+      |      row_number() OVER (PARTITION BY q.q_id
+      |        ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cluster_id) AS rn
+      |    FROM q, cents c)
+      |  WHERE rn <= 6),
+      |$assignedSql,
+      |scored AS (
+      |  SELECT p.q_id, a.vec_id,
+      |    list_dot_product(a.v, q.qv) /
+      |      NULLIF(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv)), 0) AS cos
+      |  FROM probes p
+      |  JOIN assigned a ON a.cluster_id = p.cluster_id
+      |  JOIN q ON q.q_id = p.q_id
+      |  WHERE a.vec_id <> p.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+      |  FROM scored WHERE cos IS NOT NULL)
+      |SELECT q_id, CAST(rn - 1 AS INTEGER) AS rank, vec_id
+      |FROM ranked WHERE rn <= 10
+      |ORDER BY q_id, rank""".stripMargin
+  }
+
+  private def dedupSemanticSql: Option[String] = centsValues("dedup_semantic").map { cv =>
+    s"""WITH cents AS (SELECT * FROM $cv),
+      |$assignedSql,
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_dot_product(a.v, b.v) /
+      |      NULLIF(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0) AS cos
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, ROUND(cos, 6) AS cos_sim
+      |FROM pairs WHERE cos >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // IVF, not sign-LSH: on this corpus the true neighbors sit at cosine
   // ~0.3, where 16-bit hyperplane signatures agree barely above chance
   // (measured recall 0); the data-adaptive coarse quantizer recalls ~60%
   // of the exact top-10 while scanning 6/16 cells. lshTopK remains for
   // high-cosine (near-duplicate) regimes.
   private def simTopkIvf(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
+    Similarity.ivfTopKWith(Tables.embeddings(s, dir),
+      trainAndPin(s, dir, "sim_topk_ivf"), queryVecId = 0L, k = 10)
 
   // the m-queries-at-once shape: cluster-pruned equi-join + bounded-heap
   // per-query top-k (no cross join, no per-group sort)
@@ -397,7 +514,8 @@ object SimilarityQueries {
     val emb = Tables.embeddings(s, dir)
     // one row per (query, rank) — scalar columns only, the driver's pandas
     // comparator cannot sort/hash array cells
-    Similarity.ivfBatchTopK(emb, emb.filter(col("vec_id") < 8), k = 10)
+    Similarity.ivfBatchTopKWith(emb, emb.filter(col("vec_id") < 8),
+        trainAndPin(s, dir, "sim_topk_batch"), k = 10)
       .select(col("q_id"), posexplode(col("topk")).as(Seq("rank", "vec_id")))
       .orderBy(col("q_id"), col("rank"))
   }
@@ -588,11 +706,13 @@ object SimilarityQueries {
       |ORDER BY probe_id, cos_sim DESC, vec_id""".stripMargin
 
   // SemDeDup-style semantic dedup: k-means cells bound the quadratic
-  // step; pairs only form within a cell. Rows-only by design — the cell
-  // assignment depends on engine-internal float k-means — with the
-  // subset-of-exact and planted-copy recall contracts in SimilaritySpec.
+  // step; pairs only form within a cell. The cell assignment replays in
+  // DuckDB from the pinned float model (see pinnedCents above); the
+  // subset-of-exact and planted-copy recall contracts in SimilaritySpec
+  // stay as defense in depth.
   private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
-    Similarity.semanticDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+    Similarity.semanticDupPairsWith(Tables.embeddings(s, dir),
+      trainAndPin(s, dir, "dedup_semantic"), threshold = 0.4)
 
   // ---- blocked edit-distance near-dup verification ------------------
   //
@@ -652,10 +772,13 @@ object SimilarityQueries {
       |WHERE levenshtein(a.text, c.text) <= 20
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  val all: Seq[QueryDef] = Seq(
+  /** A def, not a val: the three IVF oracles are built from the pinned
+    * centroid model, which only exists after their queries have run —
+    * Verify dumps oracleSql last, so it sees them populated. */
+  def all: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("dedup_editdist", Some(dedupEditdistSql), dedupEditdist),
-    QueryDef("dedup_semantic", None, dedupSemantic),
+    QueryDef("dedup_semantic", dedupSemanticSql, dedupSemantic),
     QueryDef("dedup_minhash_lsh", Some(dedupMinhashSql), dedupMinhash),
     QueryDef("dedup_simhash", Some(dedupSimhashSql), dedupSimhash),
     QueryDef("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
@@ -665,8 +788,8 @@ object SimilarityQueries {
     QueryDef("dedup_winnowing", Some(dedupWinnowingSql), dedupWinnowing),
     QueryDef("sim_topk_brute", Some(simTopkBruteSql), simTopkBrute),
     QueryDef("sim_topk_quantized", Some(simTopkQuantizedSql), simTopkQuantized),
-    QueryDef("sim_topk_ivf", None, simTopkIvf),
-    QueryDef("sim_topk_batch", None, simTopkBatch),
+    QueryDef("sim_topk_ivf", simTopkIvfSql, simTopkIvf),
+    QueryDef("sim_topk_batch", simTopkBatchSql, simTopkBatch),
     QueryDef("embed_neardup_cosine", Some(embedNearDupSql), embedNearDup),
     QueryDef("embed_neardup_blocked", Some(embedNearDupBlockedSql), embedNearDupBlocked),
     QueryDef("sim_knn_graph", Some(simKnnGraphSql), simKnnGraph),
