@@ -13,8 +13,9 @@ object Tables {
   // the analyzed DataFrame (its InMemoryFileIndex + schema) makes repeat
   // reads free; execution still re-plans per query (AQE untouched). The
   // testdata dirs are immutable for a session's lifetime — callers that
-  // rewrite a parquet dir mid-session should read it directly, not
-  // through Tables.
+  // rewrite a parquet dir mid-session must call invalidate(path) (or
+  // read directly, bypassing Tables), or they silently serve the
+  // pre-rewrite file listing.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   // sessions whose end-of-application eviction hook is installed; without
@@ -37,6 +38,14 @@ object Tables {
     }
     cache.computeIfAbsent((spark, path), _ => load)
   }
+
+  /** Drop cached relations under `path` (a table's parquet path or a
+    * whole sf dir), for every session. Required after overwriting a
+    * parquet dir that was previously read through Tables — the cached
+    * InMemoryFileIndex would otherwise keep serving the pre-rewrite
+    * file listing (stale data or vanished-file read errors). */
+  def invalidate(path: String): Unit =
+    cache.keySet.removeIf(_._2.startsWith(path))
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cached(spark, s"$sfDir/$name.parquet") {

@@ -75,7 +75,14 @@ object Reader {
   /** Split one CSV line. Fast path: no quote character — plain
     * single-char split (the CNJ corpus is unquoted throughout). Rows
     * containing '"' take a minimal RFC-4180 state machine so quoted
-    * separators/quotes survive; the branch is cold by construction. */
+    * separators/quotes survive; the branch is cold by construction.
+    *
+    * LIMITATION: the scan is line-based, so a quoted field containing an
+    * embedded NEWLINE arrives as two wrong-width lines and both are
+    * skipped as malformed (pandas' default parser would stitch them).
+    * Acceptable for the CNJ corpus, which is newline-free inside fields
+    * by construction; a corpus that quotes newlines needs a multiline
+    * CSV reader (spark.read.option("multiLine", true)), not this one. */
   private[cnj] def splitCsv(line: String): Array[String] =
     if (line.indexOf('"') < 0) line.split(",", -1)
     else {
@@ -113,7 +120,17 @@ object Reader {
     val cols = first.split(",", -1).map(_.trim).toSeq
     if (!CnjSchema.keyCols.forall(cols.contains)) None
     else {
-      val idx = cols.zipWithIndex.toMap
+      // duplicate header names: pandas mangles repeats (col, col.1, ..),
+      // so the reference's name lookups always resolve to the FIRST
+      // occurrence — mirror that. A bare zipWithIndex.toMap would keep
+      // the LAST and silently read the wrong token position.
+      val dups = cols.diff(cols.distinct).distinct
+        .filter((CnjSchema.keyCols ++ CnjSchema.numericCols).contains)
+      if (dups.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$path: duplicated header column(s) ${dups.mkString(", ")}; " +
+            "using the first occurrence of each (pandas pre-mangle position)")
+      val idx = cols.zipWithIndex.reverse.toMap // reversed: first wins
       val pos = (CnjSchema.keyCols ++ CnjSchema.numericCols)
         .map(c => idx.getOrElse(c, -1)).toArray
       Some(FileSpec(first, cols.length, pos))

@@ -63,10 +63,10 @@ object Dedup {
     * heuristic. Same rule as SCALE.md §9: when per-row compute
     * dominates, partition count comes from the compute budget, not the
     * file layout (measured: dedup_ngram_jaccard's main stage 1.33 s in
-    * one task at sf0.1; parallelized it amortizes across the cores). */
+    * one task at sf0.1; parallelized it amortizes across the cores).
+    * Budget is a floor, not a target — see [[Compute.toComputeBudget]]. */
   def shingled(docs: DataFrame, n: Int = 3): DataFrame =
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    Compute.toComputeBudget(docs)
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .withColumn("sh", TextFunctions.shingles(col("toks"), n))
       .filter(size(col("sh")) > 0)

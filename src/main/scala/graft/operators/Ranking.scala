@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   * The repartitioned frame is localCheckpoint-ed so phases 2 and 3 see the
   * SAME partitioning (range boundaries come from sampling; recomputation
   * could re-sample and mis-align the offsets).
+  *
+  * CARDINALITY CONTRACT: the offsets map is numParts × |strata| entries,
+  * collected to the driver AND inlined into the plan as a typedLit — both
+  * are fine for language-like strata (dozens to hundreds of values) but
+  * become a driver-memory/plan-size cliff for a high-cardinality stratum
+  * column (user id, url host). Rule of thumb: keep numParts × |strata|
+  * under ~1e6 entries; above that, swap the literal map for a
+  * broadcast-joined offsets DataFrame keyed (pid, stratum).
   */
 object Ranking {
 

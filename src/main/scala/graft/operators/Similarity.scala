@@ -290,9 +290,9 @@ object Similarity {
     // norm computation are per-row compute on both map sides; a
     // small-file corpus would run each in ONE task (measured 2x ~550 ms
     // single-task stages at sf0.1). One corpus-sized shuffle is noise
-    // against the Theta(n^2) tile join it feeds.
-    val e = embeddings
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    // against the Theta(n^2) tile join it feeds. Budget is a floor
+    // (Compute.toComputeBudget): a wide scan keeps its layout.
+    val e = Compute.toComputeBudget(embeddings)
       .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
       .withColumn("g", pmod(hash(col("vec_id")), lit(blocks)))
     val left = e

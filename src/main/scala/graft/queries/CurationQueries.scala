@@ -292,21 +292,25 @@ object CurationQueries {
   // reader sees an even source mix in every prefix of the stream. Fully
   // deterministic, so the oracle is exact. Per-source ranks are pruned
   // to the first 200 below the shuffle (WindowGroupLimit — only the
-  // head of each source moves); the source-index table is a broadcast
-  // of |sources| rows.
+  // head of each source moves); the source index is metadata-sized
+  // (|sources| distinct values), so it is resolved on the driver as a
+  // literal map — like the packShards offsets — instead of a
+  // no-partition global window, which would move the (tiny) distinct
+  // frame to one task and trip WindowExec's single-partition warning.
   private def docsInterleave(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val srcIdx = docs.select(col("source")).distinct()
-      .withColumn("src_idx", row_number().over(Window.orderBy(col("source"))))
-    val withN = srcIdx.crossJoin(srcIdx.agg(count(lit(1)).as("n_src")))
+    val sources = docs.select(col("source")).distinct().collect()
+      .map(_.getString(0)).sorted
+    val idx = typedlit(sources.zipWithIndex
+      .map { case (src, i) => src -> (i + 1L) }.toMap)
     val r = docs.select(col("source"), col("doc_id"))
       .withColumn("rnk",
         row_number().over(Window.partitionBy(col("source")).orderBy(col("doc_id"))))
       .filter(col("rnk") <= 200)
-    r.join(broadcast(withN), "source")
-      .select(
-        ((col("rnk") - 1) * col("n_src") + col("src_idx") - 1)
+    r.select(
+        ((col("rnk") - 1) * lit(sources.length.toLong) +
+          element_at(idx, col("source")) - 1)
           .cast(LongType).as("position"),
         col("source"), col("doc_id"))
       .orderBy(col("position"))

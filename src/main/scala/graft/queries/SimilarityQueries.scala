@@ -736,8 +736,9 @@ object SimilarityQueries {
     // a single-file corpus would run the whole quadratic verify in ONE
     // task. Round-robin to the session's parallelism: one cheap shuffle
     // of the corpus text buys even distribution of the dominant compute
-    // (measured at a 50k-doc/236k-pair corpus: stuck single-task -> ~3 s)
-    val a = b.repartition(s.sparkContext.defaultParallelism)
+    // (measured at a 50k-doc/236k-pair corpus: stuck single-task -> ~3 s).
+    // Budget is a floor (Compute.toComputeBudget): wide scans keep layout.
+    val a = graft.operators.Compute.toComputeBudget(b)
       .select(b.columns.map(c => col(c).as(s"a_$c")).toIndexedSeq: _*)
     val c = b.select(b.columns.map(c => col(c).as(s"c_$c")).toIndexedSeq: _*)
     // conjunct order is load-bearing: And short-circuits left-to-right

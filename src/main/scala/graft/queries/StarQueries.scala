@@ -355,6 +355,89 @@ object StarQueries {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  // ---- explicit GROUPING SETS ((a,b),(b),()) — a combination neither
+  // rollup nor cube produces, plus the canonical disambiguation trap:
+  // l_linestatus is NULLed for 'F' rows, so a NULL status can mean
+  // "null in the data" or "summarized away" and only grouping() can
+  // tell them apart. One Expand pass, same as rollup/cube.
+  private def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("ls", expr("nullif(l_linestatus, 'F')"))
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("ls")), Seq(col("ls")), Seq.empty[Column]),
+        col("l_returnflag"), col("ls"))
+      // grouping() resolves only INSIDE the grouping-sets Aggregate —
+      // emit the indicator bits here, decode them in the select below
+      .agg((sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("ls")).as("g_ls"))
+      .select(
+        when(col("g_flag") === 1, lit("ALL"))
+          .otherwise(col("l_returnflag")).as("flag"),
+        when(col("g_ls") === 1, lit("ALL"))
+          .otherwise(coalesce(col("ls"), lit("NULLDATA"))).as("status"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("flag"), col("status"))
+  }
+
+  private val groupingSetsAggSql =
+    """WITH li AS (
+      |  SELECT l_returnflag, nullif(l_linestatus, 'F') AS ls,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qc
+      |  FROM lineitem)
+      |SELECT
+      |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS flag,
+      |  CASE WHEN GROUPING(ls) = 1 THEN 'ALL' ELSE COALESCE(ls, 'NULLDATA') END AS status,
+      |  SUM(qc) / 100.0 AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM li GROUP BY GROUPING SETS ((l_returnflag, ls), (ls), ())
+      |ORDER BY flag, status""".stripMargin
+
+  // ---- full outer join with the null-key trap: both sides NULL key 7,
+  // and since NULL never equals NULL the two null-key groups surface as
+  // SEPARATE unmatched rows (a left-only and a right-only), not a match.
+  // The side filters (s_nationkey < 20, c_nationkey >= 5) guarantee
+  // left-only keys 20-24 and right-only keys 0-4 at every SF. Unmatched
+  // sides are coalesced to -1 sentinels so the output carries no nulls;
+  // presence is judged on the count columns (never null for an existing
+  // group) because the key columns are null for the null-key rows — THE
+  // mistake this query locks against. At scale this is a plain shuffled
+  // hash/sort-merge join on the grouped (small) sides.
+  private def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir).filter(col("s_nationkey") < 20)
+      .groupBy(expr("nullif(s_nationkey, 7)").as("nk_s"))
+      .agg(count(lit(1)).as("n_supp"))
+    val cus = Tables.customer(s, dir).filter(col("c_nationkey") >= 5)
+      .groupBy(expr("nullif(c_nationkey, 7)").as("nk_c"))
+      .agg(count(lit(1)).as("n_cust"))
+    sup.join(cus, col("nk_s") === col("nk_c"), "full_outer")
+      .select(
+        coalesce(col("nk_s"), col("nk_c"), lit(-1)).cast(LongType).as("nk"),
+        when(col("n_supp").isNotNull && col("n_cust").isNotNull, lit("both"))
+          .when(col("n_supp").isNotNull, lit("left"))
+          .otherwise(lit("right")).as("side"),
+        coalesce(col("n_supp"), lit(-1L)).as("n_supp"),
+        coalesce(col("n_cust"), lit(-1L)).as("n_cust"))
+      .orderBy(col("nk"), col("side"))
+  }
+
+  private val joinFullOuterSql =
+    """WITH sup AS (
+      |  SELECT nullif(s_nationkey, 7) AS nk_s, COUNT(*) AS n_supp
+      |  FROM supplier WHERE s_nationkey < 20 GROUP BY 1
+      |), cus AS (
+      |  SELECT nullif(c_nationkey, 7) AS nk_c, COUNT(*) AS n_cust
+      |  FROM customer WHERE c_nationkey >= 5 GROUP BY 1
+      |)
+      |SELECT CAST(COALESCE(nk_s, nk_c, -1) AS BIGINT) AS nk,
+      |  CASE WHEN n_supp IS NOT NULL AND n_cust IS NOT NULL THEN 'both'
+      |       WHEN n_supp IS NOT NULL THEN 'left' ELSE 'right' END AS side,
+      |  COALESCE(n_supp, -1) AS n_supp,
+      |  COALESCE(n_cust, -1) AS n_cust
+      |FROM sup FULL OUTER JOIN cus ON nk_s = nk_c
+      |ORDER BY nk, side""".stripMargin
+
   // ---- exact distinct count per group.
   private def distinctCount(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -670,6 +753,8 @@ object StarQueries {
     QueryDef("null_fill_sentinel", Some(nullFillSentinelSql), nullFillSentinel),
     QueryDef("rollup_agg", Some(rollupAggSql), rollupAgg),
     QueryDef("cube_agg", Some(cubeAggSql), cubeAgg),
+    QueryDef("grouping_sets_agg", Some(groupingSetsAggSql), groupingSetsAgg),
+    QueryDef("join_full_outer", Some(joinFullOuterSql), joinFullOuter),
     QueryDef("distinct_count", Some(distinctCountSql), distinctCount),
     QueryDef("collect_set_sorted", Some(collectSetSortedSql), collectSetSorted),
     QueryDef("percentile_exact", Some(percentileExactSql), percentileExact),

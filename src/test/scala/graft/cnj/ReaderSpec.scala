@@ -86,6 +86,19 @@ class ReaderSpec extends SparkTestBase {
     assert(Reader.decodeFileUri("/no/scheme.csv") == "/no/scheme.csv")
   }
 
+  test("duplicated header column names resolve to the FIRST occurrence") {
+    // pandas mangles repeats (col, col.1), so the reference's name lookup
+    // hits the first; a last-wins index map would silently read token 3
+    // (here 99.0) for julgados_2025 instead of token 2 (5.0)
+    val dir = Files.createTempDirectory("readerspec4")
+    writeCsv(dir, "teste_EE.csv", Seq(
+      "sigla_tribunal,ramo_justica,julgados_2025,julgados_2025",
+      "EE,Justiça Estadual,5,99"))
+    val df = Reader.readFile(spark, dir.resolve("teste_EE.csv").toString).get
+    val r = df.select("julgados_2025").collect()(0)
+    assert(r.getDouble(0) == 5.0)
+  }
+
   test("columns absent from a file land as null in the canonical schema") {
     val dir = Files.createTempDirectory("readerspec3")
     writeCsv(dir, "teste_CC.csv", Seq(

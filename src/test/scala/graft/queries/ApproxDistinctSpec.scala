@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+/** approx_distinct stays rows-only in CORRECTNESS (HLL sketch hashes are
+  * engine-specific, so no cross-engine oracle exists) — this spec is its
+  * verification: the estimate must sit within the configured rsd=0.05
+  * band of the exact per-group distinct count. Checked at sf0.1, the
+  * gate's largest committed corpus (~600k lineitem rows, distincts in
+  * the tens of thousands per flag — large enough that the HLL is in its
+  * asymptotic regime, not the small-cardinality exact-count shortcut).
+  */
+class ApproxDistinctSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.1"
+
+  test("approx_count_distinct relative error < 5% per group at sf0.1") {
+    val joined = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(exact > 1000,
+        s"flag ${r.getString(0)}: exact=$exact too small to exercise HLL")
+      val rel = math.abs(approx - exact) / exact
+      assert(rel < 0.05,
+        s"flag ${r.getString(0)}: approx=$approx exact=$exact rel=$rel >= 5%")
+    }
+  }
+}
