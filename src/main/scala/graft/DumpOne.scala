@@ -20,20 +20,9 @@ object DumpOne {
     // oracle SQL for the dumped names, AFTER running them — the IVF
     // oracles are built from the centroid model each query pins at run
     // time, so the dump order here mirrors Verify's
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val names = args.drop(2).toSet
-    val json = SparkEntry.oracleSql.filter(kv => names(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(args(1) + "/oracle_sql.json"), json)
+      java.nio.file.Paths.get(args(1) + "/oracle_sql.json"),
+      SparkEntry.oracleJson(Some(args.drop(2).toSet)))
     spark.stop()
   }
 }

@@ -33,4 +33,24 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** [[oracleSql]] (optionally restricted to `names`) as one JSON object
+    * string for the driver's json.load — shared by Verify and DumpOne so
+    * the escaping rules cannot drift. Escapes backslash, quote, and ALL
+    * control chars (<0x20): a tab or CR in builder-authored SQL would
+    * otherwise make json.load fail and silently zero the round's
+    * correctness. */
+  def oracleJson(names: Option[Set[String]] = None): String = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val m = names.fold(oracleSql)(ns => oracleSql.filter(kv => ns(kv._1)))
+    m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+  }
 }

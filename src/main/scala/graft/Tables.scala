@@ -44,8 +44,13 @@ object Tables {
     * parquet dir that was previously read through Tables — the cached
     * InMemoryFileIndex would otherwise keep serving the pre-rewrite
     * file listing (stale data or vanished-file read errors). */
-  def invalidate(path: String): Unit =
-    cache.keySet.removeIf(_._2.startsWith(path))
+  def invalidate(path: String): Unit = {
+    // exact entry or children of the dir — a bare prefix match would
+    // also evict prefix-colliding siblings (invalidate("/d/sf1") must
+    // not drop "/d/sf10/t.parquet")
+    val dirPrefix = if (path.endsWith("/")) path else path + "/"
+    cache.keySet.removeIf(k => k._2 == path || k._2.startsWith(dirPrefix))
+  }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cached(spark, s"$sfDir/$name.parquet") {

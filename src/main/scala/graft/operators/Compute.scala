@@ -11,11 +11,21 @@ import org.apache.spark.sql.DataFrame
   * round-robin shuffle is applied only when the input is narrower than
   * the budget; an already-wide frame passes through untouched, which
   * also skips the shuffle entirely.
+  *
+  * CONTRACT: call this on SCAN-STAGE frames (reads + narrow transforms,
+  * no exchanges), as every current caller does. Two caveats otherwise:
+  * (1) probing `.rdd` on a plan containing exchanges under AQE
+  * materializes the upstream shuffle stages eagerly — the upstream
+  * would run once for the probe and again in the real query; (2) the
+  * partition COUNT is the proxy for distribution, so a wide-but-skewed
+  * frame (one hot file after a filter) passes through unrebalanced —
+  * if skew is the problem, repartition explicitly at the call site.
   */
 object Compute {
   def toComputeBudget(df: DataFrame): DataFrame = {
     val budget = df.sparkSession.sparkContext.defaultParallelism
-    // .rdd plans the physical query to read its partitioning; no job runs
+    // .rdd plans the physical query to read its partitioning; for the
+    // exchange-free frames in the contract above, no job runs
     if (df.rdd.getNumPartitions < budget) df.repartition(budget) else df
   }
 }

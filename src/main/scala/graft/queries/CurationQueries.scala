@@ -300,8 +300,22 @@ object CurationQueries {
   private def docsInterleave(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val sources = docs.select(col("source")).distinct().collect()
-      .map(_.getString(0)).sorted
+    // sort by UTF-8 bytes (unsigned), NOT String.compareTo: Spark's
+    // UTF8String ordering and DuckDB's binary collation both compare
+    // UTF-8 bytes, and the two diverge from UTF-16 code-unit order for
+    // supplementary-plane characters. Null sources are a contract
+    // violation, not a silent NPE.
+    val rawSources = docs.select(col("source")).distinct().collect()
+      .map(r => Option(r.getString(0)))
+    require(rawSources.forall(_.isDefined),
+      "docsInterleave: null source value — filter or fill nulls first")
+    val sources = rawSources.flatten.sortWith { (a, b) =>
+      val (ba, bb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(ba.length, bb.length)
+      var i = 0
+      while (i < n && ba(i) == bb(i)) i += 1
+      if (i < n) (ba(i) & 0xff) < (bb(i) & 0xff) else ba.length < bb.length
+    }
     val idx = typedlit(sources.zipWithIndex
       .map { case (src, i) => src -> (i + 1L) }.toMap)
     val r = docs.select(col("source"), col("doc_id"))

@@ -393,13 +393,18 @@ object SimilarityQueries {
   // probe selection and in-cell exact cosine are then plain ANSI SQL with
   // the same sequential-double arithmetic as FloatVectorDot, making the
   // comparison exact even if training itself drifted an ulp between runs.
-  private val pinnedCents =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+  // keyed (query name -> dir -> model): if one name is ever pinned
+  // against TWO dirs in the same JVM, its oracle is withheld (rows-only)
+  // rather than risk inlining dir B's centroids against dir A's dumped
+  // result — a stale pin must degrade the check, never falsify it
+  private val pinnedCents = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, Array[Array[Float]]]]()
 
   private def trainAndPin(s: SparkSession, dir: String, name: String): Array[Array[Double]] = {
     val cents = Similarity.ivfCentroids(Tables.embeddings(s, dir),
       Similarity.Dim, c = 16, iters = 2, seed = Similarity.Seed)
-    pinnedCents.put(name, cents.map(_.map(_.toFloat)))
+    pinnedCents.merge(name, Map(dir -> cents.map(_.map(_.toFloat))),
+      (old, one) => old ++ one)
     cents
   }
 
@@ -414,13 +419,15 @@ object SimilarityQueries {
 
   /** `(VALUES (0, [..]), ..) AS cents(cluster_id, cv)` from the pinned
     * model; None until the query has run (Verify's dump order guarantees
-    * it has). */
+    * it has), and None again if the name was pinned against more than
+    * one dir (ambiguous — see pinnedCents). */
   private def centsValues(name: String): Option[String] =
-    Option(pinnedCents.get(name)).map { cs =>
-      cs.zipWithIndex.map { case (c, i) =>
-        s"    ($i, [${c.map(dlit).mkString(", ")}]::DOUBLE[])"
-      }.mkString("(VALUES\n", ",\n", ") AS t(cluster_id, cv)")
-    }
+    Option(pinnedCents.get(name)).filter(_.size == 1)
+      .map(_.head._2).map { cs =>
+        cs.zipWithIndex.map { case (c, i) =>
+          s"    ($i, [${c.map(dlit).mkString(", ")}]::DOUBLE[])"
+        }.mkString("(VALUES\n", ",\n", ") AS t(cluster_id, cv)")
+      }
 
   // argmax-cosine cell assignment, shared by the three IVF oracles: for
   // unit-ish centroids argmax dot == argmax cosine; row_number's
@@ -478,7 +485,7 @@ object SimilarityQueries {
       |ranked AS (
       |  SELECT q_id, vec_id,
       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
-      |  FROM scored WHERE cos IS NOT NULL)
+      |  FROM scored WHERE cos IS NOT NULL AND NOT isnan(cos))
       |SELECT q_id, CAST(rn - 1 AS INTEGER) AS rank, vec_id
       |FROM ranked WHERE rn <= 10
       |ORDER BY q_id, rank""".stripMargin

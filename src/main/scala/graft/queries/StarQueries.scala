@@ -398,7 +398,7 @@ object StarQueries {
   // and since NULL never equals NULL the two null-key groups surface as
   // SEPARATE unmatched rows (a left-only and a right-only), not a match.
   // The side filters (s_nationkey < 20, c_nationkey >= 5) guarantee
-  // left-only keys 20-24 and right-only keys 0-4 at every SF. Unmatched
+  // left-only keys 0-4 and right-only keys 20-24 at every SF. Unmatched
   // sides are coalesced to -1 sentinels so the output carries no nulls;
   // presence is judged on the count columns (never null for an existing
   // group) because the key columns are null for the null-key rows — THE

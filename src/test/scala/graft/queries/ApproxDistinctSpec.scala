@@ -29,6 +29,12 @@ class ApproxDistinctSpec extends SparkTestBase {
       assert(exact > 1000,
         s"flag ${r.getString(0)}: exact=$exact too small to exercise HLL")
       val rel = math.abs(approx - exact) / exact
+      // 0.05 is the estimator's rsd (ONE standard deviation), asserted
+      // as a hard bound only because the sf0.1 fixture is committed and
+      // seed-stable; a regenerated fixture re-rolls the sketch (each
+      // group lands outside 1 sigma with ~1/3 probability) — if this
+      // fires after a testdata refresh with no code change, widen to
+      // ~3x rsd rather than chasing the seed
       assert(rel < 0.05,
         s"flag ${r.getString(0)}: approx=$approx exact=$exact rel=$rel >= 5%")
     }
