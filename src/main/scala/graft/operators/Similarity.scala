@@ -127,7 +127,9 @@ object Similarity {
     * within probed cells (~nProbe/nCentroids of the corpus scanned). The
     * assignment is one scan; at scale it is computed once at landing and
     * stored as a partition column, making a probe a partition-pruned
-    * read. */
+    * read — demonstrated end to end (plan-asserted PartitionFilters +
+    * result identical to this in-memory path) in SimilaritySpec
+    * "IVF probe over a cluster-partitioned layout". */
   def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
       dim: Int = Dim, nCentroids: Int = 16, nProbe: Int = 6,
       iters: Int = 2, seed: Long = Seed): DataFrame =

@@ -31,6 +31,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall too low: got $ivf vs exact $exact")
   }
 
+  test("IVF probe over a cluster-partitioned layout is partition-pruned " +
+    "and matches the in-memory path") {
+    // the scale path the ivfTopK scaladoc claims: assignment computed
+    // once at landing and stored as a PARTITION column, so a probe is a
+    // partition-pruned read of nProbe/nCentroids of the corpus — this
+    // instantiates it end to end and checks plan + result
+    import graft.functions.VectorFunctions.cosine
+    val cents = Similarity.ivfCentroids(emb, dim = 64, c = 16, iters = 2, seed = 7L)
+    val dir = java.nio.file.Files.createTempDirectory("ivflayout")
+    emb.withColumn("cluster", Similarity.assignCluster(col("embedding"), cents))
+      .write.partitionBy("cluster").parquet(s"$dir/emb")
+    val layout = spark.read.parquet(s"$dir/emb")
+    // probe selection exactly as ivfTopKWith: float-cast model dots
+    val centsF = cents.map(_.map(_.toFloat.toDouble))
+    val qVec = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head.getSeq[Float](0).toArray.map(_.toDouble)
+    val probes = centsF.zipWithIndex
+      .map { case (ct, i) => i -> ct.zip(qVec).map { case (a, b) => a * b }.sum }
+      .sortBy(-_._2).take(6).map(_._1)
+    val probed = layout.filter(
+      col("cluster").isin(probes.toIndexedSeq.map(Integer.valueOf): _*))
+    val planStr = probed.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("cluster"),
+      s"probe must prune on the cluster partition column:\n$planStr")
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("q_emb"))
+    val prunedTopK = probed.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+    val expected = Similarity.ivfTopKWith(emb, cents, queryVecId = 0L, k = 10)
+    assert(prunedTopK.collect().toSeq === expected.collect().toSeq,
+      "partition-pruned probe must return the exact in-memory IVF answer")
+  }
+
   test("batch IVF top-k agrees with the single-query path") {
     val queries = emb.filter(col("vec_id").isin(0L, 5L, 9L))
     val batch = Similarity.ivfBatchTopK(emb, queries, k = 10)
