@@ -23,4 +23,16 @@ class HarnessContractSpec extends SparkTestBase {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  // declaration order matters: this runs after the loop above has
+  // executed every query, which is when the IVF queries pin their
+  // centroid models. If pinning breaks, Verify would silently emit no
+  // oracle for them and the driver would downgrade the check to
+  // rows-only — this turns that silent downgrade into a test failure.
+  test("IVF queries pin their centroid model so their oracles materialize") {
+    Seq("sim_topk_ivf", "sim_topk_batch", "dedup_semantic").foreach { n =>
+      assert(SparkEntry.oracleSql.contains(n),
+        s"$n has no oracle SQL after its query ran — centroid pinning broken")
+    }
+  }
 }
