@@ -89,6 +89,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("hashpartitioning(lang"), s"rank partitioned by stratum:\n$p")
   }
 
+  test("docs_interleave plans no unpartitioned window") {
+    // the source index is resolved driver-side (literal map), so the only
+    // window left is the per-source rank — a Window with an EMPTY
+    // partition spec would move the frame to one task (WindowExec's
+    // single-partition warning), the cliff this query was rewritten to
+    // avoid. Asserted on the optimized logical plan (AQE-wrapper-proof).
+    val lp = SparkEntry.queries("docs_interleave")(spark, sf)
+      .queryExecution.optimizedPlan
+    val bad = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned Window in:\n$lp")
+    val windows = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the per-source rank window")
+  }
+
   test("knn graph prunes to top-k before the shuffle (WindowGroupLimit)") {
     val p = plan("sim_knn_graph")
     // Spark's rank-limit pushdown must kick in: a partial WindowGroupLimit
