@@ -22,7 +22,7 @@ object DumpOne {
     // time, so the dump order here mirrors Verify's
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(args(1) + "/oracle_sql.json"),
-      SparkEntry.oracleJson(Some(args.drop(2).toSet)))
+      SparkEntry.oracleJson(Some(args.drop(2).toSet), Some(args(0))))
     spark.stop()
   }
 }

@@ -40,7 +40,8 @@ object SparkEntry {
     * control chars (<0x20): a tab or CR in builder-authored SQL would
     * otherwise make json.load fail and silently zero the round's
     * correctness. */
-  def oracleJson(names: Option[Set[String]] = None): String = {
+  def oracleJson(names: Option[Set[String]] = None,
+      dir: Option[String] = None): String = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -50,7 +51,12 @@ object SparkEntry {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val m = names.fold(oracleSql)(ns => oracleSql.filter(kv => ns(kv._1)))
-    m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // dir disambiguates the pinned IVF models when one JVM ran the
+    // queries against several sf dirs (see SimilarityQueries.pinnedCents)
+    graft.queries.SimilarityQueries.setOracleDirHint(dir)
+    try {
+      val m = names.fold(oracleSql)(ns => oracleSql.filter(kv => ns(kv._1)))
+      m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    } finally graft.queries.SimilarityQueries.setOracleDirHint(None)
   }
 }

@@ -25,7 +25,7 @@ object Verify {
     // oracle SQL dumped AFTER the queries ran — the IVF oracles are
     // built from the centroid model each query pins at run time
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      SparkEntry.oracleJson())
+      SparkEntry.oracleJson(dir = Some(sfDir)))
     spark.stop()
   }
 }

@@ -310,11 +310,8 @@ object CurationQueries {
     require(rawSources.forall(_.isDefined),
       "docsInterleave: null source value — filter or fill nulls first")
     val sources = rawSources.flatten.sortWith { (a, b) =>
-      val (ba, bb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
-      val n = math.min(ba.length, bb.length)
-      var i = 0
-      while (i < n && ba(i) == bb(i)) i += 1
-      if (i < n) (ba(i) & 0xff) < (bb(i) & 0xff) else ba.length < bb.length
+      java.util.Arrays.compareUnsigned(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8")) < 0
     }
     val idx = typedlit(sources.zipWithIndex
       .map { case (src, i) => src -> (i + 1L) }.toMap)

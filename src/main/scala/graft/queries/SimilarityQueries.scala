@@ -400,6 +400,14 @@ object SimilarityQueries {
   private val pinnedCents = new java.util.concurrent.ConcurrentHashMap[
     String, Map[String, Array[Array[Float]]]]()
 
+  /** Verify/DumpOne set this to the sfDir they are dumping before
+    * building oracle SQL: with several dirs pinned in one JVM, the
+    * matching model is selected instead of withholding the oracle.
+    * Without a hint, a multi-dir pin still degrades to rows-only. */
+  private val oracleDirHint =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+  def setOracleDirHint(dir: Option[String]): Unit = oracleDirHint.set(dir)
+
   private def trainAndPin(s: SparkSession, dir: String, name: String): Array[Array[Double]] = {
     val cents = Similarity.ivfCentroids(Tables.embeddings(s, dir),
       Similarity.Dim, c = 16, iters = 2, seed = Similarity.Seed)
@@ -419,15 +427,17 @@ object SimilarityQueries {
 
   /** `(VALUES (0, [..]), ..) AS cents(cluster_id, cv)` from the pinned
     * model; None until the query has run (Verify's dump order guarantees
-    * it has), and None again if the name was pinned against more than
-    * one dir (ambiguous — see pinnedCents). */
+    * it has). With several dirs pinned, the oracleDirHint selects the
+    * right model; without a hint the ambiguity degrades to rows-only. */
   private def centsValues(name: String): Option[String] =
-    Option(pinnedCents.get(name)).filter(_.size == 1)
-      .map(_.head._2).map { cs =>
-        cs.zipWithIndex.map { case (c, i) =>
-          s"    ($i, [${c.map(dlit).mkString(", ")}]::DOUBLE[])"
-        }.mkString("(VALUES\n", ",\n", ") AS t(cluster_id, cv)")
-      }
+    Option(pinnedCents.get(name)).flatMap { byDir =>
+      oracleDirHint.get().flatMap(byDir.get)
+        .orElse(if (byDir.size == 1) Some(byDir.head._2) else None)
+    }.map { cs =>
+      cs.zipWithIndex.map { case (c, i) =>
+        s"    ($i, [${c.map(dlit).mkString(", ")}]::DOUBLE[])"
+      }.mkString("(VALUES\n", ",\n", ") AS t(cluster_id, cv)")
+    }
 
   // argmax-cosine cell assignment, shared by the three IVF oracles: for
   // unit-ish centroids argmax dot == argmax cosine; row_number's

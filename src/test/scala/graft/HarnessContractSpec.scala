@@ -24,13 +24,15 @@ class HarnessContractSpec extends SparkTestBase {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  // declaration order matters: this runs after the loop above has
-  // executed every query, which is when the IVF queries pin their
-  // centroid models. If pinning breaks, Verify would silently emit no
+  // the IVF oracles exist only after their queries run and pin the
+  // centroid model; if pinning breaks, Verify would silently emit no
   // oracle for them and the driver would downgrade the check to
   // rows-only — this turns that silent downgrade into a test failure.
+  // Each query is executed HERE (cheap at sf0.001) so the test is
+  // order-independent, not parasitic on the smoke loop above.
   test("IVF queries pin their centroid model so their oracles materialize") {
     Seq("sim_topk_ivf", "sim_topk_batch", "dedup_semantic").foreach { n =>
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       assert(SparkEntry.oracleSql.contains(n),
         s"$n has no oracle SQL after its query ran — centroid pinning broken")
     }
