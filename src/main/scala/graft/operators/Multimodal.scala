@@ -36,18 +36,18 @@ object Multimodal {
 
   /** STUB DECODER — deterministic fake. A real deployment replaces this
     * with an actual codec + model (e.g. libjpeg/ffmpeg + an ONNX
-    * encoder); nothing else in the pipeline changes. The fake hashes the
-    * payload bytes into a fixed-dim pseudo-feature so tests are exact and
-    * reproducible. */
+    * encoder); nothing else in the pipeline changes. The fake maps the
+    * payload's 16 md5 bytes to a fixed-dim pseudo-feature in [-1, 1):
+    * md5 is PORTABLE (identical in any engine), each byte is exact in
+    * float, and u/127.5f - 1.0f is two correctly-rounded float ops — so
+    * the features replay bit-for-bit cross-engine and the decode query
+    * carries a full DuckDB oracle despite the stubbed codec. */
   object StubDecoder extends MediaDecoder {
     override val featureDim = 16
     override def decodeBatch(batch: Seq[MediaRow]): Seq[Array[Float]] =
       batch.map { row =>
-        Array.tabulate(featureDim) { i =>
-          var h = 1125899906842597L + i.toLong * 2654435761L
-          row.payload.foreach(b => h = h * 31 + b)
-          ((h % 2000003L).toFloat / 1000001.5f) - 1.0f
-        }
+        val md = java.security.MessageDigest.getInstance("MD5").digest(row.payload)
+        Array.tabulate(featureDim)(i => ((md(i) & 0xff).toFloat / 127.5f) - 1.0f)
       }
   }
 
@@ -108,8 +108,8 @@ object Multimodal {
   }
 
   /** Harness query: features + per-kind stats over the synthetic media
-    * corpus. Feature values come from the stub decoder (no cross-engine
-    * oracle); rows-only check downstream. */
+    * corpus. Feature values come from the stub decoder, whose md5-based
+    * fake is portable — the query carries a full DuckDB oracle. */
   def mediaFeatureStats(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val media = fromDocuments(docs).as[MediaRow]

@@ -9,17 +9,35 @@ import graft.operators.Multimodal
 /** Multimodal-pipeline harness queries over the synthetic media corpus
   * (documents' UTF-8 bytes standing in for opaque image/audio/video
   * payloads — see graft.operators.Multimodal). Metadata-driven plans
-  * (frame sampling, resize) are exact and oracle-checked; the decode
-  * path uses the stub decoder, so its query takes the rows-only check.
+  * (frame sampling, resize) are exact and oracle-checked, and so is the
+  * decode path: the stub decoder's md5-based fake replays identically
+  * in DuckDB, so all three media queries carry full oracles.
   */
 object MediaQueries {
 
   private def media(s: SparkSession, dir: String): DataFrame =
     Multimodal.fromDocuments(Tables.documents(s, dir))
 
-  // ---- binary payload decode -> per-kind feature stats (stub decoder).
+  // ---- binary payload decode -> per-kind feature stats. The stub
+  // decoder's md5-based fake is portable (see Multimodal.StubDecoder),
+  // so even the decode path is fully oracle-checked: DuckDB recomputes
+  // feature[0] as (md5_byte0 / 127.5f) - 1.0f in float arithmetic.
   private def mediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaFeatureStats(s, Tables.documents(s, dir))
+
+  private val mediaFeaturesSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |    CAST(CONCAT('0x', substr(md5(text), 1, 2)) AS INT) AS b0
+      |  FROM documents
+      |)
+      |SELECT kind, COUNT(*) AS n_media,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+      |  ROUND(AVG(CAST(b0 AS FLOAT) / CAST(127.5 AS FLOAT) - CAST(1.0 AS FLOAT)), 6) AS avg_f0
+      |FROM m GROUP BY kind ORDER BY kind""".stripMargin
 
   // ---- metadata-driven frame sampling: every 3rd frame of each video.
   private def mediaFrameSample(s: SparkSession, dir: String): DataFrame =
@@ -64,7 +82,7 @@ object MediaQueries {
       |FROM m GROUP BY kind ORDER BY kind""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
-    QueryDef("media_features", None, mediaFeatures),
+    QueryDef("media_features", Some(mediaFeaturesSql), mediaFeatures),
     QueryDef("media_frame_sample", Some(mediaFrameSampleSql), mediaFrameSample),
     QueryDef("media_resize_plan", Some(mediaResizePlanSql), mediaResizePlan),
   )
