@@ -44,11 +44,14 @@ object Multimodal {
     * carries a full DuckDB oracle despite the stubbed codec. */
   object StubDecoder extends MediaDecoder {
     override val featureDim = 16
-    override def decodeBatch(batch: Seq[MediaRow]): Seq[Array[Float]] =
+    override def decodeBatch(batch: Seq[MediaRow]): Seq[Array[Float]] = {
+      // one JCA lookup per batch, not per row; digest() resets the state
+      val md5 = java.security.MessageDigest.getInstance("MD5")
       batch.map { row =>
-        val md = java.security.MessageDigest.getInstance("MD5").digest(row.payload)
+        val md = md5.digest(row.payload)
         Array.tabulate(featureDim)(i => ((md(i) & 0xff).toFloat / 127.5f) - 1.0f)
       }
+    }
   }
 
   /** Synthetic media table derived deterministically from documents —
@@ -113,11 +116,18 @@ object Multimodal {
   def mediaFeatureStats(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val media = fromDocuments(docs).as[MediaRow]
+    // feature values are quantized to exact integer micro-units before
+    // the sum (the embed_centroids/text_surprisal pattern): a plain
+    // avg() of fractional doubles is aggregation-ORDER-dependent in the
+    // last ulp, which can flip the 6th rounded decimal between engines
     extractFeatures(media, StubDecoder).toDF()
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("sum_bytes"),
-        round(avg(element_at(col("feature"), 1)), 6).as("avg_f0"))
+        sum(round(element_at(col("feature"), 1) * lit(1000000.0))
+          .cast(org.apache.spark.sql.types.LongType)).as("qsum"))
+      .select(col("kind"), col("n_media"), col("sum_bytes"),
+        round(col("qsum") / lit(1000000.0) / col("n_media"), 6).as("avg_f0"))
       .orderBy(col("kind"))
   }
 }

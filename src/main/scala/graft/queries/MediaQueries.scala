@@ -25,18 +25,25 @@ object MediaQueries {
   private def mediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaFeatureStats(s, Tables.documents(s, dir))
 
+  // strlen(text) = raw UTF-8 byte count (CAST(text AS BLOB) would
+  // interpret backslash escapes: '\xHH' collapses to one byte and a
+  // bare backslash errors). Feature micro-units are summed as exact
+  // integers (see Multimodal.mediaFeatureStats) so the average is
+  // aggregation-order independent on both engines.
   private val mediaFeaturesSql =
     """WITH m AS (
       |  SELECT doc_id,
       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
       |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |    CAST(strlen(text) AS BIGINT) AS n_bytes,
       |    CAST(CONCAT('0x', substr(md5(text), 1, 2)) AS INT) AS b0
       |  FROM documents
       |)
       |SELECT kind, COUNT(*) AS n_media,
       |  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
-      |  ROUND(AVG(CAST(b0 AS FLOAT) / CAST(127.5 AS FLOAT) - CAST(1.0 AS FLOAT)), 6) AS avg_f0
+      |  ROUND(SUM(CAST(ROUND((CAST(b0 AS FLOAT) / CAST(127.5 AS FLOAT)
+      |        - CAST(1.0 AS FLOAT)) * 1000000.0) AS BIGINT))
+      |      / 1000000.0 / COUNT(*), 6) AS avg_f0
       |FROM m GROUP BY kind ORDER BY kind""".stripMargin
 
   // ---- metadata-driven frame sampling: every 3rd frame of each video.

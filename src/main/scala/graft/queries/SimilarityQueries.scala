@@ -431,8 +431,14 @@ object SimilarityQueries {
     * right model; without a hint the ambiguity degrades to rows-only. */
   private def centsValues(name: String): Option[String] =
     Option(pinnedCents.get(name)).flatMap { byDir =>
-      oracleDirHint.get().flatMap(byDir.get)
-        .orElse(if (byDir.size == 1) Some(byDir.head._2) else None)
+      oracleDirHint.get() match {
+        // a set-but-unmatched hint must yield None, NOT fall back to
+        // whatever single dir happens to be pinned: emitting another
+        // dir's centroids would FALSIFY the compare instead of
+        // degrading it to rows-only
+        case Some(d) => byDir.get(d)
+        case None    => if (byDir.size == 1) Some(byDir.head._2) else None
+      }
     }.map { cs =>
       cs.zipWithIndex.map { case (c, i) =>
         s"    ($i, [${c.map(dlit).mkString(", ")}]::DOUBLE[])"

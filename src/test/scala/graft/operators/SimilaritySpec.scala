@@ -70,10 +70,14 @@ class SimilaritySpec extends SparkTestBase {
       assert(prunedTopK.collect().toSeq === expected.collect().toSeq,
         "partition-pruned probe must return the exact in-memory IVF answer")
     } finally {
-      // the layout is a full corpus copy — don't leak it into /tmp
+      // the layout is a full corpus copy — don't leak it into /tmp;
+      // Files.walk returns a Stream that must be closed (it holds
+      // directory handles until then)
       import java.nio.file.{Files => F}
       import scala.jdk.CollectionConverters._
-      F.walk(dir).iterator().asScala.toSeq.reverse.foreach(p => F.deleteIfExists(p))
+      scala.util.Using.resource(F.walk(dir)) { s =>
+        s.iterator().asScala.toSeq.reverse.foreach(p => F.deleteIfExists(p))
+      }
     }
   }
 
