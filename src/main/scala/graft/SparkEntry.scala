@@ -31,8 +31,14 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    modules.flatMap(q => q.oracle.map(q.name -> _)).toMap
+  def oracleSql: Map[String, String] = oracleSqlFor(None)
+
+  /** [[oracleSql]] with the sf-dir threaded to dir-dependent oracles
+    * (the pinned-model IVF family): with several dirs pinned in one JVM
+    * the matching model is selected; without a dir the ambiguity
+    * degrades those entries to rows-only. */
+  def oracleSqlFor(dir: Option[String]): Map[String, String] =
+    modules.flatMap(q => q.oracleFor(dir).map(q.name -> _)).toMap
 
   /** [[oracleSql]] (optionally restricted to `names`) as one JSON object
     * string for the driver's json.load — shared by Verify and DumpOne so
@@ -51,12 +57,8 @@ object SparkEntry {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // dir disambiguates the pinned IVF models when one JVM ran the
-    // queries against several sf dirs (see SimilarityQueries.pinnedCents)
-    graft.queries.SimilarityQueries.setOracleDirHint(dir)
-    try {
-      val m = names.fold(oracleSql)(ns => oracleSql.filter(kv => ns(kv._1)))
-      m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    } finally graft.queries.SimilarityQueries.setOracleDirHint(None)
+    val all = oracleSqlFor(dir)
+    val m = names.fold(all)(ns => all.filter(kv => ns(kv._1)))
+    m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
   }
 }

@@ -108,4 +108,16 @@ object Tables {
 final case class QueryDef(
     name: String,
     oracle: Option[String],
-    fn: (SparkSession, String) => DataFrame)
+    fn: (SparkSession, String) => DataFrame,
+    // Oracles derived from run-time-pinned state (the IVF centroid
+    // models) depend on WHICH sf-dir the queries ran against; such
+    // entries set oracle=None and resolve here, with the dir threaded
+    // explicitly from Verify/DumpOne — no process-global hint.
+    oracleDirFn: Option[Option[String] => Option[String]] = None) {
+  /** Oracle SQL for the given sf-dir. Dir-independent oracles (the vast
+    * majority) ignore `dir`; dir-dependent ones (pinned IVF models)
+    * select the model pinned for that dir, degrading to None (rows-only
+    * check) when the dir is ambiguous rather than risk a wrong model. */
+  def oracleFor(dir: Option[String]): Option[String] =
+    oracleDirFn.fold(oracle)(f => f(dir))
+}

@@ -13,19 +13,40 @@ import org.apache.spark.sql.DataFrame
   * also skips the shuffle entirely.
   *
   * CONTRACT: call this on SCAN-STAGE frames (reads + narrow transforms,
-  * no exchanges), as every current caller does. Two caveats otherwise:
+  * no exchanges) — ENFORCED below, not just documented. Two reasons:
   * (1) probing `.rdd` on a plan containing exchanges under AQE
   * materializes the upstream shuffle stages eagerly — the upstream
-  * would run once for the probe and again in the real query; (2) the
-  * partition COUNT is the proxy for distribution, so a wide-but-skewed
-  * frame (one hot file after a filter) passes through unrebalanced —
-  * if skew is the problem, repartition explicitly at the call site.
+  * would run once for the probe and again in the real query (a silent
+  * double-execution); (2) the partition COUNT is the proxy for
+  * distribution, so a wide-but-skewed frame (one hot file after a
+  * filter) would pass through unrebalanced — if skew is the problem,
+  * repartition explicitly at the call site.
   */
 object Compute {
+  import org.apache.spark.sql.catalyst.plans.logical.{
+    Aggregate, Deduplicate, Join, LogicalPlan, RepartitionOperation, Sort, Window}
+
+  /** First shuffle-inducing operator in the analyzed plan, if any. Sort
+    * included: a global orderBy range-partitions (an exchange) even
+    * though it is not a "shuffle key" op. */
+  private def firstExchangeOp(p: LogicalPlan): Option[String] = {
+    p.collectFirst {
+      case n @ (_: Aggregate | _: Join | _: RepartitionOperation |
+                _: Window | _: Sort | _: Deduplicate) => n.nodeName
+    }
+  }
+
   def toComputeBudget(df: DataFrame): DataFrame = {
+    firstExchangeOp(df.queryExecution.analyzed).foreach { op =>
+      throw new IllegalArgumentException(
+        s"toComputeBudget is scan-stage only, but the input plan contains $op: " +
+          "probing .rdd below would eagerly materialize the upstream shuffle " +
+          "stages under AQE (they would run again in the real query). " +
+          "Repartition explicitly at the call site instead.")
+    }
     val budget = df.sparkSession.sparkContext.defaultParallelism
     // .rdd plans the physical query to read its partitioning; for the
-    // exchange-free frames in the contract above, no job runs
+    // exchange-free frames guaranteed above, no job runs
     if (df.rdd.getNumPartitions < budget) df.repartition(budget) else df
   }
 }

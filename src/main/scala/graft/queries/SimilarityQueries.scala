@@ -400,14 +400,6 @@ object SimilarityQueries {
   private val pinnedCents = new java.util.concurrent.ConcurrentHashMap[
     String, Map[String, Array[Array[Float]]]]()
 
-  /** Verify/DumpOne set this to the sfDir they are dumping before
-    * building oracle SQL: with several dirs pinned in one JVM, the
-    * matching model is selected instead of withholding the oracle.
-    * Without a hint, a multi-dir pin still degrades to rows-only. */
-  private val oracleDirHint =
-    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
-  def setOracleDirHint(dir: Option[String]): Unit = oracleDirHint.set(dir)
-
   private def trainAndPin(s: SparkSession, dir: String, name: String): Array[Array[Double]] = {
     val cents = Similarity.ivfCentroids(Tables.embeddings(s, dir),
       Similarity.Dim, c = 16, iters = 2, seed = Similarity.Seed)
@@ -427,11 +419,12 @@ object SimilarityQueries {
 
   /** `(VALUES (0, [..]), ..) AS cents(cluster_id, cv)` from the pinned
     * model; None until the query has run (Verify's dump order guarantees
-    * it has). With several dirs pinned, the oracleDirHint selects the
-    * right model; without a hint the ambiguity degrades to rows-only. */
-  private def centsValues(name: String): Option[String] =
+    * it has). With several dirs pinned, the caller-threaded `dir`
+    * (QueryDef.oracleFor) selects the right model; without one the
+    * ambiguity degrades to rows-only. */
+  private def centsValues(name: String, dir: Option[String]): Option[String] =
     Option(pinnedCents.get(name)).flatMap { byDir =>
-      oracleDirHint.get() match {
+      dir match {
         // a set-but-unmatched hint must yield None, NOT fall back to
         // whatever single dir happens to be pinned: emitting another
         // dir's centroids would FALSIFY the compare instead of
@@ -458,7 +451,7 @@ object SimilarityQueries {
       |    FROM embeddings e, cents c)
       |  WHERE rn = 1)""".stripMargin
 
-  private def simTopkIvfSql: Option[String] = centsValues("sim_topk_ivf").map { cv =>
+  private def simTopkIvfSql(dir: Option[String]): Option[String] = centsValues("sim_topk_ivf", dir).map { cv =>
     s"""WITH cents AS (SELECT * FROM $cv),
       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
       |probes AS (
@@ -478,7 +471,7 @@ object SimilarityQueries {
       |LIMIT 10""".stripMargin
   }
 
-  private def simTopkBatchSql: Option[String] = centsValues("sim_topk_batch").map { cv =>
+  private def simTopkBatchSql(dir: Option[String]): Option[String] = centsValues("sim_topk_batch", dir).map { cv =>
     s"""WITH cents AS (SELECT * FROM $cv),
       |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
       |      FROM embeddings WHERE vec_id < 8),
@@ -507,7 +500,7 @@ object SimilarityQueries {
       |ORDER BY q_id, rank""".stripMargin
   }
 
-  private def dedupSemanticSql: Option[String] = centsValues("dedup_semantic").map { cv =>
+  private def dedupSemanticSql(dir: Option[String]): Option[String] = centsValues("dedup_semantic", dir).map { cv =>
     s"""WITH cents AS (SELECT * FROM $cv),
       |$assignedSql,
       |pairs AS (
@@ -802,7 +795,7 @@ object SimilarityQueries {
   def all: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("dedup_editdist", Some(dedupEditdistSql), dedupEditdist),
-    QueryDef("dedup_semantic", dedupSemanticSql, dedupSemantic),
+    QueryDef("dedup_semantic", None, dedupSemantic, Some(dedupSemanticSql _)),
     QueryDef("dedup_minhash_lsh", Some(dedupMinhashSql), dedupMinhash),
     QueryDef("dedup_simhash", Some(dedupSimhashSql), dedupSimhash),
     QueryDef("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
@@ -812,8 +805,8 @@ object SimilarityQueries {
     QueryDef("dedup_winnowing", Some(dedupWinnowingSql), dedupWinnowing),
     QueryDef("sim_topk_brute", Some(simTopkBruteSql), simTopkBrute),
     QueryDef("sim_topk_quantized", Some(simTopkQuantizedSql), simTopkQuantized),
-    QueryDef("sim_topk_ivf", simTopkIvfSql, simTopkIvf),
-    QueryDef("sim_topk_batch", simTopkBatchSql, simTopkBatch),
+    QueryDef("sim_topk_ivf", None, simTopkIvf, Some(simTopkIvfSql _)),
+    QueryDef("sim_topk_batch", None, simTopkBatch, Some(simTopkBatchSql _)),
     QueryDef("embed_neardup_cosine", Some(embedNearDupSql), embedNearDup),
     QueryDef("embed_neardup_blocked", Some(embedNearDupBlockedSql), embedNearDupBlocked),
     QueryDef("sim_knn_graph", Some(simKnnGraphSql), simKnnGraph),

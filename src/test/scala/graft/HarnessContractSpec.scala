@@ -31,9 +31,13 @@ class HarnessContractSpec extends SparkTestBase {
   // Each query is executed HERE (cheap at sf0.001) so the test is
   // order-independent, not parasitic on the smoke loop above.
   test("IVF queries pin their centroid model so their oracles materialize") {
+    val dir = "/root/testdata/sf0.001"
     Seq("sim_topk_ivf", "sim_topk_batch", "dedup_semantic").foreach { n =>
-      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
-      assert(SparkEntry.oracleSql.contains(n),
+      SparkEntry.queries(n)(spark, dir).count()
+      // dir-hinted lookup, exactly as Verify/DumpOne resolve it: checks
+      // the pin for the dir this test just ran, immune to other suites
+      // in the same JVM having pinned the same query against another dir
+      assert(SparkEntry.oracleSqlFor(Some(dir)).contains(n),
         s"$n has no oracle SQL after its query ran — centroid pinning broken")
     }
   }

@@ -15,7 +15,7 @@ import graft.{SparkTestBase, Tables}
 class ApproxDistinctSpec extends SparkTestBase {
   private val sf = "/root/testdata/sf0.1"
 
-  test("approx_count_distinct relative error < 5% per group at sf0.1") {
+  test("approx_count_distinct relative error < 15% per group at sf0.1") {
     val joined = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
       .agg(
@@ -29,14 +29,13 @@ class ApproxDistinctSpec extends SparkTestBase {
       assert(exact > 1000,
         s"flag ${r.getString(0)}: exact=$exact too small to exercise HLL")
       val rel = math.abs(approx - exact) / exact
-      // 0.05 is the estimator's rsd (ONE standard deviation), asserted
-      // as a hard bound only because the sf0.1 fixture is committed and
-      // seed-stable; a regenerated fixture re-rolls the sketch (each
-      // group lands outside 1 sigma with ~1/3 probability) — if this
-      // fires after a testdata refresh with no code change, widen to
-      // ~3x rsd rather than chasing the seed
-      assert(rel < 0.05,
-        s"flag ${r.getString(0)}: approx=$approx exact=$exact rel=$rel >= 5%")
+      // 0.05 is the estimator's configured rsd = ONE standard deviation;
+      // each group lands outside 1 sigma with ~1/3 probability on any
+      // fixture regeneration, so the hard bound is 3x rsd — tight enough
+      // to catch a broken sketch (wrong column, wrong hash, truncation),
+      // loose enough to survive a testdata refresh without flaking
+      assert(rel < 0.15,
+        s"flag ${r.getString(0)}: approx=$approx exact=$exact rel=$rel >= 15%")
     }
   }
 }
