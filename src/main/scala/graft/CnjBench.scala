@@ -1,6 +1,5 @@
 package graft
 
-import java.lang.management.ManagementFactory
 
 import graft.cnj.{MetasJob, Reader}
 
@@ -27,7 +26,10 @@ object CnjBench {
   def main(args: Array[String]): Unit = {
     val inDir = args(0)
     val outDir = if (args.length > 1) args(1) else "/tmp/cnj_bench_out"
-    val load = ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // 1m AND 5m: writeback after a prior sink write can inflate a run
+    // while the 1m average already reads ~0 (r7's 28 s outlier: 1m=0.13,
+    // 5m=2.18) — record the regime honestly
+    val (load, load5) = Loadavg.read()
     val corpusFiles = Option(new java.io.File(inDir).listFiles())
       .map(_.filter(_.isFile)).getOrElse(Array.empty[java.io.File])
     val corpusBytes = corpusFiles.map(_.length()).sum
@@ -74,7 +76,7 @@ object CnjBench {
     val total = (System.nanoTime() - t0) / 1e9
     val phaseJson = phases.map { case (k, v) => f""""$k":$v%.2f""" }.mkString(",")
     println(
-      f"""{"metric":"cnj_bench_total_sec","value":$total%.2f,"unit":"sec","phases":{$phaseJson},"corpus_bytes":$corpusBytes,"n_files":$nFiles,"loadavg_1m":$load%.2f}""")
+      f"""{"metric":"cnj_bench_total_sec","value":$total%.2f,"unit":"sec","phases":{$phaseJson},"corpus_bytes":$corpusBytes,"n_files":$nFiles,"loadavg_1m":$load%.2f,"loadavg_5m":$load5%.2f}""")
     spark.stop()
   }
 }

@@ -327,16 +327,26 @@ object Dedup {
     *
     * Iterative min-label propagation over the edge list: each round every
     * node takes the min of its own and its neighbors' labels. Rounds
-    * needed = component diameter; near-dup graphs are dense clusters of
-    * copies (diameter 1-2), so the loop converges in 2-3 rounds.
-    * Each round is one shuffle join on the PAIR list, which at 100 TB is
-    * orders of magnitude smaller than the corpus (it is the post-blocking
-    * dedup output) — the driver only orchestrates, labels never leave the
-    * cluster, localCheckpoint truncates the growing lineage. maxIter
-    * bounds adversarial path-shaped graphs; non-convergence throws
-    * rather than returning silently-wrong clusters (for genuinely
-    * huge-diameter graphs, switch to large-star/small-star, which
-    * converges in O(log n) rounds).
+    * needed = O(log n): each round hooks to the minimum neighbor label
+    * (Hash-Min) and then pointer-jumps (label <- label(label)), so the
+    * distance the minimum has propagated at least doubles per round —
+    * a path-shaped component of length d converges in ~log2(d) rounds,
+    * not d (near-dup graphs are usually dense clusters of copies that
+    * converge in 2-3 rounds either way; the jump step is what makes
+    * adversarial long chains safe at scale). maxIter=64 therefore
+    * covers any component a cluster could hold (2^64 ids); the
+    * non-convergence throw is a defensive backstop, not a reachable
+    * contract limit.
+    * Each round is two shuffle joins on the PAIR list, which at 100 TB
+    * is orders of magnitude smaller than the corpus (it is the
+    * post-blocking dedup output) — the driver only orchestrates, labels
+    * never leave the cluster, localCheckpoint truncates the growing
+    * lineage. Correctness of the fixpoint: labels only ever take values
+    * of ids inside the same component (hook moves them along edges,
+    * jump follows a label that is itself in-component), are monotone
+    * non-increasing, and a fixpoint where two neighbors disagree would
+    * still hook — so at convergence every member carries the component
+    * minimum.
     *
     * Pair lists at or under `driverMax` (default = the 1M candidate-set
     * contract verifyJaccard already enforces upstream) short-circuit to a
@@ -346,7 +356,7 @@ object Dedup {
     * driver). The iterative path remains the scale route for pair lists
     * produced outside that contract.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 64,
       driverMax: Long = 1000000L): DataFrame = {
     // checkpoint BEFORE the u/v-swap union: both edge directions (and
     // every propagation round) reread the materialized pair list instead
@@ -361,12 +371,22 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // hook: take the minimum label over self + neighbors
       val neighborMin = edges
         .join(labels.select(col("id").as("v"), col("label").as("nlabel")), "v")
         .groupBy(col("u").as("id")).agg(min(col("nlabel")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val hooked = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // jump: label <- label(label). Every label value is itself an id in
+      // the label table (labels are ids, seeded from the id column), so
+      // the self-join hits; the left join + coalesce only guards the
+      // invariant, it is not load-bearing. This is the pointer-doubling
+      // step that turns O(diameter) rounds into O(log n).
+      val updated = hooked.join(
+          hooked.select(col("id").as("label"), col("label").as("jump")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("jump"), col("label")).as("label"))
         .localCheckpoint()
       converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).isEmpty
@@ -376,8 +396,8 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds; " +
-          "the pair graph has a path-shaped component longer than maxIter - " +
-          "raise maxIter or use a star-contraction variant")
+          "with min-hooking + pointer jumping this needs a component of " +
+          "more than 2^maxIter members - investigate the pair list")
     val sizes = labels.groupBy(col("label").as("cluster_keeper"))
       .agg(count(lit(1)).as("n_members"))
     labels.select(col("id").as("doc_id"), col("label").as("cluster_keeper"))

@@ -400,11 +400,14 @@ object SimilarityQueries {
   private val pinnedCents = new java.util.concurrent.ConcurrentHashMap[
     String, Map[String, Array[Array[Float]]]]()
 
+  private def pin(name: String, dir: String, cents: Array[Array[Double]]): Unit =
+    pinnedCents.merge(name, Map(dir -> cents.map(_.map(_.toFloat))),
+      (old, one) => old ++ one)
+
   private def trainAndPin(s: SparkSession, dir: String, name: String): Array[Array[Double]] = {
     val cents = Similarity.ivfCentroids(Tables.embeddings(s, dir),
       Similarity.Dim, c = 16, iters = 2, seed = Similarity.Seed)
-    pinnedCents.merge(name, Map(dir -> cents.map(_.map(_.toFloat))),
-      (old, one) => old ++ one)
+    pin(name, dir, cents)
     cents
   }
 
@@ -451,7 +454,10 @@ object SimilarityQueries {
       |    FROM embeddings e, cents c)
       |  WHERE rn = 1)""".stripMargin
 
-  private def simTopkIvfSql(dir: Option[String]): Option[String] = centsValues("sim_topk_ivf", dir).map { cv =>
+  // one SQL shape for both the retrain-per-call query and the
+  // persisted-model probe: the oracle only needs the (pinned) model the
+  // query actually evaluated — where that model came from is invisible
+  private def ivfTopkSqlFor(name: String)(dir: Option[String]): Option[String] = centsValues(name, dir).map { cv =>
     s"""WITH cents AS (SELECT * FROM $cv),
       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
       |probes AS (
@@ -522,6 +528,22 @@ object SimilarityQueries {
   private def simTopkIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopKWith(Tables.embeddings(s, dir),
       trainAndPin(s, dir, "sim_topk_ivf"), queryVecId = 0L, k = 10)
+
+  // the landing-time model lifecycle: train once per corpus, persist the
+  // float model as a parquet side table, probe-only thereafter. First
+  // invocation trains + saves; every later one (same corpus, any JVM)
+  // skips the Lloyd scans entirely. Results are bit-identical to
+  // sim_topk_ivf on an unchanged corpus (the stored model IS the
+  // float-cast of the deterministic training's output), and the oracle
+  // pins whatever model was actually probed, so the check stays truthful
+  // even against a model persisted by an earlier session.
+  private def simTopkIvfPretrained(s: SparkSession, dir: String): DataFrame = {
+    val cents = graft.operators.IvfModelStore.ensure(
+      s, Tables.embeddings(s, dir), graft.operators.IvfModelStore.defaultPath(dir),
+      Similarity.Dim, c = 16, iters = 2, seed = Similarity.Seed)
+    pin("sim_topk_ivf_pretrained", dir, cents)
+    Similarity.ivfTopKWith(Tables.embeddings(s, dir), cents, queryVecId = 0L, k = 10)
+  }
 
   // the m-queries-at-once shape: cluster-pruned equi-join + bounded-heap
   // per-query top-k (no cross join, no per-group sort)
@@ -805,7 +827,9 @@ object SimilarityQueries {
     QueryDef("dedup_winnowing", Some(dedupWinnowingSql), dedupWinnowing),
     QueryDef("sim_topk_brute", Some(simTopkBruteSql), simTopkBrute),
     QueryDef("sim_topk_quantized", Some(simTopkQuantizedSql), simTopkQuantized),
-    QueryDef("sim_topk_ivf", None, simTopkIvf, Some(simTopkIvfSql _)),
+    QueryDef("sim_topk_ivf", None, simTopkIvf, Some(ivfTopkSqlFor("sim_topk_ivf") _)),
+    QueryDef("sim_topk_ivf_pretrained", None, simTopkIvfPretrained,
+      Some(ivfTopkSqlFor("sim_topk_ivf_pretrained") _)),
     QueryDef("sim_topk_batch", None, simTopkBatch, Some(simTopkBatchSql _)),
     QueryDef("embed_neardup_cosine", Some(embedNearDupSql), embedNearDup),
     QueryDef("embed_neardup_blocked", Some(embedNearDupBlockedSql), embedNearDupBlocked),

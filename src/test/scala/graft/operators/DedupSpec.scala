@@ -79,6 +79,35 @@ class DedupSpec extends SparkTestBase {
     assert(wcut === Set((0L, 1L)))
   }
 
+  test("gramDfStats surfaces a df~10k boilerplate bomb and maxDf keeps " +
+    "the candidate fan-out bounded") {
+    import spark.implicits._
+    // 10,000 docs sharing a 6-token boilerplate header: its 4 internal
+    // 3-grams each have df = 10,000, so the uncut inverted-index
+    // self-join would fan out ~4 * 10k^2 / 2 = 2e8 candidate rows — four
+    // orders of magnitude above the corpus. Three planted duplicate
+    // pairs carry rare (df = 2) payload grams.
+    val boiler = "c1 c2 c3 c4 c5 c6"
+    val corpus = ((0L until 10000L).map(i => (i, s"$boiler u${i}a u${i}b")) ++
+      (0L until 3L).flatMap(j => Seq(
+        (20000L + 2 * j, s"p${j}a p${j}b p${j}c p${j}d p${j}e p${j}f p${j}g"),
+        (20001L + 2 * j, s"p${j}a p${j}b p${j}c p${j}d p${j}e p${j}f p${j}g"))))
+      .toDF("doc_id", "text")
+    // the pre-flight check must surface the bomb: max df = the full
+    // corpus, and the uncut fan-out orders of magnitude above |docs|
+    val stats = Dedup.gramDfStats(corpus).head()
+    assert(stats.getAs[Long]("max_df") === 10000L)
+    val fanoutUncut = stats.getAs[Long]("fanout_uncut")
+    assert(fanoutUncut >= 2L * 100 * 1000 * 1000,
+      s"expected ~2e8 uncut fan-out, got $fanoutUncut")
+    // under maxDf the join never materializes that fan-out: with the
+    // boilerplate grams cut, candidate generation is the planted pairs
+    // alone — a measured row ceiling 7 orders below the uncut bound
+    val cut = Dedup.ngramJaccardPairs(corpus, threshold = 0.2, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cut === (0L until 3L).map(j => (20000L + 2 * j, 20001L + 2 * j)).toSet)
+  }
+
   test("ngram Jaccard stays count-based at a size where per-pair " +
     "verification was slow (719k qualifying pairs)") {
     import spark.implicits._
@@ -172,6 +201,30 @@ class DedupSpec extends SparkTestBase {
     // and converges fine with enough rounds
     val ok = Dedup.connectedComponents(path, maxIter = 8, driverMax = 0L).collect()
     assert(ok.map(_.getLong(1)).toSet === Set(1L))
+  }
+
+  test("connected components converge on a >20-long chain in O(log n) rounds") {
+    import spark.implicits._
+    // a 64-node path: diameter 63. The pre-r8 pure min-propagation loop
+    // needed 63 rounds (> its maxIter=20 contract and threw); the
+    // hook+pointer-jump loop needs ~log2(63)+2. maxIter=10 proves the
+    // logarithmic bound is real, not just a raised ceiling.
+    val n = 64
+    val chain = (0L until (n - 1L)).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(chain, maxIter = 10, driverMax = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === n)
+    assert(out.forall { case (_, keeper, size) => keeper == 0L && size == n })
+    // and the distributed path stays equivalent to driver union-find on a
+    // mixed graph (chain + dense clique + isolated pair)
+    val mixed = chain
+      .union(Seq((100L, 101L), (100L, 102L), (101L, 102L), (200L, 201L))
+        .toDF("doc_a", "doc_b"))
+    val viaLoop = Dedup.connectedComponents(mixed, driverMax = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaDriver = Dedup.connectedComponents(mixed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaLoop === viaDriver)
   }
 
   test("portable simhash votes over md5-low-60 bits (driver-side model)") {

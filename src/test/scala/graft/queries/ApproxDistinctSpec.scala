@@ -15,8 +15,8 @@ import graft.{SparkTestBase, Tables}
 class ApproxDistinctSpec extends SparkTestBase {
   private val sf = "/root/testdata/sf0.1"
 
-  test("approx_count_distinct relative error < 15% per group at sf0.1") {
-    val joined = Tables.lineitem(spark, sf)
+  private def checkBound(sfDir: String): Unit = {
+    val joined = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
@@ -37,5 +37,21 @@ class ApproxDistinctSpec extends SparkTestBase {
       assert(rel < 0.15,
         s"flag ${r.getString(0)}: approx=$approx exact=$exact rel=$rel >= 15%")
     }
+  }
+
+  test("approx_count_distinct relative error < 15% per group at sf0.1") {
+    checkBound(sf)
+  }
+
+  // the same bound at the 10x fixture (regenerable, memory notes /
+  // FIXTURES.md): sf1's lineitem carries offset part keys, so per-flag
+  // distincts are ~10x sf0.1's and the sketch runs deeper into its
+  // asymptotic regime. Gated on the fixture's presence — `sbt test`
+  // must stay green on a fresh clone without /tmp/sf1.
+  test("approx_count_distinct relative error < 15% per group at sf~1 " +
+    "(gated on /tmp/sf1)") {
+    assume(new java.io.File("/tmp/sf1/lineitem.parquet").exists(),
+      "/tmp/sf1 fixture not present; see FIXTURES.md to regenerate")
+    checkBound("/tmp/sf1")
   }
 }
