@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Similarity
+
+/** Family-scaling measurement over the [[GenScaledCorpus]] fixtures:
+  * times the dedup + similarity families on a generated corpus and
+  * reports per-family wall seconds plus qualifying-pair counts — run at
+  * scale 1 and scale 10 the ratio table in SCALE.md §9 falls out.
+  *
+  * Two deliberate extras beyond the harness registry:
+  *  - `dedup_semantic_scaledcells`: SemDeDup with the centroid count
+  *    scaled to the corpus (c = 16 x scale) — the documented 100 TB
+  *    operating point (cells bound the quadratic step only if cell SIZE
+  *    is held constant, i.e. cell count grows with the corpus). The
+  *    fixed-c harness query is timed alongside to show the contrast.
+  *  - `embed_neardup_blocked` is included only with INCLUDE_QUADRATIC=1:
+  *    it is EXACT all-pairs enumeration (Θ(n²) by problem statement,
+  *    not by plan deficiency) — the scale path for near-dup discovery is
+  *    dedup_semantic / LSH.
+  *
+  * Usage: SPARK_GRAFT_SCALE=<s> runMain graft.ScaleFamilies <dir>
+  */
+object ScaleFamilies {
+
+  private val Families = Seq(
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_winnowing",
+    "dedup_ngram_jaccard", "dedup_editdist", "dedup_clusters",
+    "dedup_keep_best", "dedup_semantic",
+    "sim_topk_brute", "sim_topk_ivf", "sim_topk_ivf_pretrained",
+    "sim_topk_batch", "sim_knn_graph", "sim_range_search")
+
+  // pair-producing families: row counts are the duplicate-mass evidence
+  private val CountRows = Set("dedup_ngram_jaccard", "dedup_semantic",
+    "dedup_semantic_scaledcells", "dedup_clusters", "dedup_minhash_lsh",
+    "dedup_winnowing", "embed_neardup_blocked")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "1").toInt
+    val includeQuadratic = sys.env.get("INCLUDE_QUADRATIC").contains("1")
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // the 100 TB operating point, both knobs set as the scaladoc
+    // prescribes: cell count grows with the corpus (constant cell SIZE
+    // bounds the in-cell quadratic step), and the threshold sits deep in
+    // the organic cosine tail (at dim 64 random-pair cosine is
+    // ~N(0, 1/64); 0.4 is only 3.2 sigma, whose quadratic noise floor
+    // swamps true near-dups at scale — 0.65 is 5.2 sigma, past which
+    // qualifying mass is the planted near-dup rate, i.e. linear)
+    def scaledCells(d: String) =
+      Similarity.semanticDupPairsWith(Tables.embeddings(spark, d),
+        Similarity.ivfCentroids(Tables.embeddings(spark, d), Similarity.Dim,
+          c = 16 * scale, iters = 2, seed = Similarity.Seed),
+        threshold = 0.65)
+
+    val extra: Seq[(String, String => org.apache.spark.sql.DataFrame)] =
+      Seq("dedup_semantic_scaledcells" -> (scaledCells _)) ++
+        (if (includeQuadratic)
+          Seq("embed_neardup_blocked" ->
+            ((d: String) => SparkEntry.queries("embed_neardup_blocked")(spark, d)))
+        else Nil)
+
+    val all: Seq[(String, String => org.apache.spark.sql.DataFrame)] =
+      Families.map(n => n -> ((d: String) => SparkEntry.queries(n)(spark, d))) ++ extra
+
+    // JIT/codegen warm-up at the small committed fixture
+    all.foreach { case (_, fn) =>
+      try fn("/root/testdata/sf0.01").write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    // landing prep, as in Bench: the pretrained probe's first-ever
+    // invocation on a corpus trains + persists the model — a once-per-
+    // corpus-lifetime cost that must not be billed to the timed probe
+    try SparkEntry.queries("sim_topk_ivf_pretrained")(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val (l1, l5) = Loadavg.read()
+    val results = all.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(dir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"$name failed: ${e.getMessage}"); false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = if (ok && CountRows(name)) fn(dir).count() else -1L
+      (name, sec, rows, ok)
+    }
+    def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (n, s, r, ok) =>
+      val body = if (!ok) "null"
+        else if (r >= 0) s"""{"sec":${f(s)},"rows":$r}"""
+        else s"""{"sec":${f(s)}}"""
+      s""""$n":$body"""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, s, _, true) => s }.sum
+    println(s"""{"metric":"scale_families","dir":"$dir","scale":$scale,"value":${f(total)},"unit":"sec","queries":$qs,"loadavg_1m":${f(l1)},"loadavg_5m":${f(l5)}}""")
+    spark.stop()
+  }
+}

@@ -109,18 +109,42 @@ object Similarity {
   }
 
   /** Cluster id = argmax cosine against the (unit-norm) centroids;
-    * ties -> lowest id. Pure codegen'd column over C dot products.
-    * Empty centroid set (possible only when the table that seeded
-    * k-means was empty) yields a typed null column — the zero-element
-    * array() literal would otherwise fail analysis as NULL-typed, even
-    * though no row ever materializes it. */
+    * ties -> lowest id. Empty centroid set (possible only when the table
+    * that seeded k-means was empty) yields a typed null column — the
+    * zero-element array() literal would otherwise fail analysis as
+    * NULL-typed, even though no row ever materializes it.
+    *
+    * Two bodies with identical semantics, chosen by model size
+    * (`SimilaritySpec` asserts they agree): small models unroll into C
+    * codegen'd [[vecDot]] expressions (the oracle-validated shape);
+    * large models go through ONE higher-order expression over a 2-D
+    * centroid literal — the unrolled form's generated-code size grows
+    * with C and its janino compile time dominates the query beyond a few
+    * dozen centroids (measured: c=160 cost ~30 s of compilation), while
+    * a real-scale coarse quantizer has thousands of cells. Arithmetic is
+    * identical either way: float->double casts are exact and both forms
+    * accumulate the dot sequentially in double, so cell assignment stays
+    * bit-reproducible (the pinned-model oracle contract). */
   def assignCluster(emb: Column, centroids: Array[Array[Double]]): Column =
     if (centroids.isEmpty) lit(null).cast("int")
-    else {
-      val dots = centroids.toIndexedSeq.map(ct => vecDot(emb, typedlit(ct.map(_.toFloat))))
-      val arr = array(dots: _*)
-      (array_position(arr, array_max(arr)) - 1).cast("int")
-    }
+    else if (centroids.length <= 32) assignClusterUnrolled(emb, centroids)
+    else assignClusterHof(emb, centroids)
+
+  private[operators] def assignClusterUnrolled(
+      emb: Column, centroids: Array[Array[Double]]): Column = {
+    val dots = centroids.toIndexedSeq.map(ct => vecDot(emb, typedlit(ct.map(_.toFloat))))
+    val arr = array(dots: _*)
+    (array_position(arr, array_max(arr)) - 1).cast("int")
+  }
+
+  private[operators] def assignClusterHof(
+      emb: Column, centroids: Array[Array[Double]]): Column = {
+    val centsLit = typedlit(centroids.map(_.map(_.toFloat).toSeq).toSeq)
+    val dots = transform(centsLit, ct =>
+      aggregate(zip_with(emb, ct, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
 
   /** IVF-flat approximate top-k: assign the corpus to `nCentroids` coarse
     * cells, probe the `nProbe` cells nearest the query, exact cosine only

@@ -217,4 +217,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(counts.keys.forall(c => c >= 0 && c < 16))
     assert(counts.values.sum === emb.count())
   }
+
+  test("unrolled and higher-order cluster assignment agree exactly " +
+    "(the large-c codegen path is bit-identical)") {
+    // same model through both bodies: the unrolled form is the
+    // oracle-validated shape; the HOF form is what large centroid counts
+    // dispatch to — any arithmetic divergence (accumulation order, a
+    // float multiply sneaking in) would shift argmax ties and break the
+    // pinned-model oracle contract at scale
+    val cents = Similarity.ivfCentroids(emb, dim = 64, c = 16, iters = 2, seed = 7L)
+    val both = emb.select(col("vec_id"),
+        Similarity.assignClusterUnrolled(col("embedding"), cents).as("a"),
+        Similarity.assignClusterHof(col("embedding"), cents).as("b"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getInt(1) === r.getInt(2), s"vec ${r.getLong(0)}"))
+  }
 }
