@@ -65,7 +65,13 @@ object Bench {
     Seq("sim_topk_ivf_pretrained").foreach { n =>
       selected.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          // a failed prep (model persist denied, disk full) silently
+          // moves training INTO the timed probe — say so, loudly
+          System.err.println(
+            s"WARNING: landing prep for $n failed (${e.getMessage}); " +
+              "its timed number will include training")
+        }
       }
     }
     // stable name order: per-query times stay comparable across rounds

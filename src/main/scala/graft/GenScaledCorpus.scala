@@ -27,19 +27,25 @@ import org.apache.spark.sql.SparkSession
   *    copy of their predecessor (each token resampled with p = 0.1 →
   *    3-gram Jaccard ~0.4-0.9), 1/333 an exact copy. At scale=1 that is
   *    ~250 qualifying pairs — the same order as sf0.1's measured 256.
-  *  - Embeddings: uniform unit-sphere vectors (organic cosine ~N(0,1/8),
-  *    never >= 0.4 at dim 64), with 5% planted perturbed copies at
-  *    cos ~0.85. Qualifying pair mass is exactly the planted rate —
-  *    linear. Labels (the knn-graph block key) number 10 x scale, so
-  *    block SIZE stays constant as the corpus grows — the bounded-block
-  *    contract sim_knn_graph documents.
+  *  - Embeddings: uniform unit-sphere vectors with 5% planted perturbed
+  *    copies at cos ~0.78-0.9. At dim 64 organic random-pair cosine is
+  *    ~N(0, 1/64): a DEEP-tail threshold (>= ~0.65 = 5.2 sigma) sees
+  *    qualifying mass ~ the planted rate (linear), while a 3.2-sigma
+  *    threshold like 0.4 sits on a quadratic organic noise floor
+  *    (measured: 1,101 -> 97,516 pairs for 10x data) — that contrast is
+  *    deliberate and documented in SCALE.md §9. Labels (the knn-graph
+  *    block key) number 10 x scale, so block SIZE stays constant as the
+  *    corpus grows — the bounded-block contract sim_knn_graph documents.
   *
   * Copiers always derive from their predecessor's BASE text/vector (a
   * doc that is itself a copier is never used as a source), keeping the
   * derivation non-recursive and every planted pair a true near-dup.
   *
-  * Deterministic per-id hashing (splitmix-seeded Random) — regenerating
-  * at any time or parallelism yields byte-identical corpora.
+  * Deterministic per-id hashing (splitmix-seeded Random): every row's
+  * content is a pure function of (seed, id), so regeneration yields
+  * row-identical corpora on any machine. Row-to-part-file placement is
+  * NOT pinned (repartition's round-robin depends on input slicing) —
+  * compare regenerated fixtures by content, not by file checksums.
   *
   * Usage: runMain graft.GenScaledCorpus <scale> <outDir> [seed]
   *   e.g. runMain graft.GenScaledCorpus 1  /tmp/gen1x

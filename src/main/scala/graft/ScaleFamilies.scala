@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.functions.col
-
 import graft.operators.Similarity
 
 /** Family-scaling measurement over the [[GenScaledCorpus]] fixtures:
@@ -20,7 +18,10 @@ import graft.operators.Similarity
   *    not by plan deficiency) — the scale path for near-dup discovery is
   *    dedup_semantic / LSH.
   *
-  * Usage: SPARK_GRAFT_SCALE=<s> runMain graft.ScaleFamilies <dir>
+  * Usage: runMain graft.ScaleFamilies <dir>
+  * (the scale knob is inferred from the corpus itself — embeddings
+  * rows / 2000 — so a dir/scale mismatch cannot silently produce a
+  * wrong contrast row or a mislabeled artifact)
   */
 object ScaleFamilies {
 
@@ -38,10 +39,12 @@ object ScaleFamilies {
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "1").toInt
     val includeQuadratic = sys.env.get("INCLUDE_QUADRATIC").contains("1")
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // scale from the corpus, not an env knob that could disagree with it
+    val scale = math.max(1,
+      math.round(Tables.embeddings(spark, dir).count() / 2000.0).toInt)
 
     // the 100 TB operating point, both knobs set as the scaladoc
     // prescribes: cell count grows with the corpus (constant cell SIZE
@@ -76,7 +79,11 @@ object ScaleFamilies {
     // corpus-lifetime cost that must not be billed to the timed probe
     try SparkEntry.queries("sim_topk_ivf_pretrained")(spark, dir)
       .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(
+        s"WARNING: landing prep failed (${e.getMessage}); " +
+          "sim_topk_ivf_pretrained's timed number will include training")
+    }
 
     val (l1, l5) = Loadavg.read()
     val results = all.map { case (name, fn) =>

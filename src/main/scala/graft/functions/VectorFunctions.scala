@@ -77,7 +77,13 @@ object VectorFunctions {
     * functions — used in tests to cross-check the native expression. */
   def vecDotBuiltin(a: Column, b: Column): Column =
     aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      // coalesce aligns the edge semantics with FloatVectorDot: zip_with
+      // pads the shorter array with nulls, so coalescing each product to
+      // 0 yields the partial dot over min(len(a), len(b)) — exactly what
+      // the native kernel computes on a truncated vector (well-formed
+      // equal-length inputs are unaffected; both paths accumulate
+      // sequentially in double)
+      zip_with(a, b, (x, y) => coalesce(x.cast("double") * y.cast("double"), lit(0.0))),
       lit(0.0),
       (acc, v) => acc + v)
 }

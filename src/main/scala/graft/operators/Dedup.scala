@@ -382,9 +382,12 @@ object Dedup {
       // the label table (labels are ids, seeded from the id column), so
       // the self-join hits; the left join + coalesce only guards the
       // invariant, it is not load-bearing. This is the pointer-doubling
-      // step that turns O(diameter) rounds into O(log n).
-      val updated = hooked.join(
-          hooked.select(col("id").as("label"), col("label").as("jump")),
+      // step that turns O(diameter) rounds into O(log n). hooked feeds
+      // BOTH sides of the jump join — checkpoint it or the hook
+      // join+aggregation plan executes twice per round.
+      val hookedCp = hooked.localCheckpoint()
+      val updated = hookedCp.join(
+          hookedCp.select(col("id").as("label"), col("label").as("jump")),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("jump"), col("label")).as("label"))
         .localCheckpoint()

@@ -140,9 +140,10 @@ object Similarity {
   private[operators] def assignClusterHof(
       emb: Column, centroids: Array[Array[Double]]): Column = {
     val centsLit = typedlit(centroids.map(_.map(_.toFloat).toSeq).toSeq)
-    val dots = transform(centsLit, ct =>
-      aggregate(zip_with(emb, ct, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v))
+    // vecDotBuiltin, not a re-derivation: one reference HOF dot (its
+    // min-length edge semantics match FloatVectorDot, so the two
+    // dispatch bodies agree even on truncated vectors)
+    val dots = transform(centsLit, ct => vecDotBuiltin(emb, ct))
     (array_position(dots, array_max(dots)) - 1).cast("int")
   }
 
