@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnBridge, Dequantize8, FloatVectorDot, HyperplaneSignBits, Quantize8, QuantizedDot, QuantizedDotRaw}
+import org.apache.spark.sql.graft.{ArgMaxFloatDot, ColumnBridge, Dequantize8, FloatVectorDot, HyperplaneSignBits, Quantize8, QuantizedDot, QuantizedDotRaw}
 
 /** User-facing vector math over array<float> embedding columns.
   * Backed by native codegen'd expressions (org.apache.spark.sql.graft).
@@ -15,6 +15,18 @@ object VectorFunctions {
 
   /** L2 norm. */
   def vecNorm(a: Column): Column = sqrt(vecDot(a, a))
+
+  /** Index of the centroid with the largest dot product against `a`,
+    * ties -> lowest index. One native pass over the flattened float
+    * model — the scalable coarse-quantizer assignment (see ArgMaxFloatDot
+    * for the arithmetic contract that keeps it oracle-reproducible). */
+  def argMaxDot(a: Column, centroids: Array[Array[Float]]): Column = {
+    require(centroids.nonEmpty, "argMaxDot needs at least one centroid")
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim), "centroids must share one dim")
+    ColumnBridge.column(
+      ArgMaxFloatDot(ColumnBridge.expression(a), centroids.flatten, dim))
+  }
 
   /** Cosine similarity; null on zero norms instead of NaN. */
   def cosine(a: Column, b: Column): Column = {

@@ -110,25 +110,25 @@ object Similarity {
 
   /** Cluster id = argmax cosine against the (unit-norm) centroids;
     * ties -> lowest id. Empty centroid set (possible only when the table
-    * that seeded k-means was empty) yields a typed null column — the
-    * zero-element array() literal would otherwise fail analysis as
-    * NULL-typed, even though no row ever materializes it.
+    * that seeded k-means was empty) yields a typed null column — no row
+    * ever materializes it.
     *
-    * Two bodies with identical semantics, chosen by model size
-    * (`SimilaritySpec` asserts they agree): small models unroll into C
-    * codegen'd [[vecDot]] expressions (the oracle-validated shape);
-    * large models go through ONE higher-order expression over a 2-D
-    * centroid literal — the unrolled form's generated-code size grows
-    * with C and its janino compile time dominates the query beyond a few
-    * dozen centroids (measured: c=160 cost ~30 s of compilation), while
-    * a real-scale coarse quantizer has thousands of cells. Arithmetic is
-    * identical either way: float->double casts are exact and both forms
-    * accumulate the dot sequentially in double, so cell assignment stays
-    * bit-reproducible (the pinned-model oracle contract). */
+    * One native codegen'd expression ([[org.apache.spark.sql.graft.ArgMaxFloatDot]]):
+    * a tight c x dim loop per row over the flattened float-cast model,
+    * generated-code size constant in c, no per-centroid allocation. The
+    * two Column-algebra formulations it replaced both failed at scale —
+    * unrolled `array_position(array(c dots), array_max(...))` duplicates
+    * the dots array and overflows JIT/codegen method budgets (the
+    * assignment scan dominated every IVF probe at 200k vectors), and the
+    * higher-order transform/zip_with form allocates a dim-array per
+    * centroid per row (minutes at c=1600 x 200k rows). Both remain below
+    * as package-private references; `SimilaritySpec` asserts all three
+    * bodies assign identically, which is what keeps cell assignment
+    * bit-reproducible for the pinned-model oracles. */
   def assignCluster(emb: Column, centroids: Array[Array[Double]]): Column =
     if (centroids.isEmpty) lit(null).cast("int")
-    else if (centroids.length <= 32) assignClusterUnrolled(emb, centroids)
-    else assignClusterHof(emb, centroids)
+    else graft.functions.VectorFunctions.argMaxDot(
+      emb, centroids.map(_.map(_.toFloat)))
 
   private[operators] def assignClusterUnrolled(
       emb: Column, centroids: Array[Array[Double]]): Column = {
@@ -141,8 +141,8 @@ object Similarity {
       emb: Column, centroids: Array[Array[Double]]): Column = {
     val centsLit = typedlit(centroids.map(_.map(_.toFloat).toSeq).toSeq)
     // vecDotBuiltin, not a re-derivation: one reference HOF dot (its
-    // min-length edge semantics match FloatVectorDot, so the two
-    // dispatch bodies agree even on truncated vectors)
+    // min-length edge semantics match FloatVectorDot, so the reference
+    // bodies agree even on truncated vectors)
     val dots = transform(centsLit, ct => vecDotBuiltin(emb, ct))
     (array_position(dots, array_max(dots)) - 1).cast("int")
   }

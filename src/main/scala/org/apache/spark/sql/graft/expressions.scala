@@ -69,6 +69,88 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Codegen'd argmax-dot cluster assignment: the index of the centroid
+  * with the largest dot product against the input vector, ties -> lowest
+  * index. `cents` is the flattened (c x dim) FLOAT-cast centroid model
+  * baked into the plan as one reference object.
+  *
+  * This is THE coarse-quantizer primitive at scale: one tight c x dim
+  * loop per row, no per-centroid array allocation, generated-code size
+  * constant in c. The two Column-algebra formulations it supersedes both
+  * fail at scale in different ways — unrolling c `float_vector_dot`
+  * calls duplicates the dots array across array_position/array_max and
+  * blows past JIT/codegen method limits even at c=16 (measured: the
+  * assignment scan dominated every IVF probe at 200k vectors), and the
+  * higher-order zip_with/aggregate form allocates a dim-length array per
+  * centroid per row (measured: c=1600 over 200k rows spent minutes in
+  * allocation). Both remain as package-private test references;
+  * SimilaritySpec asserts all three assign identically.
+  *
+  * Arithmetic contract (the pinned-model oracle depends on it): each dot
+  * accumulates sequentially in double over float->double promotions —
+  * exactly [[FloatVectorDot]] over the float-cast model — and the strict
+  * `>` comparison keeps the FIRST maximum, matching both
+  * `array_position(dots, array_max(dots))` and the DuckDB oracle's
+  * `row_number() OVER (ORDER BY dot DESC, cluster_id)`.
+  */
+case class ArgMaxFloatDot(child: Expression, cents: Array[Float], dim: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  private val nCents = cents.length / dim
+  require(dim >= 1 && nCents >= 1 && cents.length == nCents * dim,
+    "cents must be a non-empty flattened (c x dim) matrix")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "argmax_float_dot"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    var best = Double.NegativeInfinity
+    var bestIdx = 0
+    var c = 0
+    while (c < nCents) {
+      var acc = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < n) { acc += x.getFloat(i).toDouble * cents(off + i).toDouble; i += 1 }
+      if (acc > best) { best = acc; bestIdx = c }
+      c += 1
+    }
+    bestIdx
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "float[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val off = ctx.freshName("off")
+      s"""
+         |final int $n = java.lang.Math.min($x.numElements(), $dim);
+         |double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |int $bestIdx = 0;
+         |for (int $c = 0; $c < $nCents; $c++) {
+         |  double $acc = 0.0;
+         |  final int $off = $c * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $x.getFloat($i) * (double) $centsRef[$off + $i];
+         |  }
+         |  if ($acc > $best) { $best = $acc; $bestIdx = $c; }
+         |}
+         |${ev.value} = $bestIdx;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Codegen'd random-hyperplane signature: packs the signs of `planes` dot
   * products into the low bits of a long. `planes` is a flattened
   * (nPlanes x dim) double array baked into the plan as a literal — the

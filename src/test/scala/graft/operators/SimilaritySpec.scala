@@ -218,19 +218,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(counts.values.sum === emb.count())
   }
 
-  test("unrolled and higher-order cluster assignment agree exactly " +
-    "(the large-c codegen path is bit-identical)") {
-    // same model through both bodies: the unrolled form is the
-    // oracle-validated shape; the HOF form is what large centroid counts
-    // dispatch to — any arithmetic divergence (accumulation order, a
-    // float multiply sneaking in) would shift argmax ties and break the
-    // pinned-model oracle contract at scale
+  test("native, unrolled, and higher-order cluster assignment agree " +
+    "exactly (the production kernel is bit-identical to both references)") {
+    // same model through all three bodies: assignCluster dispatches to
+    // the native ArgMaxFloatDot kernel; the unrolled Column-algebra form
+    // is the historically oracle-validated shape and the HOF form is the
+    // engine-builtin reference — any arithmetic divergence (accumulation
+    // order, a float multiply sneaking in, a tie broken toward a higher
+    // id) would break the pinned-model oracle contract at scale
     val cents = Similarity.ivfCentroids(emb, dim = 64, c = 16, iters = 2, seed = 7L)
-    val both = emb.select(col("vec_id"),
+    val all3 = emb.select(col("vec_id"),
+        Similarity.assignCluster(col("embedding"), cents).as("n"),
         Similarity.assignClusterUnrolled(col("embedding"), cents).as("a"),
         Similarity.assignClusterHof(col("embedding"), cents).as("b"))
       .collect()
-    assert(both.nonEmpty)
-    both.foreach(r => assert(r.getInt(1) === r.getInt(2), s"vec ${r.getLong(0)}"))
+    assert(all3.nonEmpty)
+    all3.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2), s"native vs unrolled, vec ${r.getLong(0)}")
+      assert(r.getInt(1) === r.getInt(3), s"native vs hof, vec ${r.getLong(0)}")
+    }
   }
 }
