@@ -260,9 +260,16 @@ object Similarity {
     val assigned = corpus
       .withColumn("cluster", assignCluster(col("embedding"), cents))
       .select(col("cluster"), col("vec_id"), col("embedding"))
-    // probe cells per query: indices of the nProbe largest centroid dots
-    val dots = array(cents.toIndexedSeq.map(ct =>
-      vecDot(col("q_emb"), typedlit(ct.map(_.toFloat)))): _*)
+    // probe cells per query: indices of the nProbe largest centroid dots.
+    // HOF over a 2-D centroid literal, NOT c unrolled vecDot calls — the
+    // unrolled form's generated code grows with c and overflows
+    // JIT/janino budgets at scaled cell counts (the assignCluster lesson;
+    // see ArgMaxFloatDot). The per-row array allocation the HOF form
+    // pays is confined to the QUERY side, which is small by contract —
+    // the corpus side goes through the native kernel in assignCluster.
+    val dots = transform(
+      typedlit(cents.map(_.map(_.toFloat).toSeq).toSeq),
+      ct => vecDotBuiltin(col("q_emb"), ct))
     val probed = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .withColumn("__dots", dots)

@@ -96,8 +96,11 @@ case class FloatVectorDot(left: Expression, right: Expression)
 case class ArgMaxFloatDot(child: Expression, cents: Array[Float], dim: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
 
+  // dim first: nCents divides by it, and a zero dim must fail with this
+  // message, not a bare ArithmeticException out of the field initializer
+  require(dim >= 1, s"dim must be >= 1, got $dim")
   private val nCents = cents.length / dim
-  require(dim >= 1 && nCents >= 1 && cents.length == nCents * dim,
+  require(nCents >= 1 && cents.length == nCents * dim,
     "cents must be a non-empty flattened (c x dim) matrix")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
@@ -108,6 +111,7 @@ case class ArgMaxFloatDot(child: Expression, cents: Array[Float], dim: Int)
     val x = a.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), dim)
     var best = Double.NegativeInfinity
+    var bestNaN = false
     var bestIdx = 0
     var c = 0
     while (c < nCents) {
@@ -115,7 +119,14 @@ case class ArgMaxFloatDot(child: Expression, cents: Array[Float], dim: Int)
       var i = 0
       val off = c * dim
       while (i < n) { acc += x.getFloat(i).toDouble * cents(off + i).toDouble; i += 1 }
-      if (acc > best) { best = acc; bestIdx = c }
+      // NaN ranks GREATEST (first NaN wins), matching Spark's double
+      // ordering in array_max/array_position and DuckDB's ORDER BY dot
+      // DESC — a plain `>` would silently skip NaN dots and break the
+      // bit-identical-assignment invariant vs the reference bodies
+      val accNaN = java.lang.Double.isNaN(acc)
+      if (!bestNaN && (accNaN || acc > best)) {
+        best = acc; bestNaN = accNaN; bestIdx = c
+      }
       c += 1
     }
     bestIdx
@@ -126,14 +137,17 @@ case class ArgMaxFloatDot(child: Expression, cents: Array[Float], dim: Int)
     nullSafeCodeGen(ctx, ev, x => {
       val n = ctx.freshName("n")
       val best = ctx.freshName("best")
+      val bestNaN = ctx.freshName("bestNaN")
       val bestIdx = ctx.freshName("bestIdx")
       val c = ctx.freshName("c")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val accNaN = ctx.freshName("accNaN")
       val off = ctx.freshName("off")
       s"""
          |final int $n = java.lang.Math.min($x.numElements(), $dim);
          |double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |boolean $bestNaN = false;
          |int $bestIdx = 0;
          |for (int $c = 0; $c < $nCents; $c++) {
          |  double $acc = 0.0;
@@ -141,7 +155,11 @@ case class ArgMaxFloatDot(child: Expression, cents: Array[Float], dim: Int)
          |  for (int $i = 0; $i < $n; $i++) {
          |    $acc += (double) $x.getFloat($i) * (double) $centsRef[$off + $i];
          |  }
-         |  if ($acc > $best) { $best = $acc; $bestIdx = $c; }
+         |  // NaN ranks greatest, first NaN wins (mirrors nullSafeEval)
+         |  final boolean $accNaN = java.lang.Double.isNaN($acc);
+         |  if (!$bestNaN && ($accNaN || $acc > $best)) {
+         |    $best = $acc; $bestNaN = $accNaN; $bestIdx = $c;
+         |  }
          |}
          |${ev.value} = $bestIdx;
        """.stripMargin

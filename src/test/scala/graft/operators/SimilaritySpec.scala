@@ -238,4 +238,24 @@ class SimilaritySpec extends SparkTestBase {
       assert(r.getInt(1) === r.getInt(3), s"native vs hof, vec ${r.getLong(0)}")
     }
   }
+
+  test("cluster assignment ranks a NaN dot greatest, like the Column " +
+    "references and the SQL oracle ordering") {
+    import spark.implicits._
+    // emb = [Inf, 1]: dot against centroid 0 = Inf*0 + 1*1 = NaN (0*Inf),
+    // against centroid 1 = Inf. Spark's double ordering (array_max /
+    // array_position) and DuckDB's ORDER BY dot DESC both rank NaN above
+    // Inf, so every body must pick centroid 0 — a strict > comparison
+    // would silently skip the NaN and diverge
+    val cents = Array(Array(0.0, 1.0), Array(1.0, 0.0))
+    val df = Seq(Tuple1(Seq(Float.PositiveInfinity, 1.0f))).toDF("embedding")
+    val r = df.select(
+        Similarity.assignCluster(col("embedding"), cents).as("n"),
+        Similarity.assignClusterUnrolled(col("embedding"), cents).as("a"),
+        Similarity.assignClusterHof(col("embedding"), cents).as("b"))
+      .head()
+    assert(r.getInt(0) === 0)
+    assert(r.getInt(1) === 0)
+    assert(r.getInt(2) === 0)
+  }
 }
