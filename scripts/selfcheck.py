@@ -70,37 +70,51 @@ _LABELS_CTE = ("labels AS (SELECT id, MIN(lab) AS cluster_keeper "
 def run_oracle(con, sql: str):
     if not (sql.startswith("WITH RECURSIVE p AS (")
             and _EDGES_CTE in sql and _LABELS_CTE in sql):
+        if sql.startswith("WITH RECURSIVE p AS ("):
+            # the Scala-side closure SQL drifted away from the replay
+            # prefix: falling back to the recursive CTE silently loses
+            # the iterative path (and exhausts memory at a sf~1 pair
+            # list) — execute verbatim but say so, loudly
+            print("WARNING: statement starts with the closure-CTE prefix "
+                  "but does not match the iterative-replay shape; "
+                  "executing the recursive CTE verbatim (memory-unsafe "
+                  "at large pair lists). Re-sync _EDGES_CTE/_LABELS_CTE "
+                  "with the Scala oracle SQL.", file=sys.stderr)
         return con.execute(sql).fetchdf()
-    head, rest = sql.split(_EDGES_CTE, 1)
-    _reach, tail = rest.split(_LABELS_CTE, 1)
-    pairs_sql = head[len("WITH RECURSIVE p AS ("):].rstrip()
-    assert pairs_sql.endswith("),"), "unexpected closure-oracle shape"
-    pairs_sql = pairs_sql[:-2]
-    con.execute("CREATE OR REPLACE TEMP TABLE p AS " + pairs_sql)
-    con.execute("CREATE OR REPLACE TEMP TABLE edges AS "
-                "SELECT doc_a AS u, doc_b AS v FROM p "
-                "UNION ALL SELECT doc_b, doc_a FROM p")
-    con.execute("CREATE OR REPLACE TEMP TABLE lbl AS "
-                "SELECT DISTINCT u AS id, u AS lab FROM edges")
-    while True:
-        con.execute("""CREATE OR REPLACE TEMP TABLE lbl2 AS
-            WITH hooked AS (
-              SELECT l.id, LEAST(l.lab, COALESCE(MIN(nl.lab), l.lab)) AS lab
-              FROM lbl l
-              LEFT JOIN edges e ON e.u = l.id
-              LEFT JOIN lbl nl ON nl.id = e.v
-              GROUP BY l.id, l.lab)
-            SELECT h.id, COALESCE(j.lab, h.lab) AS lab
-            FROM hooked h LEFT JOIN hooked j ON j.id = h.lab""")
-        changed = con.execute(
-            "SELECT count(*) FROM lbl2 a JOIN lbl b USING (id) "
-            "WHERE a.lab <> b.lab").fetchone()[0]
-        con.execute("CREATE OR REPLACE TEMP TABLE lbl AS SELECT * FROM lbl2")
-        if changed == 0:
-            break
-    con.execute("CREATE OR REPLACE TEMP TABLE labels AS "
-                "SELECT id, lab AS cluster_keeper FROM lbl")
+    # the whole rewrite — temp-table creation, fixpoint loop, tail — sits
+    # inside one try/finally: an exception mid-loop must not leak
+    # p/edges/lbl/lbl2 onto the shared connection (a later query named
+    # like one of these would silently read stale state)
     try:
+        head, rest = sql.split(_EDGES_CTE, 1)
+        _reach, tail = rest.split(_LABELS_CTE, 1)
+        pairs_sql = head[len("WITH RECURSIVE p AS ("):].rstrip()
+        assert pairs_sql.endswith("),"), "unexpected closure-oracle shape"
+        pairs_sql = pairs_sql[:-2]
+        con.execute("CREATE OR REPLACE TEMP TABLE p AS " + pairs_sql)
+        con.execute("CREATE OR REPLACE TEMP TABLE edges AS "
+                    "SELECT doc_a AS u, doc_b AS v FROM p "
+                    "UNION ALL SELECT doc_b, doc_a FROM p")
+        con.execute("CREATE OR REPLACE TEMP TABLE lbl AS "
+                    "SELECT DISTINCT u AS id, u AS lab FROM edges")
+        while True:
+            con.execute("""CREATE OR REPLACE TEMP TABLE lbl2 AS
+                WITH hooked AS (
+                  SELECT l.id, LEAST(l.lab, COALESCE(MIN(nl.lab), l.lab)) AS lab
+                  FROM lbl l
+                  LEFT JOIN edges e ON e.u = l.id
+                  LEFT JOIN lbl nl ON nl.id = e.v
+                  GROUP BY l.id, l.lab)
+                SELECT h.id, COALESCE(j.lab, h.lab) AS lab
+                FROM hooked h LEFT JOIN hooked j ON j.id = h.lab""")
+            changed = con.execute(
+                "SELECT count(*) FROM lbl2 a JOIN lbl b USING (id) "
+                "WHERE a.lab <> b.lab").fetchone()[0]
+            con.execute("CREATE OR REPLACE TEMP TABLE lbl AS SELECT * FROM lbl2")
+            if changed == 0:
+                break
+        con.execute("CREATE OR REPLACE TEMP TABLE labels AS "
+                    "SELECT id, lab AS cluster_keeper FROM lbl")
         return con.execute("WITH " + tail.strip()).fetchdf()
     finally:
         for t in ("labels", "lbl2", "lbl", "edges", "p"):

@@ -33,20 +33,17 @@ object Bench {
     // historically expensive ones instead of the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // correctness-only oracle anchors: deliberately naive plans (capped
-    // all-pairs) that exist to anchor another query's oracle — excluded
-    // from the bench loop unless explicitly named via SPARK_GRAFT_ONLY
-    val anchorOnly = Set("embed_neardup_cosine")
     // composition queries re-execute operators the loop already times
     // (dedup_clusters = ngramJaccardPairs + components over its output;
     // pipeline_dedup_pack = the same plus packShards): correctness-gated
     // in Verify like everything else, but excluded from the default loop
     // so the suite total counts each operator's work once instead of
     // re-billing the ngram candidate generation three times. Name them
-    // via SPARK_GRAFT_ONLY to time them individually.
-    val composition = Set("dedup_clusters", "dedup_keep_best",
+    // via SPARK_GRAFT_ONLY to time them individually. (The one-time
+    // anchor-only fence is gone: naive correctness anchors now live in
+    // scalatest, not the registry.)
+    val skip = Set("dedup_clusters", "dedup_keep_best",
       "pipeline_dedup_pack", "dedup_cross_source")
-    val skip = anchorOnly ++ composition
     val selected = SparkEntry.queries.filter { case (k, _) =>
       only.map(_.contains(k)).getOrElse(!skip.contains(k)) }
     // Warm-up pass at a small sf: JIT + codegen compilation otherwise

@@ -1,0 +1,64 @@
+package graft
+
+import graft.cnj.{MetasJob, Reader}
+
+/** Corpus-scale benchmark of the streaming CNJ ingest (SURVEY §2.9):
+  * [[Reader.readDirStream]] -> the SAME Resumo aggregation as the batch
+  * pipeline, run incrementally over the court files with
+  * `maxFilesPerTrigger` bounding each microbatch, complete-mode output.
+  * Asserts stream-vs-batch parity on the full corpus (the contract
+  * `CnjStreamSpec` locks at fixture scale) and records wall time, the
+  * per-microbatch input rows, and the streaming-aggregation state rows
+  * per batch (`StateOperatorProgress.numRowsTotal`) — the evidence that
+  * state is bounded by the GROUP cardinality (courts), not the corpus:
+  * a 10x bigger corpus grows batches, never state.
+  *
+  * Usage: runMain graft.CnjStreamBench <inDir> [filesPerTrigger]
+  */
+object CnjStreamBench {
+  def main(args: Array[String]): Unit = {
+    val inDir = args(0)
+    val filesPerTrigger = if (args.length > 1) args(1).toInt else 10
+    val (l1, l5) = Loadavg.read()
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same split sizing as CnjBench: the largest court file (~119 MB)
+    // must not be one task
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+    // batch truth, timed like CnjBench's resumo phase
+    val tb0 = System.nanoTime()
+    val batch = MetasJob.stringlyOutput(
+      MetasJob.resumoTyped(spark, Reader.readDir(spark, inDir))).collect()
+    val batchSec = (System.nanoTime() - tb0) / 1e9
+
+    val ts0 = System.nanoTime()
+    val stream = Reader.readDirStream(spark, inDir,
+      Map("maxFilesPerTrigger" -> filesPerTrigger.toString))
+    val q = MetasJob.stringlyOutput(MetasJob.resumoTyped(spark, stream))
+      .writeStream.format("memory").queryName("cnj_stream_bench")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamSec = (System.nanoTime() - ts0) / 1e9
+
+    val got = spark.table("cnj_stream_bench").collect()
+    val parity = got.map(_.toSeq).toSet == batch.map(_.toSeq).toSet
+
+    // per-microbatch evidence: input rows + streaming-agg state rows
+    val perBatch = q.recentProgress.toIndexedSeq
+      .filter(_.numInputRows > 0)
+      .map { p =>
+        val state = p.stateOperators.map(_.numRowsTotal).sum
+        (p.batchId, p.numInputRows, state)
+      }
+    val batchesJson = perBatch
+      .map { case (id, in, st) => s"""{"batch":$id,"input_rows":$in,"state_rows":$st}""" }
+      .mkString("[", ",", "]")
+    val maxState = if (perBatch.isEmpty) -1L else perBatch.map(_._3).max
+
+    println(s"""{"metric":"cnj_stream_bench","stream_sec":${fmt(streamSec)},"batch_sec":${fmt(batchSec)},"parity":$parity,"files_per_trigger":$filesPerTrigger,"n_batches":${perBatch.size},"max_state_rows":$maxState,"result_rows":${got.length},"batches":$batchesJson,"loadavg_1m":${fmt(l1)},"loadavg_5m":${fmt(l5)}}""")
+    spark.stop()
+    if (!parity) sys.exit(1)
+  }
+}

@@ -120,25 +120,15 @@ object GenScaledCorpus {
     if (n == 0) v else v.map(_ / n)
   }
 
-  def main(args: Array[String]): Unit = {
-    val scale = args(0).toInt
-    val outDir = args(1)
-    val seed = if (args.length > 2) args(2).toLong else 42L
-    require(scale >= 1, "scale must be >= 1")
-    val spark = GraftSession.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** The documents table at `scale`, as a (lazy, in-memory-generated)
+    * DataFrame — exposed so scale specs can run against gen-model data
+    * without a /tmp fixture dependency. */
+  def documentsDf(spark: SparkSession, scale: Int, seed: Long = 42L)
+      : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-
-    val nDocs = DocsPerScale * scale
-    val nVecs = VecsPerScale * scale
     val vocab = 4000 * scale
-    val nLabels = 10 * scale
     val langs = Array("en", "zh", "es", "fr", "de")
-    // multi-file layout: scans must parallelize (a single-file table
-    // hands compute-heavy chains one task — SCALE.md §9 rule)
-    val nPart = math.max(8, 4 * scale)
-
-    spark.range(nDocs).repartition(nPart)
+    spark.range(DocsPerScale * scale).repartition(nPart(scale))
       .map { id =>
         val rng = new Random(mix(seed + 3, id))
         val text = docText(seed, id, vocab)
@@ -146,17 +136,49 @@ object GenScaledCorpus {
         (id, text, lang, s"src${rng.nextInt(20)}", text.length.toLong)
       }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
 
-    spark.range(nVecs).repartition(nPart)
+  /** The embeddings table at `scale` (see [[documentsDf]]). */
+  def embeddingsDf(spark: SparkSession, scale: Int, seed: Long = 42L)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val nLabels = 10 * scale
+    spark.range(VecsPerScale * scale).repartition(nPart(scale))
       .map { id =>
         val rng = new Random(mix(seed + 5, id))
         (id, vec(seed, id).toSeq, rng.nextInt(nLabels))
       }
       .toDF("vec_id", "embedding", "label")
+  }
+
+  // multi-file layout: scans must parallelize (a single-file table
+  // hands compute-heavy chains one task — SCALE.md §9 rule)
+  private def nPart(scale: Int): Int = math.max(8, 4 * scale)
+
+  def main(args: Array[String]): Unit = {
+    val scale = args(0).toInt
+    val outDir = args(1)
+    val seed = if (args.length > 2) args(2).toLong else 42L
+    require(scale >= 1, "scale must be >= 1")
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nDocs = DocsPerScale * scale
+    val nVecs = VecsPerScale * scale
+    val vocab = 4000 * scale
+    val nLabels = 10 * scale
+
+    documentsDf(spark, scale, seed)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    embeddingsDf(spark, scale, seed)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     Tables.invalidate(outDir)
+    // a corpus rewritten in place invalidates any persisted IVF model for
+    // it — belt to the fingerprint-revalidation braces in
+    // IvfModelStore.ensure (a same-cardinality regeneration with another
+    // seed would otherwise rely on the content check alone)
+    operators.IvfModelStore.invalidate(spark, outDir)
     println(s"""{"metric":"gen_scaled_corpus","scale":$scale,"docs":$nDocs,"vecs":$nVecs,"vocab":$vocab,"labels":$nLabels,"out":"$outDir"}""")
     spark.stop()
   }

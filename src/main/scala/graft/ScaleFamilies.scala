@@ -46,17 +46,16 @@ object ScaleFamilies {
     val scale = math.max(1,
       math.round(Tables.embeddings(spark, dir).count() / 2000.0).toInt)
 
-    // the 100 TB operating point, both knobs set as the scaladoc
-    // prescribes: cell count grows with the corpus (constant cell SIZE
-    // bounds the in-cell quadratic step), and the threshold sits deep in
-    // the organic cosine tail (at dim 64 random-pair cosine is
-    // ~N(0, 1/64); 0.4 is only 3.2 sigma, whose quadratic noise floor
-    // swamps true near-dups at scale — 0.65 is 5.2 sigma, past which
-    // qualifying mass is the planted near-dup rate, i.e. linear)
+    // the full 100 TB operating point: since r9 the registered
+    // dedup_semantic already derives its cell count from the corpus
+    // (Similarity.scaledCellCount), so this row's remaining contrast is
+    // the THRESHOLD — 0.65 (5.2 sigma at dim 64) sits past the organic
+    // cosine tail, so qualifying mass tracks the planted near-dup rate
+    // (linear), where the registered 0.4 (3.2 sigma) also carries the
+    // organic noise floor. semanticDupPairs re-derives the scaled cell
+    // count internally.
     def scaledCells(d: String) =
-      Similarity.semanticDupPairsWith(Tables.embeddings(spark, d),
-        Similarity.ivfCentroids(Tables.embeddings(spark, d), Similarity.Dim,
-          c = 16 * scale, iters = 2, seed = Similarity.Seed),
+      Similarity.semanticDupPairs(Tables.embeddings(spark, d),
         threshold = 0.65)
 
     val extra: Seq[(String, String => org.apache.spark.sql.DataFrame)] =
@@ -69,10 +68,15 @@ object ScaleFamilies {
     val all: Seq[(String, String => org.apache.spark.sql.DataFrame)] =
       Families.map(n => n -> ((d: String) => SparkEntry.queries(n)(spark, d))) ++ extra
 
-    // JIT/codegen warm-up at the small committed fixture
-    all.foreach { case (_, fn) =>
+    // JIT/codegen warm-up at the small committed fixture — failures are
+    // LOGGED, not swallowed: a family that never warmed up carries
+    // JIT/codegen compilation inside its timed row
+    all.foreach { case (name, fn) =>
       try fn("/root/testdata/sf0.01").write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"WARNING: warm-up for $name failed at sf0.01 " +
+          s"(${e.getMessage}); its timed row may include JIT/codegen warm-up")
+      }
     }
     // landing prep, as in Bench: the pretrained probe's first-ever
     // invocation on a corpus trains + persists the model — a once-per-
@@ -87,13 +91,28 @@ object ScaleFamilies {
 
     val (l1, l5) = Loadavg.read()
     val results = all.map { case (name, fn) =>
+      // qualifying-pair counts come from the SAME execution the timer
+      // measures (an Observation/CollectMetrics row count piggybacked on
+      // the noop write) — a separate post-hoc count() would re-run the
+      // whole query (doubling wall for k-means families) and would rely
+      // on training determinism for the count to describe the timed run
+      val wantRows = CountRows(name)
+      val obs = org.apache.spark.sql.Observation(s"rows_$name")
       val t0 = System.nanoTime()
       val ok =
-        try { fn(dir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
+        try {
+          val df = fn(dir)
+          val timed = if (wantRows)
+            df.observe(obs, org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("rows"))
+          else df
+          timed.write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
           System.err.println(s"$name failed: ${e.getMessage}"); false }
       val sec = (System.nanoTime() - t0) / 1e9
-      val rows = if (ok && CountRows(name)) fn(dir).count() else -1L
+      val rows = if (ok && wantRows)
+        obs.get.apply("rows").asInstanceOf[Long] else -1L
       (name, sec, rows, ok)
     }
     def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

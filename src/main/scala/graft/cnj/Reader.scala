@@ -246,12 +246,15 @@ object Reader {
     * snapshotted at stream start: rows from files not present then are
     * dropped, exactly like a headerless file in batch (re-plan to admit
     * new schemas — header discovery is driver-side I/O, not state). */
-  def readDirStream(spark: SparkSession, dir: String): DataFrame = {
+  def readDirStream(spark: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val files = Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.isFile && f.getName.endsWith(".csv"))
       .map(_.getPath).sorted
     val specs = files.flatMap(p => fileSpec(p).map(normalizePath(p) -> _)).toMap
     require(specs.nonEmpty, s"no readable CNJ csv files under $dir")
-    parsedFrom(spark, spark.readStream.text(s"$dir/*.csv"), specs)
+    // options pass through to the file source (e.g. maxFilesPerTrigger
+    // to bound per-microbatch work — the incremental-ingest knob)
+    parsedFrom(spark, spark.readStream.options(options).text(s"$dir/*.csv"), specs)
   }
 }

@@ -27,12 +27,15 @@ object Compute {
     Aggregate, Deduplicate, Join, LogicalPlan, RepartitionOperation, Sort, Window}
 
   /** First shuffle-inducing operator in the analyzed plan, if any. Sort
-    * included: a global orderBy range-partitions (an exchange) even
-    * though it is not a "shuffle key" op. */
+    * included only when GLOBAL: a global orderBy range-partitions (an
+    * exchange) even though it is not a "shuffle key" op, but
+    * sortWithinPartitions emits Sort(global = false) — a narrow,
+    * exchange-free operator that must not trip the guard. */
   private def firstExchangeOp(p: LogicalPlan): Option[String] = {
     p.collectFirst {
+      case s: Sort if s.global => s.nodeName
       case n @ (_: Aggregate | _: Join | _: RepartitionOperation |
-                _: Window | _: Sort | _: Deduplicate) => n.nodeName
+                _: Window | _: Deduplicate) => n.nodeName
     }
   }
 

@@ -456,4 +456,27 @@ object Dedup {
         expr("percentile_approx(df, 0.5)").as("p50_df"),
         count(lit(1)).as("n_grams"),
         (sum(col("df") * col("df")) / 2).cast(LongType).as("fanout_uncut"))
+
+  /** Pair-mass profile of a blocked pair enumeration — [[gramDfStats]]
+    * generalized from the inverted-index fan-out to ANY blocking key.
+    * Groups `df` by `key` and returns one row: the exact number of
+    * unordered within-group pairs a group-equi-join would enumerate
+    * (`pair_mass` = sum over groups of sz*(sz-1)/2), the row count, the
+    * group count, and the max / p99 group size. One aggregation pass.
+    *
+    * This is the PREFLIGHT for every quadratic verify stage: pair mass is
+    * the compute a blocked join pays before any threshold filters, so an
+    * operator with a per-row compute contract checks
+    * `pair_mass <= rows x budget` and refuses (with these stats in the
+    * message) instead of launching a job that is quadratic-over-budget —
+    * the same fail-fast discipline as [[ngramJaccardPairs]]'s maxDf
+    * contract, but on the group-size distribution rather than gram df. */
+  def pairMassStats(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key.as("__k")).agg(count(lit(1)).as("sz"))
+      .agg(
+        sum(expr("sz * (sz - 1) / 2")).cast(LongType).as("pair_mass"),
+        sum(col("sz")).cast(LongType).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        max(col("sz")).cast(LongType).as("max_group"),
+        expr("percentile_approx(sz, 0.99)").cast(LongType).as("p99_group"))
 }

@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   * [[Similarity.assignCluster]] broadcasts — so a probe against a loaded
   * model is bit-identical to a probe against the freshly trained model
   * (float round-trips exactly through parquet FLOAT; float->double casts
-  * are exact). Each row also carries the training parameters and the
-  * corpus row count; [[ensure]] revalidates them and retrains on any
-  * mismatch. A corpus rewritten in place at identical cardinality is NOT
-  * detected (documented contract: delete the model path when rewriting a
-  * corpus in place) — and even then the harness oracle stays truthful,
-  * because the query pins whatever model it actually probed with.
+  * are exact). Each row also carries the training parameters, the corpus
+  * row count, AND a content fingerprint of the corpus (order-independent
+  * XOR-fold of per-row xxhash64(vec_id, embedding)); [[ensure]] revalidates
+  * all of them and retrains on any mismatch — so a corpus rewritten in
+  * place at identical cardinality (e.g. regenerated with another seed)
+  * is detected by content, not trusted by count. The fingerprint pass is
+  * one column-pruned scan — cheap next to the multi-pass training it
+  * guards; on a catalog-backed 100 TB table a snapshot/commit id would
+  * replace it.
   */
 object IvfModelStore {
 
@@ -30,58 +33,92 @@ object IvfModelStore {
     * distinct fixtures never share a model. Local-FS /tmp here; on a real
     * cluster this would be a path beside the corpus (any Hadoop FS URI
     * works — existence/IO go through the Hadoop FileSystem API). */
-  def defaultPath(dir: String, c: Int = 16): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
+  def defaultPath(dir: String, c: Int = 16): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_models/ivf_${dirKey(dir)}_c$c.parquet"
+
+  private def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_models/ivf_${h}_c$c.parquet"
+
+  /** Delete every persisted model for `dir` (any cell count). Corpus
+    * generators call this after rewriting a corpus in place, so even a
+    * consumer that skips fingerprint validation can't probe stale
+    * centroids. */
+  def invalidate(spark: SparkSession, dir: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(
+      s"${System.getProperty("java.io.tmpdir")}/graft_models")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base))
+      fs.globStatus(new org.apache.hadoop.fs.Path(base, s"ivf_${dirKey(dir)}_c*.parquet"))
+        .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Order-independent corpus content fingerprint: XOR-fold of
+    * xxhash64(vec_id, embedding) over the table (bit_xor — commutative
+    * and overflow-free under ANSI, unlike a long SUM). Layout and
+    * partitioning invariant; each row's hash covers its id AND content,
+    * so a changed row flips the fold with probability 1 - 2^-64, and
+    * identical-row cancellation can't occur because vec_id is unique.
+    * One column-pruned scan. */
+  def fingerprint(embeddings: DataFrame): Long = {
+    val r = embeddings
+      .agg(expr("bit_xor(xxhash64(vec_id, embedding))")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** Persist a trained model (double centroids are float-cast on write —
     * the cast [[Similarity.ivfTopKWith]] applies anyway). Overwrites. */
   def save(spark: SparkSession, cents: Array[Array[Double]], path: String,
-      nVectors: Long, dim: Int, iters: Int, seed: Long): Unit = {
+      nVectors: Long, dim: Int, iters: Int, seed: Long, fp: Long): Unit = {
     import spark.implicits._
     val rows = cents.zipWithIndex.map { case (ct, i) =>
-      (i, ct.map(_.toFloat).toSeq, nVectors, dim, iters, seed)
+      (i, ct.map(_.toFloat).toSeq, nVectors, dim, iters, seed, fp)
     }.toSeq
-    rows.toDF("cluster_id", "centroid", "n_vectors", "dim", "iters", "seed")
+    rows.toDF("cluster_id", "centroid", "n_vectors", "dim", "iters", "seed", "fp")
       .coalesce(1) // c x dim floats — one footer, not one file per task
       .write.mode("overwrite").parquet(path)
   }
 
   /** Load a saved model: (float-exact centroids ordered by cluster_id,
-    * n_vectors, dim, iters, seed). None when no model exists at `path`. */
+    * n_vectors, dim, iters, seed, fp). None when no model exists at
+    * `path` — or when it predates the fingerprint column (pre-r9
+    * schema): a model whose provenance can't be revalidated is stale by
+    * definition. */
   def load(spark: SparkSession, path: String)
-      : Option[(Array[Array[Double]], Long, Int, Int, Long)] = {
+      : Option[(Array[Array[Double]], Long, Int, Int, Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
-    val rows = spark.read.parquet(path)
-      .orderBy(col("cluster_id")).collect()
+    val df = spark.read.parquet(path)
+    if (!df.columns.contains("fp")) return None
+    val rows = df.orderBy(col("cluster_id")).collect()
     if (rows.isEmpty) return None
     val cents = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
     val r0 = rows.head
-    Some((cents, r0.getLong(2), r0.getInt(3), r0.getInt(4), r0.getLong(5)))
+    Some((cents, r0.getLong(2), r0.getInt(3), r0.getInt(4), r0.getLong(5),
+      r0.getLong(6)))
   }
 
   /** The landing-time contract in one call: load the model at `path` if it
-    * exists and its recorded (n_vectors, dim, c, iters, seed) still match
-    * the corpus + parameters; otherwise train, persist, and return the
-    * fresh model. Either way the returned centroids are float-stable —
-    * probing with them is bit-identical across the train/load boundary. */
+    * exists and its recorded (n_vectors, dim, c, iters, seed, content
+    * fingerprint) still match the corpus + parameters; otherwise train,
+    * persist, and return the fresh model. Either way the returned
+    * centroids are float-stable — probing with them is bit-identical
+    * across the train/load boundary. */
   def ensure(spark: SparkSession, embeddings: DataFrame, path: String,
       dim: Int, c: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     // parquet count-star resolves from footer row counts — metadata, not
-    // a data scan; this is the cheap staleness probe
+    // a data scan; the fingerprint is the (one-scan) content check
     lazy val n = embeddings.count()
+    lazy val fp = fingerprint(embeddings)
     load(spark, path) match {
-      case Some((cents, sn, sdim, siters, sseed))
+      case Some((cents, sn, sdim, siters, sseed, sfp))
           if cents.length == c && sn == n && sdim == dim &&
-            siters == iters && sseed == seed =>
+            siters == iters && sseed == seed && sfp == fp =>
         cents
       case _ =>
         val fresh = Similarity.ivfCentroids(embeddings, dim, c, iters, seed)
-        save(spark, fresh, path, n, dim, iters, seed)
+        save(spark, fresh, path, n, dim, iters, seed, fp)
         // return the float-cast view so first-call probes match every
         // later load bit-for-bit
         fresh.map(_.map(_.toFloat.toDouble))

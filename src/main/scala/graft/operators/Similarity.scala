@@ -23,6 +23,23 @@ object Similarity {
   val NPlanes = 16
   val Seed = 7L
 
+  /** Target k-means cell size for [[semanticDupPairs]]: cells bound the
+    * quadratic step only if cell SIZE is held constant as the corpus
+    * grows, i.e. cell COUNT must scale with the corpus. 128 keeps the
+    * in-cell pair mass at ~64 pairs/row — linear total work — while
+    * cells stay large enough for k-means to be meaningful. */
+  val TargetCellSize = 128
+
+  /** Corpus-derived cell count: c = max(16, ceil(n / targetCellSize)).
+    * The floor keeps tiny corpora at the historical c = 16 (fixture
+    * results unchanged); past ~2k vectors the count grows with the
+    * corpus so in-cell enumeration stays Θ(n x cellSize), never
+    * Θ(n²/c). Measured on the non-replicated gen corpus: fixed c = 16
+    * costs 57x wall for the 10x->100x decade (227 s, 1.9M noise rows);
+    * scaled cells hold ~2-4x per decade (SCALE.md §9). */
+  def scaledCellCount(n: Long, targetCellSize: Int = TargetCellSize): Int =
+    math.max(16L, (n + targetCellSize - 1) / targetCellSize).toInt
+
   /** Exact cosine top-k of `queryVecId`'s embedding against the corpus. */
   def bruteForceTopK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryVecId)
@@ -206,23 +223,63 @@ object Similarity {
     * state. Recall is bounded by cell purity: pairs straddling a cell
     * boundary are missed, which SemDeDup accepts by design (and
     * SimilaritySpec floors empirically against the exact tiled pairs).
-    */
+    *
+    * The cell count is DERIVED FROM THE CORPUS ([[scaledCellCount]]):
+    * constant cell size is what makes the in-cell quadratic step linear
+    * in n, so a caller-fixed c would be a scale bug by default — fix the
+    * cell SIZE instead via `targetCellSize`. Threshold guidance: at
+    * dimension d a random pair's cosine is ~N(0, 1/d), so `threshold`
+    * should sit >= ~5 sigma (>= 5/sqrt(d); 0.65 at d = 64) for the
+    * output to track true near-dups — a 3-sigma threshold rides a
+    * quadratic organic noise floor. [[semanticDupPairsWith]] warns on a
+    * sub-5-sigma threshold and its pair-mass preflight refuses the
+    * pathological cases outright. */
   def semanticDupPairs(embeddings: DataFrame, threshold: Double,
-      dim: Int = Dim, nCentroids: Int = 16, iters: Int = 2,
-      seed: Long = Seed): DataFrame =
+      dim: Int = Dim, iters: Int = 2, seed: Long = Seed,
+      targetCellSize: Int = TargetCellSize): DataFrame = {
+    // parquet count-star is footer metadata, not a data scan
+    val c = scaledCellCount(embeddings.count(), targetCellSize)
     semanticDupPairsWith(embeddings,
-      ivfCentroids(embeddings, dim, nCentroids, iters, seed), threshold)
+      ivfCentroids(embeddings, dim, c, iters, seed), threshold)
+  }
 
   /** [[semanticDupPairs]] against a pre-trained centroid model (see
-    * [[ivfTopKWith]] for the cross-engine reproducibility contract). */
+    * [[ivfTopKWith]] for the cross-engine reproducibility contract).
+    *
+    * Preflight ([[Dedup.pairMassStats]] over the cell assignment): the
+    * within-cell join enumerates `pair_mass` pairs before any threshold
+    * filter, so predicted mass above `maxPairsPerRow` x rows — an
+    * undersized model for the corpus (the fixed-c=16 trap: n²/2c pairs)
+    * or a degenerate model collapsing everything into one cell — fails
+    * fast with the cell-size profile instead of launching the quadratic
+    * job. A per-ROW budget, not a total: legitimate constant-cell-size
+    * work grows linearly and must pass at any corpus size. */
   def semanticDupPairsWith(embeddings: DataFrame, cents: Array[Array[Double]],
-      threshold: Double): DataFrame = {
+      threshold: Double, maxPairsPerRow: Long = 16L * TargetCellSize): DataFrame = {
+    val dim = if (cents.isEmpty) 0 else cents(0).length
+    if (dim > 0 && threshold < 5.0 / math.sqrt(dim.toDouble))
+      System.err.println(f"WARNING: semanticDupPairs threshold $threshold%.2f is " +
+        f"${threshold * math.sqrt(dim.toDouble)}%.1f sigma at dim $dim (random-pair " +
+        "cosine ~N(0,1/dim)); below ~5 sigma the output includes a quadratic " +
+        "organic-pair noise floor, not just true near-dups")
     // checkpoint: the C dot-products-per-row assignment feeds both join
     // sides; without it the argmax scan runs twice
     val assigned = embeddings
       .withColumn("cluster", assignCluster(col("embedding"), cents))
       .select(col("cluster"), col("vec_id"), col("embedding"))
       .localCheckpoint()
+    val pm = Dedup.pairMassStats(assigned, col("cluster")).head()
+    if (!pm.isNullAt(0)) {
+      val (mass, nRows) = (pm.getLong(0), pm.getLong(1))
+      require(mass <= maxPairsPerRow * nRows,
+        s"semanticDupPairs preflight: predicted in-cell pair mass $mass over " +
+          s"$nRows rows exceeds the $maxPairsPerRow pairs/row budget " +
+          s"(cells=${pm.getLong(2)}, max cell=${pm.getLong(3)}, " +
+          s"p99 cell=${pm.getLong(4)}). The model has too few (or too " +
+          "skewed) cells for this corpus: derive it at constant cell size " +
+          "(scaledCellCount) or raise maxPairsPerRow to consciously accept " +
+          "the quadratic cost.")
+    }
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("embedding").as("e_a"))
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
@@ -316,10 +373,29 @@ object Similarity {
     * signature cut with near-1 recall also passes nearly all random
     * pairs (measured on this corpus: qualifying pairs sit at cos
     * 0.40-0.43). Hashing helps only in the genuine near-dup regime
-    * (cos >= ~0.8) — that path is [[bandedNearDupPairs]]. */
+    * (cos >= ~0.8) — that path is [[bandedNearDupPairs]].
+    *
+    * Preflight: the op is Θ(n²) BY PROBLEM STATEMENT, so the guard is an
+    * absolute pair-mass budget, not a per-row one — n(n-1)/2 (via
+    * [[Dedup.pairMassStats]], all rows one group: exact-by-construction
+    * pair enumeration has no data-dependent blocking to profile) must
+    * stay within `maxPairMass` or the call fails fast naming the scale
+    * paths. The default admits ~300k vectors (~4.5e10 dots x dim);
+    * raising it is the caller's explicit consent to the quadratic cost. */
   def tiledNearDupPairs(embeddings: DataFrame, threshold: Double,
-      blocks: Int = 16): DataFrame = {
+      blocks: Int = 16, maxPairMass: Long = 45_000_000_000L): DataFrame = {
     require(blocks >= 1, s"blocks must be >= 1, got $blocks")
+    val pm = Dedup.pairMassStats(embeddings, lit(0)).head()
+    if (!pm.isNullAt(0)) {
+      val (mass, nRows) = (pm.getLong(0), pm.getLong(1))
+      require(mass <= maxPairMass,
+        s"tiledNearDupPairs preflight: exact all-pairs enumeration over " +
+          s"$nRows vectors is $mass pairs, over the $maxPairMass budget. " +
+          "This op is quadratic by problem statement; at this scale use " +
+          "semanticDupPairs (cluster-blocked) or bandedNearDupPairs " +
+          "(high-cosine LSH), or raise maxPairMass to consciously accept " +
+          "the cost.")
+    }
     // compute-budget partitioning (SCALE.md §9): the tile fan-out and
     // norm computation are per-row compute on both map sides; a
     // small-file corpus would run each in ONE task (measured 2x ~550 ms
@@ -436,9 +512,11 @@ object Similarity {
   }
 
   /** Exact near-duplicate pairs by cosine threshold over the first
-    * `maxVectors` vectors (honest cap for the O(n^2) baseline — kept as
-    * the oracle anchor; [[tiledNearDupPairs]] is the uncapped scale
-    * path). */
+    * `maxVectors` vectors (honest cap for the O(n^2) baseline). TEST
+    * ANCHOR ONLY: deliberately naive (capped BroadcastNestedLoopJoin) so
+    * SimilaritySpec can assert [[tiledNearDupPairs]] reproduces it
+    * byte-for-byte — not registered in the harness, never on a scale or
+    * bench path. [[tiledNearDupPairs]] is the uncapped scale path. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double, maxVectors: Long): DataFrame = {
     // norms are computed once per vector, not once per pair — the pair
     // loop then costs a single dot product (same double arithmetic as

@@ -63,6 +63,44 @@ class MisraGriesSpec extends SparkTestBase {
     assert(latest === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("gen10x saturation: the eps*N bound and heavy-hitter guarantee " +
+    "hold when distinct items exceed capacity ~1000-fold") {
+    // the non-replicated gen-model corpus at scale 10 (50k docs,
+    // ~2.7M tokens), generated in-memory — no /tmp fixture dependency.
+    // ~60% of tokens are doc-local uniques, so the distinct-item count
+    // (~1.7M) saturates any practical capacity: this is the ABOVE-
+    // capacity regime the fixture-scale bound test cannot reach, where
+    // the sketch spends its whole life decrementing.
+    val capacity = 1024
+    val toks = graft.GenScaledCorpus.documentsDf(spark, scale = 10)
+      .select(explode(TextFunctions.tokens(col("text"))).as("item"))
+      .localCheckpoint() // truth and sketch must see the SAME stream
+    val n = toks.count()
+    val distinct = toks.distinct().count()
+    assert(distinct > capacity * 100L,
+      s"corpus must saturate the sketch: $distinct distinct vs capacity $capacity")
+    val got = summarize(toks, capacity)
+    assert(got.size <= capacity)
+    val bound = n / capacity // eps*N with eps = 1/capacity (>= 1/(k+1))
+    // exact truth for the reported items plus every true heavy hitter
+    val truth = toks.groupBy(col("item")).count()
+      .filter(col("count") > bound || col("item").isin(got.keys.toSeq: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // (1) every estimate is an undercount by at most eps*N
+    got.foreach { case (item, est) =>
+      val t = truth(item)
+      assert(est <= t, s"$item overcounted: $est > $t")
+      assert(est >= t - bound, s"$item undercounted past eps*N: $est < $t - $bound")
+    }
+    // (2) every item with true count > eps*N survives the sketch
+    val mustSurvive = truth.filter(_._2 > bound).keySet
+    assert(mustSurvive.nonEmpty, "gen corpus must have true heavy hitters")
+    val missed = mustSurvive -- got.keySet
+    assert(missed.isEmpty, s"true heavy hitters lost above capacity: $missed")
+    info(s"n=$n distinct=$distinct capacity=$capacity bound=$bound " +
+      s"hitters=${mustSurvive.size} reported=${got.size}")
+  }
+
   test("sketch top-10 equals the exact top-10 on the documents corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(explode(TextFunctions.tokens(col("text"))).as("item"))

@@ -50,4 +50,11 @@ class ComputeSpec extends SparkTestBase {
       .withColumn("y", $"x" * 2).filter($"y" > 2).select($"x", $"y")
     assert(Compute.toComputeBudget(df).count() == 9)
   }
+
+  test("sortWithinPartitions (non-global Sort) stays accepted — only a " +
+    "global orderBy is an exchange") {
+    import spark.implicits._
+    val df = (1 to 10).toDF("x").sortWithinPartitions($"x")
+    assert(Compute.toComputeBudget(df).count() == 10)
+  }
 }

@@ -165,6 +165,37 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("scaledCellCount floors at the historical c=16 and grows with the " +
+    "corpus at constant cell size") {
+    assert(Similarity.scaledCellCount(0L) === 16)
+    assert(Similarity.scaledCellCount(2000L) === 16) // committed fixtures unchanged
+    assert(Similarity.scaledCellCount(2049L) === 17)
+    assert(Similarity.scaledCellCount(200000L) === 1563)
+  }
+
+  test("semantic dedup preflight refuses a model whose cells put the " +
+    "pair mass over the per-row budget") {
+    // a single-centroid model collapses the corpus into ONE cell — the
+    // within-cell join would enumerate n(n-1)/2 pairs; the preflight must
+    // fail fast with the cell profile, not launch the quadratic job
+    val oneCell = Array(Array.fill(Similarity.Dim)(0.1))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDupPairsWith(emb, oneCell, threshold = 0.4,
+        maxPairsPerRow = 100L)
+    }
+    assert(e.getMessage.contains("preflight"), e.getMessage)
+    assert(e.getMessage.contains("max cell"), e.getMessage)
+  }
+
+  test("tiled near-dup preflight refuses an over-budget exact enumeration " +
+    "and names the scale paths") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.tiledNearDupPairs(emb, threshold = 0.4, maxPairMass = 1000L)
+    }
+    assert(e.getMessage.contains("quadratic by problem statement"), e.getMessage)
+    assert(e.getMessage.contains("semanticDupPairs"), e.getMessage)
+  }
+
   test("banded sign-LSH near-dup recovers planted high-cosine duplicates " +
     "and is a subset of the exact pairs") {
     import spark.implicits._
