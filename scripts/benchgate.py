@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate: judge a fresh Bench run against the
+latest COMMITTED steady-state capture (BENCH_STEADY_r*.json in git HEAD).
+
+Usage: python3 scripts/benchgate.py [bench_full_json]
+       (default: BENCH_FULL.json in the repo root — every Bench
+        invocation writes the complete per-query map there)
+
+Complements scripts/benchsmoke.py: smoke times 5 historically expensive
+queries at a 2x tripwire BEFORE a run exists; this gate audits EVERY
+query of a run that already happened at a tighter 1.5x budget, so a
+uniform or long-tail regression is caught by the builder in-round, not
+by the judge's artifact diff next round.
+
+Loadavg discipline: the gate judges the RECORDED load averages in the
+bench artifact (both 1m and 5m — post-write I/O writeback inflates runs
+while the 1m figure already reads ~0) and refuses to conclude anything
+from a noisy run. Budgets refresh themselves: commit a new
+BENCH_STEADY_r{N}.json each round and the next round gates against it.
+
+Exit codes: 0 pass, 1 regression/crash, 2 not judgeable (no baseline /
+noisy run / missing artifact).
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUDGET = 1.5      # fail above budget x steady time
+MAX_LOAD = 2.0    # refuse to judge a run recorded under higher load
+MIN_SEC = 0.25    # absolute floor: sub-250ms queries are timer noise
+                  # (+/-15% run-to-run swings dwarf 1.5x at that scale),
+                  # so tiny queries only fail via the floor+ratio combo
+
+
+def committed_steady():
+    """Latest BENCH_STEADY_r*.json from git HEAD — the working tree's own
+    (possibly regressed) capture must never become its baseline."""
+    ls = subprocess.run(["git", "ls-tree", "--name-only", "HEAD"],
+                        cwd=REPO, capture_output=True, text=True)
+    best = None
+    for name in ls.stdout.splitlines():
+        m = re.fullmatch(r"BENCH_STEADY_r(\d+)\.json", name)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), name)
+    if best is None:
+        return None, None
+    show = subprocess.run(["git", "show", f"HEAD:{best[1]}"],
+                          cwd=REPO, capture_output=True, text=True)
+    try:
+        return best[0], json.loads(show.stdout)
+    except ValueError:
+        return best[0], None
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH_FULL.json")
+    if not os.path.exists(path):
+        print(f"benchgate: no bench artifact at {path} (run graft.Bench first)")
+        return 2
+    with open(path) as f:
+        run = json.load(f)
+    l1, l5 = run.get("loadavg_1m", -1), run.get("loadavg_5m", -1)
+    if l1 > MAX_LOAD or l5 > MAX_LOAD:
+        print(f"benchgate: run recorded at loadavg {l1:.2f}/{l5:.2f} "
+              f"(1m/5m) > {MAX_LOAD} — timings inflate 2-3x under load; "
+              "rerun Bench on a quiet box")
+        return 2
+
+    steady_round, steady = committed_steady()
+    if not steady:
+        print("benchgate: no committed BENCH_STEADY_r*.json baseline")
+        return 2
+    budgets = steady.get("queries", {})
+
+    now = run.get("queries", {})
+    failed = set(run.get("failed", []))
+    rc = 0
+    worst = []
+    new = []
+    print(f"benchgate vs BENCH_STEADY_r{steady_round:02d} "
+          f"(fail >{BUDGET}x and >{MIN_SEC}s) — run loadavg {l1:.2f}/{l5:.2f}")
+    for q in sorted(now):
+        v = now[q]
+        if q in failed or not isinstance(v, (int, float)):
+            print(f"  FAIL  {q}: query crashed")
+            rc = 1
+            continue
+        b = budgets.get(q)
+        if not isinstance(b, (int, float)) or b <= 0:
+            new.append(q)
+            continue
+        ratio = v / b
+        if ratio > BUDGET and v > MIN_SEC:
+            print(f"  FAIL  {q}: {v:6.2f}s vs steady {b:.2f}s ({ratio:.2f}x)")
+            rc = 1
+        else:
+            worst.append((ratio, q, v, b))
+    gone = sorted(set(budgets) - set(now))
+    worst.sort(reverse=True)
+    for ratio, q, v, b in worst[:5]:
+        print(f"  ok    {q}: {v:6.2f}s vs steady {b:.2f}s ({ratio:.2f}x)")
+    if len(worst) > 5:
+        print(f"  ok    ... and {len(worst) - 5} more within budget")
+    if new:
+        print(f"  note  no steady budget yet (new queries): {', '.join(new)}")
+    if gone:
+        print(f"  note  in steady but not in this run "
+              f"(retired or SPARK_GRAFT_ONLY subset): {', '.join(gone)}")
+    print(f"benchgate: {'FAIL' if rc else 'PASS'} "
+          f"({len(worst)} within budget, {len(new)} unbudgeted)")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

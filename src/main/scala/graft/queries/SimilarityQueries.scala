@@ -507,9 +507,38 @@ object SimilarityQueries {
       |ORDER BY q_id, rank""".stripMargin
   }
 
-  private def dedupSemanticSql(dir: Option[String]): Option[String] = centsValues("dedup_semantic", dir).map { cv =>
-    s"""WITH cents AS (SELECT * FROM $cv),
-      |$assignedSql,
+  /** The pinned model as one `[[..],..]::DOUBLE[][]` literal (ordered by
+    * cluster_id) — the row-explosion-free argmax shape below needs the
+    * whole model in a single lambda. */
+  private def centsListLit(name: String, dir: Option[String]): Option[String] =
+    Option(pinnedCents.get(name)).flatMap { byDir =>
+      dir match {
+        case Some(d) => byDir.get(d)
+        case None    => if (byDir.size == 1) Some(byDir.head._2) else None
+      }
+    }.map { cs =>
+      cs.map(c => c.map(dlit).mkString("[", ", ", "]"))
+        .mkString("[", ",\n    ", "]::DOUBLE[][]")
+    }
+
+  // dedup_semantic's cell count SCALES with the corpus (c = n/128), so
+  // its assignment oracle cannot be the row-per-(vec, centroid) window
+  // shape the c=16 IVF oracles use: FROM embeddings e, cents c
+  // materializes n x c rows each carrying the 64-double vector (~160 GB
+  // at 200k x 1563) and exhausts DuckDB. The lambda form — dots =
+  // list_transform(model, cv -> dot(v, cv)), cluster =
+  // list_position(dots, list_max(dots)) — is one row per vector, same
+  // argmax semantics (first maximum = lowest cluster id, like
+  // row_number's (d DESC, cluster_id)), measured 11x faster at c=157
+  // and byte-identical output.
+  private def dedupSemanticSql(dir: Option[String]): Option[String] = centsListLit("dedup_semantic", dir).map { cv =>
+    s"""WITH assigned AS (
+      |  SELECT vec_id, CAST(list_position(dots, list_max(dots)) - 1 AS INTEGER) AS cluster_id, v
+      |  FROM (
+      |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |      list_transform($cv,
+      |        cv -> list_dot_product(CAST(embedding AS DOUBLE[]), cv)) AS dots
+      |    FROM embeddings)),
       |pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |    list_dot_product(a.v, b.v) /
