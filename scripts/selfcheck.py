@@ -7,7 +7,9 @@ oracle_sql.json in DuckDB against the same sf tables and compares
 (rows, schema-ish, values). Uses driver-side-only tools (duckdb/pandas)
 — this script is not part of the shipped library.
 
-Usage: python3 scripts/selfcheck.py <sfDir> <outDir>
+Usage: python3 scripts/selfcheck.py <sfDir> <outDir> [--json artifact.json]
+       --json writes the per-query statuses in the CORRECTNESS_GEN*_r{N}
+       artifact shape ({"queries": {...}, "sf_dir": ..., "summary": ...}).
 """
 import glob
 import json
@@ -121,7 +123,7 @@ def run_oracle(con, sql: str):
             con.execute(f"DROP TABLE IF EXISTS {t}")
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, json_out=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -135,6 +137,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         oracles = json.load(f)
 
     n_pass = n_fail = n_noora = 0
+    results = {}
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         if not os.path.isdir(qdir):
             continue
@@ -148,15 +151,18 @@ def main(sf_dir: str, out_dir: str) -> int:
                 status = "ROWS_ONLY" if len(got) > 0 else "ROWS_ONLY_EMPTY"
                 print(f"[{status:>10}] {name}: rows={len(got)}")
                 n_noora += 1
+                results[name] = {"rows": len(got), "status": "rows_only"}
             except Exception as err:
                 print(f"[      FAIL] {name}: rows-only result not driver-hashable: {err}")
                 n_fail += 1
+                results[name] = {"rows": len(got), "status": "fail"}
             continue
         try:
             exp = run_oracle(con, oracles[name])
         except Exception as e:
             print(f"[ ORA_ERROR] {name}: {e}")
             n_fail += 1
+            results[name] = {"rows": len(got), "status": "ora_error"}
             continue
         g, e = norm(got), norm(exp)
         ok_cols = list(g.columns) == list(e.columns)
@@ -179,6 +185,8 @@ def main(sf_dir: str, out_dir: str) -> int:
             except Exception as err:
                 ok_vals = False
                 detail = f"driver-style hash raised: {err}"
+        results[name] = {"rows": len(g),
+                         "status": "pass" if (ok_cols and ok_rows and ok_vals) else "fail"}
         if ok_cols and ok_rows and ok_vals:
             print(f"[      PASS] {name}: rows={len(g)}")
             n_pass += 1
@@ -190,8 +198,21 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"             spark={list(g.columns)} duck={list(e.columns)}")
             n_fail += 1
     print(f"\npass={n_pass} fail={n_fail} rows_only={n_noora}")
+    if json_out:
+        art = {"queries": dict(sorted(results.items())), "sf_dir": sf_dir,
+               "summary": f"pass={n_pass} fail={n_fail} rows_only={n_noora}"}
+        with open(json_out, "w") as f:
+            json.dump(art, f, indent=1, sort_keys=False)
+            f.write("\n")
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    jout = None
+    argv = sys.argv[1:]
+    if "--json" in argv:
+        i = argv.index("--json")
+        jout = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], json_out=jout))

@@ -7,6 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional restriction for partial-table fixtures (the GenScaledCorpus
+    // dirs carry only documents+embeddings): comma-separated names, a
+    // trailing '*' matches by prefix. Unset → full registry (the driver's
+    // contract is unchanged).
+    val only: Option[String => Boolean] =
+      sys.env.get("SPARK_GRAFT_ONLY").map { spec =>
+        val pats = spec.split(',').map(_.trim).filter(_.nonEmpty)
+        name => pats.exists(p =>
+          if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p)
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,7 +25,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = only.fold(SparkEntry.queries)(p =>
+      SparkEntry.queries.filter(kv => p(kv._1)))
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -25,7 +37,8 @@ object Verify {
     // oracle SQL dumped AFTER the queries ran — the IVF oracles are
     // built from the centroid model each query pins at run time
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      SparkEntry.oracleJson(dir = Some(sfDir)))
+      SparkEntry.oracleJson(names = only.map(_ => selected.keySet),
+        dir = Some(sfDir)))
     spark.stop()
   }
 }
