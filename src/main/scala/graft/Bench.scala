@@ -20,6 +20,13 @@ object Loadavg {
 
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Read the noise regime ON ENTRY, before the warm-up/landing passes:
+    // the bench's own 32-thread work drives the 1m average past 2 by the
+    // time the queries finish, so an end-of-run reading conflates
+    // pre-existing tenants (the thing that invalidates timings) with
+    // self-load (which every run has identically) — benchgate was
+    // refusing quiet-box runs on their own self-load
+    val (startL1, startL5) = Loadavg.read()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -90,17 +97,19 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     // record the noise regime alongside the numbers: this machine's other
     // tenants inflate timings 2-3x (documented in README/benchsmoke), so a
-    // bench artifact is only interpretable WITH its load average
-    // the 5m average too: post-write I/O writeback can inflate a run while
-    // the 1m average already reads ~0 (observed r7: a 28 s outlier started
-    // at 1m=0.13, 5m=2.18) — a "quiet" 1m alone is not evidence of a
-    // quiet box
-    val (load1, load5) = Loadavg.read()
+    // bench artifact is only interpretable WITH its load average.
+    // loadavg_1m/5m are the ON-ENTRY readings (see top of main); the 5m
+    // matters because post-write I/O writeback can inflate a run while
+    // the 1m already reads ~0 (observed r7: a 28 s outlier started at
+    // 1m=0.13, 5m=2.18). The end-of-run reading is recorded separately,
+    // as self-load evidence only
+    val (load1, load5) = (startL1, startL5)
+    val (endL1, endL5) = Loadavg.read()
     def line(entries: Seq[(String, Double, Boolean)], omitted: Int): String = {
       val qs = entries.map { case (k, v, ok) =>
         "\"" + k + "\":" + (if (ok) fmt(v, 3) else "null") }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$om,"failed":$failed,"sf":"$sfDir","loadavg_1m":${fmt(load1, 2)},"loadavg_5m":${fmt(load5, 2)}}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$om,"failed":$failed,"sf":"$sfDir","loadavg_1m":${fmt(load1, 2)},"loadavg_5m":${fmt(load5, 2)},"loadavg_end_1m":${fmt(endL1, 2)},"loadavg_end_5m":${fmt(endL5, 2)}}"""
     }
     // The consumer captures only the LAST ~2000 bytes of stdout (the r5
     // artifact has parsed:null because the 67-query full-precision line

@@ -7,7 +7,9 @@ import graft.cnj.{MetasJob, Reader}
   * pipeline, run incrementally over the court files with
   * `maxFilesPerTrigger` bounding each microbatch, complete-mode output.
   * Asserts stream-vs-batch parity on the full corpus (the contract
-  * `CnjStreamSpec` locks at fixture scale) and records wall time, the
+  * `CnjStreamSpec` locks at fixture scale; here byte-identical up to
+  * rare 0.01 rounding-boundary flips from float-sum merge order — see
+  * the inline note) and records wall time, the
   * per-microbatch input rows, and the streaming-aggregation state rows
   * per batch (`StateOperatorProgress.numRowsTotal`) — the evidence that
   * state is bounded by the GROUP cardinality (courts), not the corpus:
@@ -43,7 +45,52 @@ object CnjStreamBench {
     val streamSec = (System.nanoTime() - ts0) / 1e9
 
     val got = spark.table("cnj_stream_bench").collect()
-    val parity = got.map(_.toSeq).toSet == batch.map(_.toSeq).toSet
+
+    // Parity with eyes open about float determinism: the kernel sums
+    // float64 (the reference's pandas semantics — an exact-decimal sum
+    // would diverge from the pinned goldens), and double addition is not
+    // associative, so the stream's 9-way partial-aggregate merge can
+    // land a sum one ulp away from the one-pass batch sum. When that
+    // sum sits exactly on a 2-dp rounding boundary, bround flips the
+    // printed cell by 0.01. This is partitioning nondeterminism, not a
+    // streaming defect — two BATCH runs at different partition counts
+    // can differ the same way. So: every cell must be byte-identical
+    // EXCEPT numeric pairs within one rounding quantum (0.01), which
+    // are counted and reported as evidence, not masked.
+    val key = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getString(1))
+    val bm = batch.map(r => key(r) -> r).toMap
+    var hardDiffs = 0
+    var boundaryCells = 0
+    def num(s: Any): Option[Double] = s match {
+      case v: String => v.toDoubleOption
+      case _ => None
+    }
+    got.foreach { s =>
+      bm.get(key(s)) match {
+        case None =>
+          hardDiffs += 1
+          System.err.println(s"DIFF: stream-only court ${key(s)}")
+        case Some(b) =>
+          (0 until s.length).foreach { i =>
+            if (s.get(i) != b.get(i)) {
+              val ok = (num(s.get(i)), num(b.get(i))) match {
+                case (Some(x), Some(y)) => math.abs(x - y) <= 0.0100001
+                case _ => false
+              }
+              if (ok) boundaryCells += 1 else hardDiffs += 1
+              System.err.println(
+                s"DIFF${if (ok) " (rounding boundary)" else ""} ${key(s)} " +
+                  s"col=${s.schema.fieldNames(i)}: stream=${s.get(i)} batch=${b.get(i)}")
+            }
+          }
+      }
+    }
+    (bm.keySet -- got.map(key)).foreach { k =>
+      hardDiffs += 1; System.err.println(s"DIFF: batch-only court $k")
+    }
+    val totalCells = got.length.toLong * (if (got.isEmpty) 0 else got.head.length)
+    val parity = hardDiffs == 0 && got.length == batch.length &&
+      boundaryCells <= math.max(1L, totalCells / 1000) // boundary flips must stay rare
 
     // per-microbatch evidence: input rows + streaming-agg state rows
     val perBatch = q.recentProgress.toIndexedSeq
@@ -57,7 +104,7 @@ object CnjStreamBench {
       .mkString("[", ",", "]")
     val maxState = if (perBatch.isEmpty) -1L else perBatch.map(_._3).max
 
-    println(s"""{"metric":"cnj_stream_bench","stream_sec":${fmt(streamSec)},"batch_sec":${fmt(batchSec)},"parity":$parity,"files_per_trigger":$filesPerTrigger,"n_batches":${perBatch.size},"max_state_rows":$maxState,"result_rows":${got.length},"batches":$batchesJson,"loadavg_1m":${fmt(l1)},"loadavg_5m":${fmt(l5)}}""")
+    println(s"""{"metric":"cnj_stream_bench","stream_sec":${fmt(streamSec)},"batch_sec":${fmt(batchSec)},"parity":$parity,"hard_diff_cells":$hardDiffs,"rounding_boundary_cells":$boundaryCells,"total_cells":$totalCells,"files_per_trigger":$filesPerTrigger,"n_batches":${perBatch.size},"max_state_rows":$maxState,"result_rows":${got.length},"batches":$batchesJson,"loadavg_1m":${fmt(l1)},"loadavg_5m":${fmt(l5)}}""")
     spark.stop()
     if (!parity) sys.exit(1)
   }
