@@ -33,6 +33,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries are independent and fully materialized to parquet above,
+      // so operator-internal localCheckpoint blocks are dead the moment
+      // the write returns — but they are freed only when the driver-side
+      // RDD object is GC'd, and across a 97-query session the backlog
+      // OOMed an 8 GB heap (the blocking-unpersist here keeps peak
+      // storage = one query's working set, not the session's union)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     // oracle SQL dumped AFTER the queries ran — the IVF oracles are
     // built from the centroid model each query pins at run time

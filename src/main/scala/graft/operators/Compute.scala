@@ -26,6 +26,22 @@ object Compute {
   import org.apache.spark.sql.catalyst.plans.logical.{
     Aggregate, Deduplicate, Join, LogicalPlan, RepartitionOperation, Sort, Window}
 
+  /** localCheckpoint with SERIALIZED storage (MEMORY_AND_DISK_SER) for
+    * frames whose rows are wide — shingle/fingerprint arrays, embeddings,
+    * whole document rows. The default level unrolls DESERIALIZED row
+    * objects, and with 32 concurrent tasks each bursting wide rows into
+    * the storage pool the unroll itself can exhaust the heap before the
+    * spill-to-disk logic engages (observed: the sf~1 winnowing base OOMed
+    * an 8 GB driver). Serialized unroll is incremental and ~2-5x smaller
+    * for array-heavy rows; the extra deserialization on re-read is one
+    * pass over data that was produced by the expensive stage the
+    * checkpoint exists to not re-run. Narrow hot-loop checkpoints (the
+    * connected-components label frames) stay on the default level —
+    * their rows are two longs and they are re-read every round. */
+  def checkpointSer(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** First shuffle-inducing operator in the analyzed plan, if any. Sort
     * included only when GLOBAL: a global orderBy range-partitions (an
     * exchange) even though it is not a "shuffle key" op, but

@@ -252,7 +252,7 @@ object Dedup {
         TextFunctions.shingles(col("toks"), n).as("sh"),
         HashFunctions.winnowing(col("toks"), n, w, portableHash).as("fp"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint()
+      .transform(Compute.checkpointSer) // wide shingle+fp arrays: serialized storage (OOM'd an 8g heap deserialized at sf~1)
     val inv = dfCut(
       base.filter(size(col("fp")) > 0).select(col("doc_id"), explode(col("fp")).as("f")),
       "f", maxDf)

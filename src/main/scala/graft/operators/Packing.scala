@@ -45,7 +45,7 @@ object Packing {
         concat(lit("packShards: negative weight "), w.cast("string")))))
       .repartitionByRange(numParts, orderCol)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
+      .transform(Compute.checkpointSer) // whole input rows: serialized storage
     val totals = base.groupBy(col("_pid")).agg(sum(col("_w")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = totals.keys.toSeq.sorted

@@ -59,7 +59,7 @@ object Ranking {
       .withColumn(stCol, stratum.cast("string"))
       .repartitionByRange(numParts, (col(stCol) +: order): _*)
       .withColumn(pidCol, spark_partition_id())
-      .localCheckpoint()
+      .transform(Compute.checkpointSer) // whole input rows (document text): serialized storage
     val counted = base.groupBy(col(pidCol), col(stCol))
       .agg(count(lit(1)).as("c"))
       .collect()

@@ -267,7 +267,7 @@ object Similarity {
     val assigned = embeddings
       .withColumn("cluster", assignCluster(col("embedding"), cents))
       .select(col("cluster"), col("vec_id"), col("embedding"))
-      .localCheckpoint()
+      .transform(Compute.checkpointSer) // embedding arrays: serialized storage
     val pm = Dedup.pairMassStats(assigned, col("cluster")).head()
     if (!pm.isNullAt(0)) {
       val (mass, nRows) = (pm.getLong(0), pm.getLong(1))

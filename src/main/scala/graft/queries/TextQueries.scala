@@ -320,7 +320,7 @@ object TextQueries {
         explode(shingles(tokens(col("text")), 8)).as("gram"))
       .select(col("doc_id"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast(LongType).as("gh"))
-      .localCheckpoint()
+      .transform(graft.operators.Compute.checkpointSer) // grams-x-docs row count: serialized storage
     val gdf = dg.groupBy(col("gh")).agg(count(lit(1)).as("df"))
     dg.join(gdf, "gh")
       .groupBy(col("doc_id"))
