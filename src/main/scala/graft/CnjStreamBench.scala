@@ -46,51 +46,15 @@ object CnjStreamBench {
 
     val got = spark.table("cnj_stream_bench").collect()
 
-    // Parity with eyes open about float determinism: the kernel sums
-    // float64 (the reference's pandas semantics — an exact-decimal sum
-    // would diverge from the pinned goldens), and double addition is not
-    // associative, so the stream's 9-way partial-aggregate merge can
-    // land a sum one ulp away from the one-pass batch sum. When that
-    // sum sits exactly on a 2-dp rounding boundary, bround flips the
-    // printed cell by 0.01. This is partitioning nondeterminism, not a
-    // streaming defect — two BATCH runs at different partition counts
-    // can differ the same way. So: every cell must be byte-identical
-    // EXCEPT numeric pairs within one rounding quantum (0.01), which
-    // are counted and reported as evidence, not masked.
-    val key = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getString(1))
-    val bm = batch.map(r => key(r) -> r).toMap
-    var hardDiffs = 0
-    var boundaryCells = 0
-    def num(s: Any): Option[Double] = s match {
-      case v: String => v.toDoubleOption
-      case _ => None
-    }
-    got.foreach { s =>
-      bm.get(key(s)) match {
-        case None =>
-          hardDiffs += 1
-          System.err.println(s"DIFF: stream-only court ${key(s)}")
-        case Some(b) =>
-          (0 until s.length).foreach { i =>
-            if (s.get(i) != b.get(i)) {
-              val ok = (num(s.get(i)), num(b.get(i))) match {
-                case (Some(x), Some(y)) => math.abs(x - y) <= 0.0100001
-                case _ => false
-              }
-              if (ok) boundaryCells += 1 else hardDiffs += 1
-              System.err.println(
-                s"DIFF${if (ok) " (rounding boundary)" else ""} ${key(s)} " +
-                  s"col=${s.schema.fieldNames(i)}: stream=${s.get(i)} batch=${b.get(i)}")
-            }
-          }
-      }
-    }
-    (bm.keySet -- got.map(key)).foreach { k =>
-      hardDiffs += 1; System.err.println(s"DIFF: batch-only court $k")
-    }
-    val totalCells = got.length.toLong * (if (got.isEmpty) 0 else got.head.length)
-    val parity = hardDiffs == 0 && got.length == batch.length &&
-      boundaryCells <= math.max(1L, totalCells / 1000) // boundary flips must stay rare
+    // Cell-level parity with the float-determinism contract documented
+    // (and unit-tested) on graft.cnj.ResultParity: byte-identical except
+    // counted-and-bounded 0.01 rounding-boundary flips.
+    val report = graft.cnj.ResultParity.compare(
+      got.toIndexedSeq, batch.toIndexedSeq)
+    report.details.foreach(d => System.err.println(s"DIFF $d"))
+    val (hardDiffs, boundaryCells, totalCells) =
+      (report.hardDiffs, report.boundaryCells, report.totalCells)
+    val parity = report.parity()
 
     // per-microbatch evidence: input rows + streaming-agg state rows
     val perBatch = q.recentProgress.toIndexedSeq

@@ -57,4 +57,26 @@ class ComputeSpec extends SparkTestBase {
     val df = (1 to 10).toDF("x").sortWithinPartitions($"x")
     assert(Compute.toComputeBudget(df).count() == 10)
   }
+
+  test("checkpointSer persists SERIALIZED (MEMORY_AND_DISK_SER), " +
+    "truncates lineage, preserves data") {
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cp = Compute.checkpointSer(
+      (1 to 100).toDF("x").withColumn("arr", array((1 to 50).map(lit): _*)))
+    assert(cp.count() == 100)
+    // lineage is truncated: the plan is a materialized RDD scan, not the
+    // original project
+    assert(cp.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.getClass.getSimpleName.contains("LogicalRDD")))
+    // the newly persisted RDD from THIS call is serialized — the default
+    // deserialized level is the one that OOM'd the sf~1 gate. (No
+    // blanket unpersist here: the session is shared across suites and
+    // yanking another suite's live localCheckpoint would corrupt it.)
+    val mine = spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before.contains(id) }.values
+    assert(mine.exists(_.getStorageLevel == StorageLevel.MEMORY_AND_DISK_SER),
+      s"expected a MEMORY_AND_DISK_SER RDD, got ${mine.map(_.getStorageLevel)}")
+  }
 }
