@@ -73,7 +73,13 @@ def main():
             return 2
         with open(path) as f:
             r = json.load(f)
-        l1, l5 = r.get("loadavg_1m", -1), r.get("loadavg_5m", -1)
+        l1, l5 = r.get("loadavg_1m"), r.get("loadavg_5m")
+        if l1 is None or l5 is None:
+            # an artifact with no recorded noise regime is unjudgeable,
+            # not quiet — refusing is the whole discipline
+            print(f"benchgate: {path} records no loadavg fields — "
+                  "cannot judge a run whose noise regime is unknown")
+            return 2
         # single run: both averages must be quiet (one noisy sample is
         # uninterpretable). Multi-run: only sustained load (5m) disquali-
         # fies — the 1m at JVM entry is self-polluted by the build tool's
@@ -93,7 +99,9 @@ def main():
         for r in runs:
             for q, v in r.get("queries", {}).items():
                 if isinstance(v, (int, float)):
-                    qs[q] = min(qs[q], v) if q in qs else v
+                    # a None placeholder (crashed in an earlier run) must
+                    # not poison min() once a later run succeeds
+                    qs[q] = v if qs.get(q) is None else min(qs[q], v)
                 elif q not in qs:
                     qs[q] = None
         run["queries"] = qs

@@ -213,6 +213,10 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: selfcheck.py <sf_dir> <out_dir> [--json PATH]")
         jout = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    if len(argv) != 2:
+        sys.exit("usage: selfcheck.py <sf_dir> <out_dir> [--json PATH]")
     sys.exit(main(argv[0], argv[1], json_out=jout))

@@ -35,11 +35,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries — the
-    // pre-commit bench smoke (scripts/benchsmoke.py) times just the
-    // historically expensive ones instead of the full suite
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_ONLY restricts the run to named queries (same
+    // prefix-star semantics as Verify, via QueryFilter) — the pre-commit
+    // bench smoke (scripts/benchsmoke.py) times just the historically
+    // expensive ones instead of the full suite
+    val only = QueryFilter.fromEnv
     // composition queries re-execute operators the loop already times
     // (dedup_clusters = ngramJaccardPairs + components over its output;
     // pipeline_dedup_pack = the same plus packShards): correctness-gated
@@ -52,7 +52,7 @@ object Bench {
     val skip = Set("dedup_clusters", "dedup_keep_best",
       "pipeline_dedup_pack", "dedup_cross_source")
     val selected = SparkEntry.queries.filter { case (k, _) =>
-      only.map(_.contains(k)).getOrElse(!skip.contains(k)) }
+      only.map(_(k)).getOrElse(!skip.contains(k)) }
     // Warm-up pass at a small sf: JIT + codegen compilation otherwise
     // lands on whichever queries happen to run first (a cold first query
     // measures 5x its steady state)

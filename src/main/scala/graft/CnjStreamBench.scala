@@ -29,6 +29,27 @@ object CnjStreamBench {
     spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
+    // Symmetric fixture-scale warm-up of BOTH code paths before timing
+    // either: the first Spark action in a JVM absorbs JIT + codegen
+    // compilation, so without this the batch truth (which runs first)
+    // would pay the cold-start and the published stream/batch comparison
+    // would flatter streaming. Streaming additionally warms its own
+    // machinery (microbatch planner, state store).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_CNJ_WARMUP_DIR",
+      "src/test/resources/cnj/dados")
+    try {
+      MetasJob.stringlyOutput(
+        MetasJob.resumoTyped(spark, Reader.readDir(spark, warmDir))).collect()
+      val wq = MetasJob.stringlyOutput(
+          MetasJob.resumoTyped(spark, Reader.readDirStream(spark, warmDir)))
+        .writeStream.format("memory").queryName("cnj_stream_warmup")
+        .outputMode("complete").start()
+      try wq.processAllAvailable() finally wq.stop()
+    } catch { case e: Throwable =>
+      System.err.println(s"WARNING: warm-up on $warmDir failed " +
+        s"(${e.getMessage}); the first timed pass will include JIT/codegen")
+    }
+
     // batch truth, timed like CnjBench's resumo phase
     val tb0 = System.nanoTime()
     val batch = MetasJob.stringlyOutput(

@@ -8,15 +8,10 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Optional restriction for partial-table fixtures (the GenScaledCorpus
-    // dirs carry only documents+embeddings): comma-separated names, a
-    // trailing '*' matches by prefix. Unset → full registry (the driver's
-    // contract is unchanged).
-    val only: Option[String => Boolean] =
-      sys.env.get("SPARK_GRAFT_ONLY").map { spec =>
-        val pats = spec.split(',').map(_.trim).filter(_.nonEmpty)
-        name => pats.exists(p =>
-          if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p)
-      }
+    // dirs carry only documents+embeddings): QueryFilter semantics,
+    // shared with Bench. Unset → full registry (the driver's contract is
+    // unchanged).
+    val only: Option[String => Boolean] = QueryFilter.fromEnv
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -48,7 +48,15 @@ object ResultParity {
           hard += 1
           details += s"got-only group ${key(g)}"
         case Some(e) =>
-          (0 until g.length).foreach { i =>
+          // schema drift between the two sides (a column added/dropped
+          // on one) is exactly what a parity checker must surface, not
+          // crash on or silently truncate past
+          if (g.length != e.length) {
+            hard += 1
+            details += s"HARD ${key(g)} arity mismatch: " +
+              s"got ${g.length} columns, expected ${e.length}"
+          }
+          (0 until math.min(g.length, e.length)).foreach { i =>
             if (g.get(i) != e.get(i)) {
               val isBoundary = (num(g.get(i)), num(e.get(i))) match {
                 // epsilon: the quantum itself is a decimal that doubles

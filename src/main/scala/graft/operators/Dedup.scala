@@ -455,7 +455,8 @@ object Dedup {
         expr("percentile_approx(df, 0.99)").as("p99_df"),
         expr("percentile_approx(df, 0.5)").as("p50_df"),
         count(lit(1)).as("n_grams"),
-        (sum(col("df") * col("df")) / 2).cast(LongType).as("fanout_uncut"))
+        // double product for the same overflow reason as pairMassStats
+        (sum(col("df").cast("double") * col("df")) / 2).cast(LongType).as("fanout_uncut"))
 
   /** Pair-mass profile of a blocked pair enumeration — [[gramDfStats]]
     * generalized from the inverted-index fan-out to ANY blocking key.
@@ -474,7 +475,12 @@ object Dedup {
   def pairMassStats(df: DataFrame, key: Column): DataFrame =
     df.groupBy(key.as("__k")).agg(count(lit(1)).as("sz"))
       .agg(
-        sum(expr("sz * (sz - 1) / 2")).cast(LongType).as("pair_mass"),
+        // per-group product in DOUBLE: long sz*(sz-1) wraps NEGATIVE at
+        // sz >= ~3.04e9 — i.e. exactly at the degenerate-group scale this
+        // preflight exists to refuse — and a wrapped sum could slip under
+        // the budget. Double never wraps; the final cast saturates at
+        // Long.MaxValue, which correctly fails any budget.
+        sum(expr("CAST(sz AS DOUBLE) * (sz - 1) / 2")).cast(LongType).as("pair_mass"),
         sum(col("sz")).cast(LongType).as("n_rows"),
         count(lit(1)).as("n_groups"),
         max(col("sz")).cast(LongType).as("max_group"),

@@ -65,6 +65,26 @@ class ResultParitySpec extends SparkTestBase {
     assert(extra.details.exists(_.startsWith("got-only")))
   }
 
+  test("arity mismatch (schema drift) is a hard diff, not a crash") {
+    val wide = StructType(schema.fields :+ StructField("meta4a", StringType))
+    val got = Seq(
+      new GenericRowWithSchema(
+        Array[Any]("TJSP", "Justica Estadual", "101205.26", "88.5", "7.0"),
+        wide),
+      base(1))
+    val r = ResultParity.compare(got, base)
+    assert(r.hardDiffs == 1 && !r.parity())
+    assert(r.details.exists(_.contains("arity mismatch")))
+    // and the shared prefix is still compared: a flip there still counts
+    val gotFlip = Seq(
+      new GenericRowWithSchema(
+        Array[Any]("TJSP", "Justica Estadual", "101205.25", "88.5", "7.0"),
+        wide),
+      base(1))
+    val r2 = ResultParity.compare(gotFlip, base)
+    assert(r2.hardDiffs == 1 && r2.boundaryCells == 1)
+  }
+
   test("boundary flips above the 0.1% cap (min 1) break parity") {
     // 4 columns x 500 groups = 2000 cells; cap = max(1, 2) = 2
     val expected = (1 to 500).map(i =>
