@@ -49,8 +49,12 @@ object Bench {
     // via SPARK_GRAFT_ONLY to time them individually. (The one-time
     // anchor-only fence is gone: naive correctness anchors now live in
     // scalatest, not the registry.)
+    // dedup_semantic_lowtau joins them for the same reason: it re-runs
+    // dedup_semantic's exact cell-assignment + in-cell join with only
+    // the final threshold filter changed, so timing it would double-bill
+    // the semantic family's work in the suite total
     val skip = Set("dedup_clusters", "dedup_keep_best",
-      "pipeline_dedup_pack", "dedup_cross_source")
+      "pipeline_dedup_pack", "dedup_cross_source", "dedup_semantic_lowtau")
     val selected = SparkEntry.queries.filter { case (k, _) =>
       only.map(_(k)).getOrElse(!skip.contains(k)) }
     // Warm-up pass at a small sf: JIT + codegen compilation otherwise

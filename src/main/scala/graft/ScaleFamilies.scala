@@ -1,18 +1,11 @@
 package graft
 
-import graft.operators.Similarity
-
 /** Family-scaling measurement over the [[GenScaledCorpus]] fixtures:
   * times the dedup + similarity families on a generated corpus and
   * reports per-family wall seconds plus qualifying-pair counts — run at
   * scale 1 and scale 10 the ratio table in SCALE.md §9 falls out.
   *
-  * Two deliberate extras beyond the harness registry:
-  *  - `dedup_semantic_scaledcells`: SemDeDup with the centroid count
-  *    scaled to the corpus (c = 16 x scale) — the documented 100 TB
-  *    operating point (cells bound the quadratic step only if cell SIZE
-  *    is held constant, i.e. cell count grows with the corpus). The
-  *    fixed-c harness query is timed alongside to show the contrast.
+  * One deliberate extra beyond the harness registry:
   *  - `embed_neardup_blocked` is included only with INCLUDE_QUADRATIC=1:
   *    it is EXACT all-pairs enumeration (Θ(n²) by problem statement,
   *    not by plan deficiency) — the scale path for near-dup discovery is
@@ -34,7 +27,7 @@ object ScaleFamilies {
 
   // pair-producing families: row counts are the duplicate-mass evidence
   private val CountRows = Set("dedup_ngram_jaccard", "dedup_semantic",
-    "dedup_semantic_scaledcells", "dedup_clusters", "dedup_minhash_lsh",
+    "dedup_clusters", "dedup_minhash_lsh",
     "dedup_winnowing", "embed_neardup_blocked")
 
   def main(args: Array[String]): Unit = {
@@ -46,24 +39,15 @@ object ScaleFamilies {
     val scale = math.max(1,
       math.round(Tables.embeddings(spark, dir).count() / 2000.0).toInt)
 
-    // the full 100 TB operating point: since r9 the registered
-    // dedup_semantic already derives its cell count from the corpus
-    // (Similarity.scaledCellCount), so this row's remaining contrast is
-    // the THRESHOLD — 0.65 (5.2 sigma at dim 64) sits past the organic
-    // cosine tail, so qualifying mass tracks the planted near-dup rate
-    // (linear), where the registered 0.4 (3.2 sigma) also carries the
-    // organic noise floor. semanticDupPairs re-derives the scaled cell
-    // count internally.
-    def scaledCells(d: String) =
-      Similarity.semanticDupPairs(Tables.embeddings(spark, d),
-        threshold = 0.65)
-
+    // Since r10 the registered dedup_semantic IS the full 100 TB
+    // operating point — corpus-derived cells (Similarity.scaledCellCount)
+    // AND the 5-sigma DefaultSemanticThreshold — so the former
+    // `dedup_semantic_scaledcells` contrast row is redundant and gone.
     val extra: Seq[(String, String => org.apache.spark.sql.DataFrame)] =
-      Seq("dedup_semantic_scaledcells" -> (scaledCells _)) ++
-        (if (includeQuadratic)
-          Seq("embed_neardup_blocked" ->
-            ((d: String) => SparkEntry.queries("embed_neardup_blocked")(spark, d)))
-        else Nil)
+      if (includeQuadratic)
+        Seq("embed_neardup_blocked" ->
+          ((d: String) => SparkEntry.queries("embed_neardup_blocked")(spark, d)))
+      else Nil
 
     val all: Seq[(String, String => org.apache.spark.sql.DataFrame)] =
       Families.map(n => n -> ((d: String) => SparkEntry.queries(n)(spark, d))) ++ extra

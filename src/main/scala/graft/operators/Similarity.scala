@@ -30,6 +30,15 @@ object Similarity {
     * cells stay large enough for k-means to be meaningful. */
   val TargetCellSize = 128
 
+  /** Default cosine threshold for [[semanticDupPairs]]: ~5 sigma at
+    * dim 64 (random-pair cosine ~N(0, 1/dim), so 0.65 = 5.2/sqrt(64)).
+    * At 5 sigma the emitted pair list tracks the true near-dup rate
+    * (measured ~7x per 10x of corpus on the gen series); a 3-sigma
+    * threshold like 0.4 rides a quadratic organic-noise floor (~30x per
+    * decade, 301,811 rows at 100x) — still available as an explicit
+    * opt-in for high-recall regimes, with the runtime warning below. */
+  val DefaultSemanticThreshold = 0.65
+
   /** Corpus-derived cell count: c = max(16, ceil(n / targetCellSize)).
     * The floor keeps tiny corpora at the historical c = 16 (fixture
     * results unchanged); past ~2k vectors the count grows with the

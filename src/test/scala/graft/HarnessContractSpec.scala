@@ -33,7 +33,7 @@ class HarnessContractSpec extends SparkTestBase {
   test("IVF queries pin their centroid model so their oracles materialize") {
     val dir = "/root/testdata/sf0.001"
     Seq("sim_topk_ivf", "sim_topk_ivf_pretrained", "sim_topk_batch",
-        "dedup_semantic").foreach { n =>
+        "dedup_semantic", "dedup_semantic_lowtau").foreach { n =>
       SparkEntry.queries(n)(spark, dir).count()
       // dir-hinted lookup, exactly as Verify/DumpOne resolve it: checks
       // the pin for the dir this test just ran, immune to other suites
