@@ -482,8 +482,19 @@ object StarQueries {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
-  // ---- approximate distinct (HLL) — no cross-engine oracle (sketches
-  // differ); driver records the weaker rows-only check.
+  // ---- approximate distinct (HLL) — the raw estimate has no
+  // cross-engine oracle (sketch hashes are engine-specific), so the
+  // ORACLE-FACING row asserts the documented ERROR BOUND instead: Spark
+  // emits the exact distinct count plus a flag testing its own HLL
+  // estimate against that count at 15% (3x the rsd=0.05 standard
+  // error); DuckDB emits its exact count with the flag literally TRUE.
+  // The hashes match iff the estimate is inside the bound — a sketch
+  // regression flips the flag and FAILS the row, so the bound is a real
+  // oracle, not decoration. (ApproxDistinctSpec holds the per-group
+  // bound at sf0.1 and sf~1 as defense in depth.) The exact
+  // count_distinct rides the same aggregate pass; at 100 TB you would
+  // run the HLL alone — that production shape is what the rsd note
+  // below is about, and the spec, not this harness row, is its check.
   // rsd stays at Spark's 0.05 default: tightening to 0.01 means p=14 —
   // a ~2.7k-word HLL buffer per group that defeats fast hash aggregation
   // (measured 4x slower for one extra digit nobody asked for; at 100 TB
@@ -491,8 +502,18 @@ object StarQueries {
   private def approxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts").cast(DoubleType) -
+             col("exact_parts").cast(DoubleType)) <=
+          lit(0.15) * col("exact_parts").cast(DoubleType)).as("within_15pct"))
       .orderBy(col("l_returnflag"))
+
+  private val approxDistinctSql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS within_15pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---- skew-safe two-phase aggregation: partial agg on (key, salt), final
   // agg on key. Identical result to the plain groupBy (the oracle), but the
@@ -758,7 +779,7 @@ object StarQueries {
     QueryDef("distinct_count", Some(distinctCountSql), distinctCount),
     QueryDef("collect_set_sorted", Some(collectSetSortedSql), collectSetSorted),
     QueryDef("percentile_exact", Some(percentileExactSql), percentileExact),
-    QueryDef("approx_distinct", None, approxDistinct),
+    QueryDef("approx_distinct", Some(approxDistinctSql), approxDistinct),
     QueryDef("skew_salted_agg", Some(skewSaltedAggSql), skewSaltedAgg),
   )
 }
