@@ -69,15 +69,22 @@ _LABELS_CTE = ("labels AS (SELECT id, MIN(lab) AS cluster_keeper "
                "FROM reach GROUP BY id),")
 
 
-def run_oracle(con, sql: str):
+# closure-CTE oracles whose text drifted off the iterative-replay prefix
+# and ran verbatim (memory-unsafe at large pair lists) — recorded into
+# the JSON artifact so the hazard survives past a scrolled-away stderr
+DRIFTED_CLOSURE = []
+
+
+def run_oracle(con, sql: str, name: str = "?"):
     if not (sql.startswith("WITH RECURSIVE p AS (")
             and _EDGES_CTE in sql and _LABELS_CTE in sql):
         if sql.startswith("WITH RECURSIVE p AS ("):
             # the Scala-side closure SQL drifted away from the replay
             # prefix: falling back to the recursive CTE silently loses
             # the iterative path (and exhausts memory at a sf~1 pair
-            # list) — execute verbatim but say so, loudly
-            print("WARNING: statement starts with the closure-CTE prefix "
+            # list) — execute verbatim but say so, loudly and durably
+            DRIFTED_CLOSURE.append(name)
+            print(f"WARNING: {name} starts with the closure-CTE prefix "
                   "but does not match the iterative-replay shape; "
                   "executing the recursive CTE verbatim (memory-unsafe "
                   "at large pair lists). Re-sync _EDGES_CTE/_LABELS_CTE "
@@ -158,7 +165,7 @@ def main(sf_dir: str, out_dir: str, json_out=None) -> int:
                 results[name] = {"rows": len(got), "status": "fail"}
             continue
         try:
-            exp = run_oracle(con, oracles[name])
+            exp = run_oracle(con, oracles[name], name)
         except Exception as e:
             print(f"[ ORA_ERROR] {name}: {e}")
             n_fail += 1
@@ -198,9 +205,14 @@ def main(sf_dir: str, out_dir: str, json_out=None) -> int:
                 print(f"             spark={list(g.columns)} duck={list(e.columns)}")
             n_fail += 1
     print(f"\npass={n_pass} fail={n_fail} rows_only={n_noora}")
+    if DRIFTED_CLOSURE:
+        print(f"WARNING: closure oracles ran VERBATIM (prefix drift, see "
+              f"stderr above): {', '.join(sorted(set(DRIFTED_CLOSURE)))}")
     if json_out:
         art = {"queries": dict(sorted(results.items())), "sf_dir": sf_dir,
                "summary": f"pass={n_pass} fail={n_fail} rows_only={n_noora}"}
+        if DRIFTED_CLOSURE:
+            art["closure_prefix_drift"] = sorted(set(DRIFTED_CLOSURE))
         with open(json_out, "w") as f:
             json.dump(art, f, indent=1, sort_keys=False)
             f.write("\n")

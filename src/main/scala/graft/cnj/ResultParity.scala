@@ -59,11 +59,18 @@ object ResultParity {
           (0 until math.min(g.length, e.length)).foreach { i =>
             if (g.get(i) != e.get(i)) {
               val isBoundary = (num(g.get(i)), num(e.get(i))) match {
-                // epsilon: the quantum itself is a decimal that doubles
-                // represent inexactly; one part in 10^4 over it is far
-                // below the next representable cell gap
+                // a rounding-boundary flip is EXACTLY one quantum apart —
+                // bround landed the one-ulp-different sum on the other
+                // side of the .xx5 line. Epsilon both ways: the quantum
+                // is a decimal that doubles represent inexactly; one part
+                // in 10^4 is far below the next representable cell gap.
+                // Anything else is a hard diff, including |x-y| = 0 with
+                // different strings ("88.5" vs "88.50" is formatting
+                // divergence, not merge-order rounding) and sub-quantum
+                // value drift (a genuinely different computation).
                 case (Some(x), Some(y)) =>
-                  math.abs(x - y) <= quantum * 1.0001
+                  val d = math.abs(x - y)
+                  quantum * 0.9999 <= d && d <= quantum * 1.0001
                 case _ => false
               }
               if (isBoundary) boundary += 1 else hard += 1

@@ -48,6 +48,25 @@ class ResultParitySpec extends SparkTestBase {
     assert(!r.parity())
   }
 
+  test("equal-value formatting drift is a hard diff, not a boundary flip") {
+    // "88.5" vs "88.50": numeric diff 0 — formatting divergence between
+    // the two computations, which merge-order rounding can never produce
+    val got = Seq(row("TJSP", "Justica Estadual", "101205.26", "88.50"), base(1))
+    val r = ResultParity.compare(got, base)
+    assert(r.hardDiffs == 1 && r.boundaryCells == 0)
+    assert(!r.parity())
+  }
+
+  test("sub-quantum value drift is a hard diff (only exact one-quantum " +
+      "gaps are boundary flips)") {
+    // 88.5 vs 88.503: |diff| = 0.003 < quantum — a genuinely different
+    // number, not a bround-boundary flip (those differ by exactly 0.01)
+    val got = Seq(row("TJSP", "Justica Estadual", "101205.26", "88.503"), base(1))
+    val r = ResultParity.compare(got, base)
+    assert(r.hardDiffs == 1 && r.boundaryCells == 0)
+    assert(!r.parity())
+  }
+
   test("NA vs a number is always a hard diff, even at tiny magnitude") {
     val got = Seq(base(0), row("TRT1", "Justica do Trabalho", "0.01", "73.17"))
     val r = ResultParity.compare(got, base)
