@@ -15,12 +15,23 @@ import graft.cnj.{MetasJob, Reader}
   * state is bounded by the GROUP cardinality (courts), not the corpus:
   * a 10x bigger corpus grows batches, never state.
   *
-  * Usage: runMain graft.CnjStreamBench <inDir> [filesPerTrigger]
+  * Usage: runMain graft.CnjStreamBench <inDir> [filesPerTrigger] [restartAfter]
+  *
+  * With `restartAfter = k > 0` the run becomes the FAULT-TOLERANCE
+  * measurement instead: the stream runs against a checkpoint, is
+  * STOPPED after k completed microbatches (mid-corpus), and a second
+  * incarnation recovers from the checkpoint — offsets and aggregation
+  * state restore, only the unconsumed files replay — timed to
+  * completion and parity-checked against the batch truth. Emits
+  * `cnj_stream_recovery` with both incarnations' walls and batch
+  * counts: the evidence that recovery cost is proportional to the
+  * REMAINING corpus, not a from-scratch rerun.
   */
 object CnjStreamBench {
   def main(args: Array[String]): Unit = {
     val inDir = args(0)
     val filesPerTrigger = if (args.length > 1) args(1).toInt else 10
+    val restartAfter = if (args.length > 2) args(2).toInt else 0
     val (l1, l5) = Loadavg.read()
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -55,6 +66,13 @@ object CnjStreamBench {
     val batch = MetasJob.stringlyOutput(
       MetasJob.resumoTyped(spark, Reader.readDir(spark, inDir))).collect()
     val batchSec = (System.nanoTime() - tb0) / 1e9
+
+    if (restartAfter > 0) {
+      recoveryBench(spark, inDir, filesPerTrigger, restartAfter,
+        batch.toIndexedSeq, batchSec, l1, l5)
+      spark.stop()
+      return
+    }
 
     val ts0 = System.nanoTime()
     val stream = Reader.readDirStream(spark, inDir,
@@ -92,5 +110,50 @@ object CnjStreamBench {
     println(s"""{"metric":"cnj_stream_bench","stream_sec":${fmt(streamSec)},"batch_sec":${fmt(batchSec)},"parity":$parity,"hard_diff_cells":$hardDiffs,"rounding_boundary_cells":$boundaryCells,"total_cells":$totalCells,"files_per_trigger":$filesPerTrigger,"n_batches":${perBatch.size},"max_state_rows":$maxState,"result_rows":${got.length},"batches":$batchesJson,"loadavg_1m":${fmt(l1)},"loadavg_5m":${fmt(l5)}}""")
     spark.stop()
     if (!parity) sys.exit(1)
+  }
+
+  /** The kill-and-recover measurement (see object doc). */
+  private def recoveryBench(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, filesPerTrigger: Int, restartAfter: Int,
+      batch: IndexedSeq[org.apache.spark.sql.Row], batchSec: Double,
+      l1: Double, l5: Double): Unit = {
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cnj_recovery_ckpt").toString
+    def start(name: String) = MetasJob.stringlyOutput(
+        MetasJob.resumoTyped(spark, Reader.readDirStream(spark, inDir,
+          Map("maxFilesPerTrigger" -> filesPerTrigger.toString))))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // incarnation 1: run to the kill point (k completed input batches)
+    val t10 = System.nanoTime()
+    val q1 = start("cnj_recovery_1")
+    val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
+    while (q1.recentProgress.count(_.numInputRows > 0) < restartAfter &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    q1.stop()
+    val preKillSec = (System.nanoTime() - t10) / 1e9
+    val preBatches = q1.recentProgress.filter(_.numInputRows > 0)
+    require(preBatches.length >= restartAfter,
+      s"kill point never reached: ${preBatches.length} < $restartAfter batches")
+
+    // incarnation 2: recover from the checkpoint, drain to completion
+    val t20 = System.nanoTime()
+    val q2 = start("cnj_recovery_2")
+    try q2.processAllAvailable() finally q2.stop()
+    val recoverSec = (System.nanoTime() - t20) / 1e9
+    val postBatches = q2.recentProgress.filter(_.numInputRows > 0)
+    val postState = q2.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).lastOption.getOrElse(-1L)
+
+    val got = spark.table("cnj_recovery_2").collect()
+    val report = graft.cnj.ResultParity.compare(got.toIndexedSeq, batch)
+    report.details.foreach(d => System.err.println(s"DIFF $d"))
+
+    println(s"""{"metric":"cnj_stream_recovery","batch_sec":${fmt(batchSec)},"pre_kill_sec":${fmt(preKillSec)},"recover_sec":${fmt(recoverSec)},"killed_after_batches":${preBatches.length},"recovery_batches":${postBatches.length},"recovery_input_rows":${postBatches.map(_.numInputRows).sum},"pre_kill_input_rows":${preBatches.map(_.numInputRows).sum},"state_rows_after_recovery":$postState,"files_per_trigger":$filesPerTrigger,"parity":${report.parity()},"hard_diff_cells":${report.hardDiffs},"rounding_boundary_cells":${report.boundaryCells},"total_cells":${report.totalCells},"result_rows":${got.length},"loadavg_1m":${fmt(l1)},"loadavg_5m":${fmt(l5)}}""")
+    if (!report.parity()) sys.exit(1)
   }
 }

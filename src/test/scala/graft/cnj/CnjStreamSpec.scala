@@ -33,4 +33,46 @@ class CnjStreamSpec extends SparkTestBase {
     assert(got === expected)
     assert(got.size == 11) // same 11 courts as the batch reader spec
   }
+
+  test("a stream killed mid-corpus recovers from its checkpoint and " +
+      "lands on the batch Resumo") {
+    val dir = resourcePath("cnj/dados")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cnj_stream_ckpt").toString
+    def resumo(df: org.apache.spark.sql.DataFrame) =
+      MetasJob.stringlyOutput(MetasJob.resumoTyped(spark, df))
+    def start(queryName: String) =
+      resumo(Reader.readDirStream(spark, dir,
+          Map("maxFilesPerTrigger" -> "1")))
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+
+    // incarnation 1: one file per microbatch; kill after >= 2 completed
+    // batches, well before the 13-file fixture is consumed
+    val q1 = start("cnj_recover_1")
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    val before = q1.recentProgress.count(_.numInputRows > 0)
+    q1.stop()
+    assert(before >= 2, s"stream never completed 2 batches ($before)")
+
+    // incarnation 2: same checkpoint — offsets and aggregation state
+    // recover, the remaining files replay, complete mode re-emits the
+    // full Resumo into the new sink table
+    val q2 = start("cnj_recover_2")
+    try q2.processAllAvailable() finally q2.stop()
+    val after = q2.recentProgress.count(_.numInputRows > 0)
+    assert(after >= 1, "restart processed nothing — kill happened too late")
+
+    val got = spark.table("cnj_recover_2").collect().toIndexedSeq
+    val expected = resumo(Reader.readDir(spark, dir)).collect().toIndexedSeq
+    val report = ResultParity.compare(got, expected)
+    report.details.foreach(d => info(s"DIFF $d"))
+    assert(report.parity(),
+      s"recovered stream != batch: hard=${report.hardDiffs} " +
+        s"boundary=${report.boundaryCells}")
+  }
 }
