@@ -40,6 +40,7 @@ PUBLIC_URL_HOSTS = (
     "duckdb.org", "github.com/apache", "en.wikipedia.org",
 )
 ENV_ALLOWLIST = re.compile(r"SPARK_GRAFT_[A-Z_]+|INCLUDE_QUADRATIC"
+                           r"|SELF_CHECK_[A-Z_]+|SPARK_DRIVER_MEM"
                            r"|COURSIER_[A-Z_]+|JAVA_[A-Z_]+|PATH|HOME")
 CRED_PATTERNS = [
     re.compile(r"AKIA[0-9A-Z]{16}"),                 # AWS access key id

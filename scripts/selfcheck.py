@@ -132,6 +132,12 @@ def run_oracle(con, sql: str, name: str = "?"):
 
 def main(sf_dir: str, out_dir: str, json_out=None) -> int:
     con = duckdb.connect()
+    # big-fixture replays (gen100x/gen1000x) share the box with Spark
+    # runs; an explicit budget keeps DuckDB's default (80% of RAM) from
+    # OOM-evicting everything else mid-gate
+    mem = os.environ.get("SELF_CHECK_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):

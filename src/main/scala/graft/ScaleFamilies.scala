@@ -55,12 +55,24 @@ object ScaleFamilies {
     // JIT/codegen warm-up at the small committed fixture — failures are
     // LOGGED, not swallowed: a family that never warmed up carries
     // JIT/codegen compilation inside its timed row
+    // operator-internal localCheckpoint blocks are dead once the noop
+    // write returns but are freed only on driver-side GC; across 15+
+    // back-to-back families at a big corpus the backlog drives GC
+    // pressure that inflates the LATER families' timed walls 3-4x
+    // (measured at gen1000x: dedup_winnowing 251.7 s inside the loop vs
+    // 58.4 s warm standalone). Blocking-unpersist between families keeps
+    // peak storage = one family's working set — same discipline as
+    // Verify, and it runs OUTSIDE the timed window.
+    def dropCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+
     all.foreach { case (name, fn) =>
       try fn("/root/testdata/sf0.01").write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"WARNING: warm-up for $name failed at sf0.01 " +
           s"(${e.getMessage}); its timed row may include JIT/codegen warm-up")
       }
+      dropCheckpoints()
     }
     // landing prep, as in Bench: the pretrained probe's first-ever
     // invocation on a corpus trains + persists the model — a once-per-
@@ -72,6 +84,7 @@ object ScaleFamilies {
         s"WARNING: landing prep failed (${e.getMessage}); " +
           "sim_topk_ivf_pretrained's timed number will include training")
     }
+    dropCheckpoints()
 
     val (l1, l5) = Loadavg.read()
     val results = all.map { case (name, fn) =>
@@ -97,6 +110,7 @@ object ScaleFamilies {
       val sec = (System.nanoTime() - t0) / 1e9
       val rows = if (ok && wantRows)
         obs.get.apply("rows").asInstanceOf[Long] else -1L
+      dropCheckpoints() // outside the timed window (see warm-up note)
       (name, sec, rows, ok)
     }
     def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -39,15 +39,29 @@ object Similarity {
     * opt-in for high-recall regimes, with the runtime warning below. */
   val DefaultSemanticThreshold = 0.65
 
-  /** Corpus-derived cell count: c = max(16, ceil(n / targetCellSize)).
-    * The floor keeps tiny corpora at the historical c = 16 (fixture
-    * results unchanged); past ~2k vectors the count grows with the
-    * corpus so in-cell enumeration stays Θ(n x cellSize), never
-    * Θ(n²/c). Measured on the non-replicated gen corpus: fixed c = 16
-    * costs 57x wall for the 10x->100x decade (227 s, 1.9M noise rows);
-    * scaled cells hold ~2-4x per decade (SCALE.md §9). */
-  def scaledCellCount(n: Long, targetCellSize: Int = TargetCellSize): Int =
-    math.max(16L, (n + targetCellSize - 1) / targetCellSize).toInt
+  /** Corpus-derived cell count, at the cost-optimal cell SIZE.
+    *
+    * SemDeDup's total work has two terms: the cluster assignment
+    * (n x c dot products = n²·d/S at cell size S) and the in-cell pair
+    * enumeration (n·S·d/2). Holding S constant keeps the SECOND term
+    * linear but leaves the FIRST quadratic — measured at the third
+    * gen decade (2M vectors, c = 15,625): the assignment/training
+    * passes dominated at ~6 min wall while in-cell pairs cost seconds.
+    * d(total)/dS = 0 gives S* = sqrt(2n): both terms balance and the
+    * total drops to Θ(n^1.5·d) — 8x fewer flops at 2M vectors, and the
+    * per-decade wall ratio falls from ~100x (n²) to ~32x (n^1.5).
+    * (The remaining superlinearity is inherent to FLAT cluster
+    * assignment; a hierarchical/tree quantizer reaches n·log n and is
+    * the stated 100 TB path — SCALE.md §9.)
+    *
+    * The 128 floor keeps every corpus below ~8k vectors on the
+    * historical derivation (committed sf0.001/sf0.01 fixtures: c = 16,
+    * results unchanged); recall only improves as cells grow, since
+    * boundary misses shrink while the threshold owns precision. */
+  def scaledCellCount(n: Long, targetCellSize: Int = TargetCellSize): Int = {
+    val s = math.max(targetCellSize.toLong, math.ceil(math.sqrt(2.0 * n)).toLong)
+    math.max(16L, (n + s - 1) / s).toInt
+  }
 
   /** Exact cosine top-k of `queryVecId`'s embedding against the corpus. */
   def bruteForceTopK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {

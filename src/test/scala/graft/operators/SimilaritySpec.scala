@@ -165,12 +165,15 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
-  test("scaledCellCount floors at the historical c=16 and grows with the " +
-    "corpus at constant cell size") {
+  test("scaledCellCount floors at the historical c=16 and grows cell " +
+    "size as sqrt(2n) past the 128 floor (assignment/pair cost balance)") {
     assert(Similarity.scaledCellCount(0L) === 16)
     assert(Similarity.scaledCellCount(2000L) === 16) // committed fixtures unchanged
     assert(Similarity.scaledCellCount(2049L) === 17)
-    assert(Similarity.scaledCellCount(200000L) === 1563)
+    // past n = 8192 the cell size follows sqrt(2n), so the cell count
+    // grows as sqrt(n/2): both cost terms balance (scaladoc derivation)
+    assert(Similarity.scaledCellCount(200000L) === 316)   // s = 633
+    assert(Similarity.scaledCellCount(2000000L) === 1000) // s = 2000
   }
 
   test("semantic dedup preflight refuses a model whose cells put the " +
