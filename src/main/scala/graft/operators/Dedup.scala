@@ -153,43 +153,73 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash near-dup pairs: chunk blocking + exact Hamming verification
-    * via bit_count(xor). The 64-bit signature is split into maxHamming+1
-    * chunks, so by pigeonhole any pair within the threshold agrees on at
-    * least one chunk — recall is exact at every threshold. The default
-    * (3 -> 4 x 16-bit chunks) is the classic web-dedup config; higher
-    * thresholds mean narrower chunks and fatter candidate buckets, so
-    * keep maxHamming small at scale.
+  /** Smallest agree-subset size m (see [[simhashPairs]]) whose block-key
+    * space keeps expected candidates ~linear in the corpus. A key of
+    * m x (64/(maxHamming+m)) bits over C(maxHamming+m, m) subsets emits
+    * ~subsets x n^2 / 2^keyBits uniform-hash candidates; pick the
+    * smallest m bounding that at `budget` candidates per document.
+    * At maxHamming = 3: m = 1 (the classic 4 x 16-bit config) up to
+    * ~520k docs, m = 2 (10 x 24-bit keys) to ~53M, m = 3 (20 x 30-bit
+    * keys) to ~1.7B — the fixed 16-bit key space saturates past 2^16
+    * docs and candidate mass turns quadratic (measured: 34x wall for the
+    * 100x -> 1000x decade at 5M docs before this derivation existed). */
+  def simhashAgreeChunks(nDocs: Long, maxHamming: Int = 3,
+      budget: Int = 32): Int =
+    (1 to 4).find { m =>
+      val keyBits = math.min(62, m * (64 / (maxHamming + m)))
+      val subsets = (0 until m).map(i => (maxHamming + m - i).toDouble / (i + 1))
+        .product
+      subsets * nDocs.toDouble <= budget.toDouble * math.pow(2.0, keyBits)
+    }.getOrElse(4)
+
+  /** SimHash near-dup pairs: pigeonhole blocking + exact Hamming
+    * verification via bit_count(xor). The 64-bit signature is split into
+    * maxHamming + agreeChunks chunks; any pair within the threshold
+    * differs in at most maxHamming chunks, so it AGREES on at least
+    * agreeChunks of them — every size-agreeChunks subset of chunk values
+    * becomes a block key (C(chunks, agreeChunks) keys per doc) and
+    * recall is exact at every threshold.
     *
-    * Chunk blocking has EXACT recall (pigeonhole), so the output equals
-    * the all-pairs hamming <= maxHamming answer for the chosen hash
-    * family. With `portableHash = true` that family is the md5-low-60
-    * token hash any engine can recompute — the registered dedup_simhash
-    * query runs this way and carries a full DuckDB oracle. */
+    * agreeChunks trades replication for key width: m = 1 is the classic
+    * 4-table 16-bit config (4 keys/doc, saturates past 2^16 docs — at
+    * 5M docs every 16-bit bucket holds ~76 docs and the join is
+    * quadratic); m = 3 emits 20 keys/doc but blocks on 30-bit keys.
+    * [[simhashAgreeChunks]] derives the smallest m whose key space keeps
+    * candidates ~linear — the multi-table scheme of Manku et al., WWW'07
+    * (near-duplicate detection for web crawling). Keys are xxhash64
+    * folds of (subset id, chunk values); a 64-bit collision only ADDS a
+    * candidate, which exact verification then filters, so the OUTPUT is
+    * blocking-invariant: the all-pairs hamming <= maxHamming answer for
+    * the chosen hash family at any agreeChunks. With `portableHash =
+    * true` that family is the md5-low-60 token hash any engine can
+    * recompute — the registered dedup_simhash query runs this way and
+    * carries a full (blocking-free, all-pairs) DuckDB oracle. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      portableHash: Boolean = false): DataFrame = {
+      portableHash: Boolean = false, agreeChunks: Int = 1): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 15,
       s"maxHamming must be in [1,15], got $maxHamming")
-    val chunks = maxHamming + 1
+    require(agreeChunks >= 1 && agreeChunks <= 4,
+      s"agreeChunks must be in [1,4], got $agreeChunks")
+    val chunks = maxHamming + agreeChunks
     val width = 64 / chunks
     val base = docs
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), HashFunctions.simhash(col("toks"), portableHash).as("sim"))
-    // chunk c covers bits [c*width, (c+1)*width) — the final chunk absorbs
-    // the 64 - chunks*width remainder bits
-    val chunked = base.selectExpr("doc_id", "sim",
-      s"""explode(transform(sequence(0, ${chunks - 1}), c -> struct(
-         |  c AS chunk,
-         |  shiftright(sim, CAST(c * $width AS INT))
-         |    & CASE WHEN c = ${chunks - 1} THEN shiftrightunsigned(-1L, ${(chunks - 1) * width})
-         |           ELSE ${(1L << width) - 1}L END AS cval))) AS x""".stripMargin)
-      .select(col("doc_id"), col("sim"), col("x.chunk").as("chunk"), col("x.cval").as("cval"))
-    val a = chunked.as("a")
-    val b = chunked.as("b")
-    a.join(b,
-        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
-          col("a.doc_id") < col("b.doc_id"))
+    // chunk c covers bits [c*width, (c+1)*width); the final chunk absorbs
+    // the 64 - chunks*width remainder bits (shiftright sign-extends, so
+    // the unsigned mask is load-bearing for the last chunk)
+    def cval(c: Int): Column = {
+      val mask = if (c == chunks - 1) -1L >>> (c * width) else (1L << width) - 1
+      shiftright(col("sim"), c * width).bitwiseAND(lit(mask))
+    }
+    val keys = (0 until chunks).combinations(agreeChunks).toSeq.zipWithIndex
+      .map { case (s, i) => xxhash64((lit(i) +: s.map(cval)): _*) }
+    val keyed = base.select(col("doc_id"), col("sim"),
+      explode(array(keys: _*)).as("bkey"))
+    val a = keyed.as("a")
+    val b = keyed.as("b")
+    a.join(b, col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.sim ^ b.sim)").cast(LongType).as("hamming"))
       .distinct()
@@ -358,10 +388,19 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 64,
       driverMax: Long = 1000000L): DataFrame = {
-    // checkpoint BEFORE the u/v-swap union: both edge directions (and
-    // every propagation round) reread the materialized pair list instead
-    // of recomputing the candidate-generation plan per branch
-    val p0 = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // Materialize BEFORE the u/v-swap union — both edge directions (and
+    // every propagation round) must reread the pair list, not recompute
+    // the candidate-generation plan per branch — and materialize through
+    // a temp-parquet SINK, not localCheckpoint: Dataset.localCheckpoint
+    // (and persist) freeze the physical plan before AQE runs, so the
+    // candidate self-join upstream loses adaptive skew-splitting and its
+    // hot-key partitions run as one-task stragglers (measured on the
+    // 5M-doc gen corpus: 146 s via localCheckpoint, 502 s via persist,
+    // 63 s for the identical plan through a sink). The round-trip keeps
+    // the expensive plan on the adaptive path; the reread is a trivial
+    // columnar scan of the (post-blocking, dedup-output-sized) list,
+    // and the parquet footer makes the driver-path count metadata-only.
+    val p0 = sinkMaterialize(pairs.select(col("doc_a"), col("doc_b")))
     if (p0.count() <= driverMax) return unionFindOnDriver(p0)
     val edges = p0.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(p0.select(col("doc_b").as("u"), col("doc_a").as("v")))
@@ -407,6 +446,28 @@ object Dedup {
       .join(sizes, "cluster_keeper")
       .select(col("doc_id"), col("cluster_keeper"), col("n_members"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Materialize a DataFrame through a temp-parquet round-trip. Unlike
+    * localCheckpoint/persist this executes the producing plan on the
+    * full adaptive path (AQE partition coalescing AND skew-join
+    * splitting — both are lost when a plan is frozen for caching), which
+    * is decisive when the plan contains a skewed self-join. Files go
+    * under `spark.graft.scratchDir` (any Hadoop-visible FS — on a
+    * cluster set it to shared scratch storage; defaults to the local
+    * tmpdir, right for local[*]) and are reaped at JVM exit via the
+    * filesystem's deleteOnExit hook — the returned DataFrame reads them
+    * lazily, so eager deletion is impossible and per-session leakage is
+    * bounded by the materialized bytes. */
+  private def sinkMaterialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val path = new org.apache.hadoop.fs.Path(root,
+      s"graft-sink-mat-${java.util.UUID.randomUUID}")
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(path)
+    df.write.mode("overwrite").parquet(path.toString)
+    spark.read.parquet(path.toString)
   }
 
   /** Union-find (path compression, union-by-min so the root IS the

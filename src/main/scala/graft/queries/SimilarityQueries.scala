@@ -46,9 +46,17 @@ object SimilarityQueries {
   // (pigeonhole), so the output is the all-pairs hamming <= 3 answer for
   // the md5-low-60 hash family — which DuckDB recomputes signature-for-
   // signature (per-bit vote aggregation + bit_count(xor)).
-  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3,
-      portableHash = true)
+  // agreeChunks derived from the corpus cardinality (a metadata-only
+  // parquet count): the 4 x 16-bit blocking saturates its key space past
+  // 2^16 docs (34x wall measured for the 100x -> 1000x gen decade); wider
+  // combinatorial keys keep candidates ~linear, and the OUTPUT is
+  // blocking-invariant (exact pigeonhole recall + exact verification),
+  // so the all-pairs oracle below is valid at every derived m.
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.simhashPairs(docs, maxHamming = 3, portableHash = true,
+      agreeChunks = Dedup.simhashAgreeChunks(docs.count()))
+  }
 
   private val dedupSimhashSql =
     """WITH toked AS (

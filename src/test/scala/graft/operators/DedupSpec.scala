@@ -170,6 +170,29 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // chunk blocking guarantees recall only through hamming 3 (4 chunks)
     assert(got === expected)
+    // blocking invariance: every agree-subset size keys DIFFERENT buckets
+    // (1x16-bit through 4x9-bit combined keys) yet pigeonhole recall +
+    // exact verification yield the identical all-pairs answer — the
+    // property that lets the registered query derive agreeChunks from
+    // corpus size without touching its all-pairs oracle
+    (2 to 4).foreach { m =>
+      val viaM = Dedup.simhashPairs(docs, maxHamming = 3, agreeChunks = m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(viaM === expected, s"agreeChunks=$m diverged from all-pairs")
+    }
+  }
+
+  test("simhashAgreeChunks widens block keys before their space saturates") {
+    // m = 1 blocks on 16-bit keys: 4 keys/doc over 2^16 buckets supports
+    // ~520k docs at the 32-candidates/doc budget; past that the bucket
+    // join is quadratic (measured 34x wall for the 100x->1000x gen decade
+    // at fixed m = 1) and the derivation steps to 24- then 30-bit keys
+    assert(Dedup.simhashAgreeChunks(2000L) === 1)
+    assert(Dedup.simhashAgreeChunks(500000L) === 1)
+    assert(Dedup.simhashAgreeChunks(600000L) === 2)
+    assert(Dedup.simhashAgreeChunks(5000000L) === 2)
+    assert(Dedup.simhashAgreeChunks(100000000L) === 3)
+    assert(Dedup.simhashAgreeChunks(2000000000L) === 4)
   }
 
   test("connected components merge overlapping pairs transitively, both paths") {
