@@ -32,6 +32,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // data-proportional shuffle width, AQE-coalesced back down for
+      // small plans — same setting (and rationale) as GraftSession.
+      // Env-overridable for A/B isolation of config effects from jitter.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -12,7 +12,17 @@ object GraftSession {
     *  - AQE on (runtime coalescing, skew-join splitting — the safety net
     *    behind the explicit salting/bucketing strategies in SCALE.md);
     *  - shuffle partitions sized to the core count, not the 200 default
-    *    (at cluster scale: 2-3x total executor cores);
+    *    (at cluster scale: 2-3x total executor cores) — the NON-adaptive
+    *    fallback, which stateful streaming (AQE-disabled) also uses;
+    *  - AQE initial partition count well ABOVE the core count: partitions
+    *    must scale with DATA while cores scale with the machine, and AQE
+    *    can only coalesce (merge) non-skewed shuffles, never split them —
+    *    at 32 initial partitions a 100M-row aggregation runs 3M-row
+    *    tasks that spill and sort superlinearly (measured: the winnowing
+    *    df-aggregation at 5M docs dropped ~40% wall moving 32 -> 256+).
+    *    Small shuffles still coalesce to ~core-count tasks at runtime
+    *    (parallelismFirst is Spark's default), so fixture-scale plans are
+    *    unaffected;
     *  - graft SQL functions registered via the session extension;
     *  - UTC timestamps for engine-portable semantics.
     */
@@ -23,7 +33,15 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // 64 MB: a dimension-sized table (an id list, a df table, a model)
+      // should broadcast rather than force a full shuffle of the fact
+      // side. Under AQE the decision uses measured runtime sizes, so only
+      // tables ACTUALLY below the threshold broadcast; 64 MB per executor
+      // is cheap next to re-shuffling a 100M-row probe side (measured:
+      // the winnowing df-cut join-back at 5M docs).
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
 

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, TextFunctions}
+import graft.operators.{Compute, Dedup}
+
+/** Dev utility: stage-by-stage wall decomposition of the winnowing and
+  * minhash pipelines at a given corpus — finds WHERE a scale decade's
+  * wall goes before any optimization is attempted.
+  * Usage: runMain graft.ProfileWinnow <dir> [winnow|minhash]
+  */
+object ProfileWinnow {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val which = if (args.length > 1) args(1) else "winnow"
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    def sink(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val docs = Tables.documents(spark, dir)
+
+    if (which == "winnow") {
+      val n = 3; val w = 4; val maxDf = 1000; val minShared = 2
+      // stage 1: tokenize + shingle + winnow + serialize into storage
+      val base = docs
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"),
+          TextFunctions.shingles(col("toks"), n).as("sh"),
+          HashFunctions.winnowing(col("toks"), n, w, portable = true).as("fp"))
+        .filter(size(col("sh")) > 0)
+      val baseCp = t("base_checkpointSer")(Compute.checkpointSer(base))
+      val inv0 = baseCp.filter(size(col("fp")) > 0)
+        .select(col("doc_id"), explode(col("fp")).as("f"))
+      t("inv_count")(println("  inv rows = " + inv0.count()))
+      // stage 2: df table (minDf = 2 cut, as in Dedup.dfCut since r10)
+      val dfs = inv0.groupBy(col("f")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf && col("__df") >= 2).drop("__df")
+      t("df_table_count")(println("  kept fps = " + dfs.count()))
+      // stage 3: cut join + self-join + pair agg -> candidates
+      val inv = inv0.join(dfs, "f")
+      t("cut_inv_count")(println("  cut inv rows = " + inv.count()))
+      val a = inv.as("a"); val b = inv.as("b")
+      val candidates = a.join(b,
+          col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+        .select(col("doc_a"), col("doc_b"))
+      val candCp = t("candidates_localCheckpoint")(candidates.localCheckpoint())
+      t("cand_count")(println("  candidates = " + candCp.count()))
+      // stage 4: verify join
+      t("verify")(sink(Dedup.verifyJaccard(candCp,
+        baseCp.select(col("doc_id"), col("sh")), 0.2,
+        maxCandidates = 16000000L)))
+    } else {
+      val numHashes = 64; val bands = 16
+      val sh = t("shingled")(Dedup.shingled(docs))
+      val withSig = sh.withColumn("sig",
+        HashFunctions.minhashSignature(col("sh"), numHashes))
+      t("sig_only")(sink(withSig.select(sum(element_at(col("sig"), 1).cast("double")))))
+      val bandRows = withSig
+        .select(col("doc_id"),
+          explode(Dedup.bandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val a = bandRows.as("a"); val b = bandRows.as("b")
+      val candidates = a.join(b,
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val candCp = t("candidates_localCheckpoint")(candidates.localCheckpoint())
+      t("cand_count")(println("  candidates = " + candCp.count()))
+      t("verify")(sink(Dedup.verifyJaccard(candCp, sh, 0.9,
+        maxCandidates = 16000000L)))
+    }
+    spark.stop()
+  }
+}

@@ -18,6 +18,8 @@ object TimeQuery {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -120,16 +120,20 @@ object Dedup {
     *
     * Candidates are localCheckpoint-ed internally (idempotent enough for
     * already-checkpointed inputs, and required: the set is counted once for
-    * the guard/broadcast decision and joined twice). When the set is small
-    * (<= maxBroadcastCandidates) it is broadcast at each step, so the
-    * shingle table streams through twice with zero shuffles; larger sets
-    * fall back to plain equi-joins that shuffle on doc_a / doc_b — same
-    * output, bounded memory. Defaults keep both paths reachable
-    * (maxBroadcastCandidates < maxCandidates); callers with a genuinely
-    * large post-blocking set raise maxCandidates (threaded through
-    * [[minhashPairs]]/[[winnowingPairs]]) rather than loosening blocking. */
+    * the guard/broadcast decision and joined twice). When the set is
+    * bounded (<= maxBroadcastCandidates pairs, ~32 MB of ids at the 2M
+    * default) the wide shingle table NEVER shuffles: its rows stream once
+    * through a broadcast id semi-join that keeps only candidate members
+    * (<= 2n of the corpus's n_docs rows — at 5M docs and 258k candidates
+    * that is a 10x width-weighted cut), the pruned slice is checkpointed,
+    * and the pair join runs between two candidate-sized sides. Larger
+    * sets fall back to plain equi-joins that shuffle the full shingle
+    * table on doc_a / doc_b — same output, bounded driver memory.
+    * Callers with a genuinely large post-blocking set raise maxCandidates
+    * (threaded through [[minhashPairs]]/[[winnowingPairs]]) rather than
+    * loosening blocking. */
   def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double,
-      maxBroadcastCandidates: Long = 200000L,
+      maxBroadcastCandidates: Long = 2000000L,
       maxCandidates: Long = 1000000L): DataFrame = {
     val cand = candidates.localCheckpoint()
     val n = cand.count()
@@ -140,11 +144,23 @@ object Dedup {
         "counts, a df cut) before verifying, or raise maxCandidates only if " +
         "the set is genuinely post-blocking.")
     val small = n <= maxBroadcastCandidates
+    val shSlim =
+      if (!small) sh
+      else {
+        // candidate-member prune: ids is <= 2n longs, broadcast once; the
+        // wide rows stream through the probe (no shuffle, no sort) and
+        // only members reach the checkpoint. Serialized storage: the rows
+        // carry full shingle arrays.
+        val ids = cand
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+        Compute.checkpointSer(sh.join(broadcast(ids), "doc_id"))
+      }
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val sa = shSlim.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = shSlim.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val withA = sa.join(hinted(cand), "doc_a")
-    sb.join(hinted(withA), "doc_b")
+    sb.join(withA, "doc_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .withColumn("jac_raw",
         col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
@@ -236,12 +252,13 @@ object Dedup {
     * maxDf^2/2 per key) at the cost of the recall contract stated on the
     * callers. Both the frequency aggregation and the rejoin hash on the
     * same key, so this costs one extra well-partitioned pass. */
-  private def dfCut(inv: DataFrame, key: String, maxDf: Int): DataFrame = {
+  private def dfCut(inv: DataFrame, key: String, maxDf: Int,
+      minDf: Int = 1): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
-    if (maxDf == Int.MaxValue) inv // no key can exceed it — skip the pass
+    if (maxDf == Int.MaxValue && minDf <= 1) inv // nothing can be cut
     else {
       val dfs = inv.groupBy(col(key)).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxDf)
+        .filter(col("__df") <= maxDf && col("__df") >= minDf)
         .drop("__df")
       inv.join(dfs, key)
     }
@@ -283,9 +300,15 @@ object Dedup {
         HashFunctions.winnowing(col("toks"), n, w, portableHash).as("fp"))
       .filter(size(col("sh")) > 0)
       .transform(Compute.checkpointSer) // wide shingle+fp arrays: serialized storage (OOM'd an 8g heap deserialized at sf~1)
+    // minDf = 2 is output-invariant for candidate generation: a SHARED
+    // fingerprint has df >= 2 by definition, so df = 1 postings cannot
+    // contribute to any pair — and on a Heaps-law corpus they are the
+    // overwhelming majority of the index (measured at 5M docs: 96% of
+    // 103M postings were unique; cutting them shrank the self-join input
+    // ~25x and the candidate stage 190 s -> seconds)
     val inv = dfCut(
       base.filter(size(col("fp")) > 0).select(col("doc_id"), explode(col("fp")).as("f")),
-      "f", maxDf)
+      "f", maxDf, minDf = 2)
     val a = inv.as("a")
     val b = inv.as("b")
     val candidates = a.join(b,
@@ -329,9 +352,14 @@ object Dedup {
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     // join on the 64-bit gram hash, not the gram text: same pairs (64-bit
     // collisions are vanishingly rare) at a fraction of the shuffle bytes
+    // minDf = 2: gram hashes appearing in ONE document cannot contribute
+    // to `common` (a shared gram has df >= 2), and per-doc set sizes are
+    // computed from the PRE-cut `sizes` projection above, so the cut is
+    // output-invariant — it only drops the (majority, on a Heaps-law
+    // corpus) unique-gram postings before the quadratic self-join
     val grams = dfCut(
       sh.select(col("doc_id"), explode(transform(col("sh"), g => xxhash64(g))).as("gram")),
-      "gram", maxDf)
+      "gram", maxDf, minDf = 2)
     val a = grams.as("a")
     val b = grams.as("b")
     val common = a.join(b,
