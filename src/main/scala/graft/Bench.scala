@@ -113,6 +113,12 @@ object Bench {
           catch { case _: Throwable => false }
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
+      // between passes (outside every per-query timer): drop dead
+      // checkpoint blocks and let the ContextCleaner reap dead shuffle
+      // files/broadcasts, so pass N+1 never pays pass N's disk backlog
+      // (see ScaleFamilies.dropCheckpoints for the corpus-scale evidence)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
       (p1, timings)
     }
     // per-query min over the passes where the query succeeded; "failed"

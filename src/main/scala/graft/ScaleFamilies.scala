@@ -63,8 +63,18 @@ object ScaleFamilies {
     // 58.4 s warm standalone). Blocking-unpersist between families keeps
     // peak storage = one family's working set — same discipline as
     // Verify, and it runs OUTSIDE the timed window.
-    def dropCheckpoints(): Unit =
+    def dropCheckpoints(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // Shuffle files and broadcasts are reaped by the ContextCleaner only
+      // when the driver GC collects their references; with a multi-GB heap
+      // a full GC may not run for many families and tens of GB of DEAD
+      // shuffle data pile up on local disk, throttling later families'
+      // shuffles (measured at gen1000x: sim_knn_graph 253.7 s as family 14
+      // of the loop vs 52.3 s warm standalone). An explicit GC between
+      // families (outside every timed window) lets the cleaner reap after
+      // each family, bounding on-disk state to one family's working set.
+      System.gc()
+    }
 
     all.foreach { case (name, fn) =>
       try fn("/root/testdata/sf0.01").write.format("noop").mode("overwrite").save()

@@ -18,8 +18,10 @@ object TimeQuery {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -39,6 +39,10 @@ object Verify {
       // OOMed an 8 GB heap (the blocking-unpersist here keeps peak
       // storage = one query's working set, not the session's union)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // let the ContextCleaner reap dead shuffle files/broadcasts per
+      // query — across ~97 queries at corpus scale the dead-shuffle
+      // backlog otherwise throttles later queries (see ScaleFamilies)
+      System.gc()
     }
     // oracle SQL dumped AFTER the queries ran — the IVF oracles are
     // built from the centroid model each query pins at run time
