@@ -58,6 +58,17 @@ object SimilarityQueries {
       agreeChunks = Dedup.simhashAgreeChunks(docs.count()))
   }
 
+  // The final join is PIGEONHOLE-BANDED, not all-pairs: a.doc_id < b.doc_id
+  // alone is n^2/2 comparisons (1.25e13 at the 5M-doc gen1000x corpus —
+  // hours in any engine), while hamming <= 3 over the 60-bit signature
+  // means at most 3 of 5 disjoint 12-bit chunks differ, so every
+  // qualifying pair AGREES on at least one of the C(5,2) = 10 chunk
+  // 2-subsets — a theorem about the signature, not engine behavior, and
+  // deliberately a DIFFERENT decomposition (12-bit chunks, plain
+  // 3-column keys) from the engine's 64/(maxHamming+m)-bit xxhash64
+  // scheme. Chunk agreement only generates CANDIDATES; the exact
+  // bit_count verification then makes the result identical to the
+  // all-pairs answer at every corpus size.
   private val dedupSimhashSql =
     """WITH toked AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -74,11 +85,25 @@ object SimilarityQueries {
       |), sig AS (
       |  SELECT doc_id, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sim
       |  FROM votes GROUP BY 1
+      |), keyed AS (
+      |  -- block keys: the chunk-value pair of every 2-subset of the five
+      |  -- 12-bit signature chunks (pigeonhole: hamming <= 3 => >= 2 equal)
+      |  SELECT doc_id, sim, p.sid,
+      |    (sim >> (p.i * 12)) & 4095 AS cvi,
+      |    (sim >> (p.j * 12)) & 4095 AS cvj
+      |  FROM sig CROSS JOIN (VALUES (0,0,1),(1,0,2),(2,0,3),(3,0,4),(4,1,2),
+      |    (5,1,3),(6,1,4),(7,2,3),(8,2,4),(9,3,4)) AS p(sid, i, j)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.sim AS sa, b.sim AS sb
+      |  FROM keyed a JOIN keyed b
+      |    ON a.sid = b.sid AND a.cvi = b.cvi AND a.cvj = b.cvj
+      |    AND a.doc_id < b.doc_id
       |)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
-      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+      |SELECT doc_a, doc_b,
+      |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(sa, sb)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
