@@ -231,6 +231,13 @@ def main(sf_dir: str, out_dir: str, json_out=None) -> int:
     if json_out:
         art = {"queries": dict(sorted(results.items())), "sf_dir": sf_dir,
                "summary": f"pass={n_pass} fail={n_fail} rows_only={n_noora}"}
+        if only_spec:
+            # a filtered replay must be self-identifying: pass/fail totals
+            # cover only the SELF_CHECK_ONLY subset, and a json_out write
+            # would otherwise be indistinguishable from a full gate (the
+            # caller merges partials; consumers check this flag)
+            art["partial"] = True
+            art["self_check_only"] = only_spec
         if DRIFTED_CLOSURE:
             art["closure_prefix_drift"] = sorted(set(DRIFTED_CLOSURE))
         with open(json_out, "w") as f:

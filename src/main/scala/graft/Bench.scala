@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** 1m + 5m load averages from /proc/loadavg (the MXBean exposes only the
   * 1m figure); non-Linux fallback reports the MXBean 1m and -1 for 5m. */
@@ -28,19 +27,10 @@ object Bench {
     // refusing quiet-box runs on their own self-load
     val (startL1, startL5) = Loadavg.read()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // data-proportional shuffle width, AQE-coalesced back down for
-      // small plans — same setting (and rationale) as GraftSession.
-      // Env-overridable for A/B isolation of config effects from jitter.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
-      .config("spark.sql.autoBroadcastJoinThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the SHIPPED session config plus the harness env overrides — see
+    // GraftSession.harnessBuilder (benchmarking a hand-copied config
+    // subset is how a library knob silently escapes measurement)
+    val spark = GraftSession.harnessBuilder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY restricts the run to named queries (same
     // prefix-star semantics as Verify, via QueryFilter) — the pre-commit

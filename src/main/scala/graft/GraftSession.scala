@@ -46,4 +46,30 @@ object GraftSession {
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
 
   def getOrCreate(): SparkSession = builder().getOrCreate()
+
+  /** The measurement-harness session (Bench / Verify / TimeQuery): the
+    * library [[builder]] above — so the benchmarked, the verified, and
+    * the shipped configuration are one configuration and cannot drift
+    * (hand-copied subsets previously omitted the extensions registration
+    * and picked up new GraftSession knobs only by luck) — plus the env
+    * overrides the tools use to isolate a config knob from jitter in an
+    * A/B run:
+    *  - SPARK_GRAFT_CPUS: local[] core count (default 32, the harness
+    *    box);
+    *  - SPARK_GRAFT_SHUFFLE_PARTITIONS: non-adaptive shuffle width
+    *    (default = cpus);
+    *  - SPARK_GRAFT_INITIAL_PARTITIONS / SPARK_GRAFT_BROADCAST_THRESHOLD:
+    *    the data-proportional AQE width and broadcast threshold defaults.
+    * The UI is off: a measurement tool should not pay (or time) the UI
+    * listener path. */
+  def harnessBuilder(): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    builder(master = s"local[$cpus]", shufflePartitions = parts.toInt)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
+      .config("spark.ui.enabled", "false")
+  }
 }

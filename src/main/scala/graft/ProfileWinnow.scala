@@ -27,6 +27,31 @@ object ProfileWinnow {
       df.write.format("noop").mode("overwrite").save()
     val docs = Tables.documents(spark, dir)
 
+    // PROFILE_E2E_AB=1: paired end-to-end alternation of the candidate
+    // materialization strategies through the REGISTERED query, in one
+    // JVM — JIT warm-up, page cache, and ambient drift hit both arms
+    // equally, so the adjacent-pair deltas are the decision evidence for
+    // verifyJaccard's default (single-JVM-per-arm runs on this box swing
+    // 2x on ambient noise alone). Checkpoint blocks are dropped and the
+    // ContextCleaner given a GC between reps, as in ScaleFamilies.
+    if (sys.env.get("PROFILE_E2E_AB").contains("1")) {
+      val query = if (which == "winnow") "dedup_winnowing" else "dedup_minhash_lsh"
+      def drop(): Unit = {
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        System.gc()
+      }
+      (1 to 3).foreach { round =>
+        Seq("localCheckpoint", "sink").foreach { strat =>
+          spark.conf.set("spark.graft.candidateMaterialize", strat)
+          t(s"${query}_e2e_${strat}_$round")(sink(
+            SparkEntry.queries(query)(spark, dir)))
+          drop()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (which == "winnow") {
       val n = 3; val w = 4; val maxDf = 1000; val minShared = 2
       // stage 1: tokenize + shingle + winnow + serialize into storage
@@ -54,6 +79,26 @@ object ProfileWinnow {
         .agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= minShared)
         .select(col("doc_a"), col("doc_b"))
+      // materialization A/B (PROFILE_CAND_AB=1): execute the IDENTICAL
+      // candidate plan through localCheckpoint (frozen physical plan, no
+      // AQE) and through a parquet sink (full adaptive path), alternating
+      // twice — the decisive input for verifyJaccard's materialization
+      // choice (see its scaladoc). Outside the A/B the stage runs once,
+      // via localCheckpoint, as the production winnowingPairs does.
+      if (sys.env.get("PROFILE_CAND_AB").contains("1")) {
+        (1 to 2).foreach { round =>
+          t(s"cand_via_localCheckpoint_$round") {
+            val c = candidates.localCheckpoint()
+            println("  candidates = " + c.count())
+            c.unpersist(true)
+          }
+          t(s"cand_via_parquet_sink_$round") {
+            val p = s"/tmp/prof_cand_sink_$round"
+            candidates.write.mode("overwrite").parquet(p)
+            println("  candidates = " + spark.read.parquet(p).count())
+          }
+        }
+      }
       val candCp = t("candidates_localCheckpoint")(candidates.localCheckpoint())
       t("cand_count")(println("  candidates = " + candCp.count()))
       // stage 4: verify join

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Dev utility: time one named query N times in a warm JVM.
   * Usage: runMain graft.TimeQuery <name> <sfDir> [reps]
   */
@@ -10,21 +8,11 @@ object TimeQuery {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // independent partition override: the scale experiments need
-    // "same cores, more shuffle partitions" (the cluster-sizing rule —
+    // shared harness session (see GraftSession.harnessBuilder): the
+    // scale experiments' "same cores, more shuffle partitions" knob is
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS (the cluster-sizing rule —
     // partitions scale with DATA, cores with the machine)
-    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
-      .config("spark.sql.autoBroadcastJoinThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.harnessBuilder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>

@@ -1,27 +1,20 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Optional restriction for partial-table fixtures (the GenScaledCorpus
     // dirs carry only documents+embeddings): QueryFilter semantics,
     // shared with Bench. Unset → full registry (the driver's contract is
     // unchanged).
     val only: Option[String => Boolean] = QueryFilter.fromEnv
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // data-proportional shuffle width, AQE-coalesced back down for
-      // small plans — same setting (and rationale) as GraftSession
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the SHIPPED session config plus the harness env overrides (shared
+    // with Bench/TimeQuery via GraftSession.harnessBuilder) — verifying
+    // under a hand-copied config subset would let an A/B knob isolate
+    // the bench but never the correctness harness
+    val spark = GraftSession.harnessBuilder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val selected = only.fold(SparkEntry.queries)(p =>

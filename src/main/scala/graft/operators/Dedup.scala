@@ -102,8 +102,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verifyJaccard checkpoints the candidate set, so the band self-join
-    // is materialized once, not recomputed per broadcast
+    // verifyJaccard materializes the candidate set, so the band self-join
+    // is executed once, not recomputed per broadcast
     verifyJaccard(candidates, sh, threshold, maxCandidates = maxCandidates)
   }
 
@@ -118,9 +118,16 @@ object Dedup {
     * [[ngramJaccardPairs]], which scores count-based on the inverted index
     * and never materializes a candidate list.
     *
-    * Candidates are localCheckpoint-ed internally (idempotent enough for
-    * already-checkpointed inputs, and required: the set is counted once for
-    * the guard/broadcast decision and joined twice). When the set is
+    * Candidates are materialized internally ([[materializeCandidates]]:
+    * localCheckpoint by default, a temp-parquet sink via
+    * `spark.graft.candidateMaterialize=sink`), required because the set
+    * is counted once for the guard/broadcast decision and joined twice.
+    * Unlike [[connectedComponents]]'s input (an UNCUT pair plan where
+    * the sink's AQE skew-splitting was worth 146 s -> 63 s), every
+    * candidate plan reaching this function is post-blocking with BOUNDED
+    * join groups (df cut / band buckets), so plan freezing costs no
+    * skew rescue here — see [[materializeCandidates]] for the measured
+    * choice. When the set is
     * bounded (<= maxBroadcastCandidates pairs, ~32 MB of ids at the 2M
     * default) the wide shingle table NEVER shuffles: its rows stream once
     * through a broadcast id semi-join that keeps only candidate members
@@ -131,11 +138,17 @@ object Dedup {
     * table on doc_a / doc_b — same output, bounded driver memory.
     * Callers with a genuinely large post-blocking set raise maxCandidates
     * (threaded through [[minhashPairs]]/[[winnowingPairs]]) rather than
-    * loosening blocking. */
+    * loosening blocking. Defaults note: maxBroadcastCandidates (2M) >
+    * maxCandidates (1M) deliberately — at defaults every admitted set
+    * takes the broadcast-pruned path and the equi-join fallback is
+    * reachable only when a caller raises maxCandidates past 2M (as the
+    * harness's scale queries do with 16M); the broadcast hints stay
+    * bounded at ~32 MB of pair ids either way because the guard rejects
+    * anything larger before a hint is placed. */
   def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double,
       maxBroadcastCandidates: Long = 2000000L,
       maxCandidates: Long = 1000000L): DataFrame = {
-    val cand = candidates.localCheckpoint()
+    val cand = materializeCandidates(candidates)
     val n = cand.count()
     require(n <= maxCandidates,
       s"verifyJaccard got $n candidate pairs (> maxCandidates=$maxCandidates). " +
@@ -257,8 +270,15 @@ object Dedup {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     if (maxDf == Int.MaxValue && minDf <= 1) inv // nothing can be cut
     else {
+      // at maxDf == Int.MaxValue only the minDf prune applies: __df is a
+      // Long, and comparing it against the Int sentinel would silently
+      // drop a key with df > 2^31-1 — exactly the theoretical-scale key
+      // the "exact regardless of corpus df shape" default contract keeps
+      val keep =
+        if (maxDf == Int.MaxValue) col("__df") >= minDf
+        else col("__df") <= maxDf && col("__df") >= minDf
       val dfs = inv.groupBy(col(key)).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxDf && col("__df") >= minDf)
+        .filter(keep)
         .drop("__df")
       inv.join(dfs, key)
     }
@@ -332,9 +352,11 @@ object Dedup {
     * [[verifyJaccard]] cost 34x at sf0.1 — the count-based shape is also
     * exactly the query's DuckDB oracle.)
     *
-    * maxDf contract: with the default (Int.MaxValue) the cut is skipped
-    * and the result is the complete exact all-pairs answer — this is the
-    * oracle-checked configuration, exact regardless of corpus df shape.
+    * maxDf contract: with the default (Int.MaxValue) no gram is dropped
+    * for being frequent (the df pass still runs, for the output-invariant
+    * minDf = 2 unique-gram prune) and the result is the complete exact
+    * all-pairs answer — this is the oracle-checked configuration, exact
+    * regardless of corpus df shape.
     * A finite maxDf drops grams with document frequency > maxDf BEFORE the
     * self-join, bounding every posting list (worst-case fan-out maxDf^2/2
     * per gram — the boilerplate skew-bomb guard for dirty corpora). Under
@@ -475,6 +497,35 @@ object Dedup {
       .select(col("doc_id"), col("cluster_keeper"), col("n_members"))
       .orderBy(col("doc_id"))
   }
+
+  /** Materialization point for [[verifyJaccard]]'s candidate set, with
+    * the strategy selectable via `spark.graft.candidateMaterialize`
+    * (`localCheckpoint` — the default — or `sink`).
+    *
+    * Why localCheckpoint here when [[connectedComponents]] measured the
+    * sink 2.3x faster for ITS input: that input is the UNCUT ngram pair
+    * plan, whose inverted-index self-join carries real key skew that
+    * only the sink's full-AQE execution can split at runtime. Every
+    * candidate plan reaching verifyJaccard is already skew-BOUNDED by
+    * construction — the df cut caps every posting list at maxDf (join
+    * fan-out <= maxDf^2/2 per key) and LSH banding keeps bucket sizes
+    * near-constant — so plan freezing forfeits no skew rescue.
+    * Measured at the 5M-doc gen corpus (paired strategy alternation
+    * inside one JVM, PLANS_r11 §1): localCheckpoint 151.5/98.7/185.4 s
+    * vs sink 151.6/218.7/67.2 s end-to-end winnowing — statistically
+    * indistinguishable under the box's 2-3x ambient swing, while at
+    * sf0.1 the sink's fixed write+read+listing cost is a real ~10-20%
+    * on the 1-2 s verify-family queries. On a MULTI-EXECUTOR cluster,
+    * prefer `sink` via the conf: localCheckpoint blocks are
+    * non-replicated executor-local state with truncated lineage (an
+    * executor loss kills the job), while the sink round-trips through
+    * shared scratch (`spark.graft.scratchDir`) and recomputes like any
+    * scan. */
+  private def materializeCandidates(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.candidateMaterialize") match {
+      case Some("sink") => sinkMaterialize(df)
+      case _ => df.localCheckpoint()
+    }
 
   /** Materialize a DataFrame through a temp-parquet round-trip. Unlike
     * localCheckpoint/persist this executes the producing plan on the

@@ -154,6 +154,18 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(viaBroadcast.nonEmpty)
     assert(viaBroadcast === viaShuffle)
+    // the sink materialization strategy (the cluster fault-tolerance
+    // option, spark.graft.candidateMaterialize=sink) is output-invariant
+    val prior = spark.conf.getOption("spark.graft.candidateMaterialize")
+    spark.conf.set("spark.graft.candidateMaterialize", "sink")
+    try {
+      val viaSink = Dedup.verifyJaccard(candidates, sh, 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(viaSink === viaBroadcast)
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.graft.candidateMaterialize", v)
+      case None => spark.conf.unset("spark.graft.candidateMaterialize")
+    }
   }
 
   test("simhash pairs agree with brute-force hamming over all doc pairs") {

@@ -165,6 +165,32 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("the DEFAULT 5-sigma threshold recovers planted near-dups on the " +
+    "gen-model corpus (non-vacuous gate for the default path)") {
+    // The sf0.01 oracle row for dedup_semantic passes at 0 = 0 rows at
+    // the 5-sigma default — vacuously green. This gate runs the SAME
+    // default path against the gen-model corpus (scale 1, in-memory:
+    // GenScaledCorpus plants a 5% near-copy rate at cos ~0.78-0.9, well
+    // above 0.65), so a silently-empty default path CANNOT stay green:
+    // if the 5-sigma regime ever emits nothing where dups are planted,
+    // this fails. gen1x oracle evidence: 56 recovered of ~105 planted
+    // (the remainder are SemDeDup's by-design cell-boundary misses).
+    val gen = graft.GenScaledCorpus.embeddingsDf(spark, scale = 1)
+    val got = Similarity.semanticDupPairs(gen, Similarity.DefaultSemanticThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty,
+      "default-threshold semantic dedup emitted NOTHING on a corpus with " +
+        "planted >=5-sigma near-dups — the default path is silently empty")
+    assert(got.length >= 40, s"recall collapsed: ${got.length} of ~105 planted")
+    // at 5 sigma and 2000 vectors the organic-pair mass is ~1e-2 expected
+    // pairs, so every emitted pair must be a planted (source, copier) pair:
+    // consecutive ids with the copier id on the generator's residue grid
+    got.foreach { case (a, b) =>
+      assert(b == a + 1 && (b % 20 == 19 || b % 333 == 332),
+        s"non-planted pair ($a,$b) at 5 sigma — organic noise floor leaked in")
+    }
+  }
+
   test("scaledCellCount floors at the historical c=16 and grows cell " +
     "size as sqrt(2n) past the 128 floor (assignment/pair cost balance)") {
     assert(Similarity.scaledCellCount(0L) === 16)
