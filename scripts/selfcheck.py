@@ -138,6 +138,12 @@ def main(sf_dir: str, out_dir: str, json_out=None) -> int:
     mem = os.environ.get("SELF_CHECK_DUCKDB_MEM")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
+    # big-fixture replays can also be CPU-budgeted so a long oracle run
+    # can share the box with timed Spark work (DuckDB defaults to all
+    # cores)
+    thr = os.environ.get("SELF_CHECK_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):
