@@ -34,7 +34,9 @@ object CnjBench {
       .map(_.filter(_.isFile)).getOrElse(Array.empty[java.io.File])
     val corpusBytes = corpusFiles.map(_.length()).sum
     val nFiles = corpusFiles.length
-    val spark = GraftSession.getOrCreate()
+    // measurement tool -> the shared harness session (same config as the
+    // shipped CnjMain session plus the A/B env overrides and UI off)
+    val spark = GraftSession.harnessBuilder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the corpus is 90 files, the largest ~119 MB: at the default 128 MB
     // maxPartitionBytes that file is a single task and becomes the

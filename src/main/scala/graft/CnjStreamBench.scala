@@ -33,7 +33,9 @@ object CnjStreamBench {
     val filesPerTrigger = if (args.length > 1) args(1).toInt else 10
     val restartAfter = if (args.length > 2) args(2).toInt else 0
     val (l1, l5) = Loadavg.read()
-    val spark = GraftSession.getOrCreate()
+    // measurement tool -> the shared harness session (same config as the
+    // shipped CnjMain session plus the A/B env overrides and UI off)
+    val spark = GraftSession.harnessBuilder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // same split sizing as CnjBench: the largest court file (~119 MB)
     // must not be one task
