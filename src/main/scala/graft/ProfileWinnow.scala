@@ -15,7 +15,9 @@ object ProfileWinnow {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val which = if (args.length > 1) args(1) else "winnow"
-    val spark = GraftSession.getOrCreate()
+    // measurement tool -> the shared harness session, so a profile and
+    // the bench it explains run under one configuration
+    val spark = GraftSession.harnessBuilder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()

@@ -33,7 +33,11 @@ object ScaleFamilies {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val includeQuadratic = sys.env.get("INCLUDE_QUADRATIC").contains("1")
-    val spark = GraftSession.getOrCreate()
+    // measurement tool -> the shared harness session (library config +
+    // SPARK_GRAFT_* env overrides, UI off), like Bench/Verify/TimeQuery.
+    // At default env this is config-identical to the library session
+    // except spark.ui.enabled=false.
+    val spark = GraftSession.harnessBuilder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // scale from the corpus, not an env knob that could disagree with it
     val scale = math.max(1,

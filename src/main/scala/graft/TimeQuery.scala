@@ -19,6 +19,12 @@ object TimeQuery {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[time] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // same between-unit discipline as Verify/ScaleFamilies: dead
+      // operator-internal checkpoint blocks and shuffle files otherwise
+      // accumulate across reps at corpus scale and inflate later reps
+      // (runs OUTSIDE the timed window)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
     }
     spark.stop()
   }
