@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,9 +12,39 @@ import graft.operators.{Compute, Dedup}
 /** Dev utility: stage-by-stage wall decomposition of the winnowing and
   * minhash pipelines at a given corpus — finds WHERE a scale decade's
   * wall goes before any optimization is attempted.
+  *
+  * Every stage also reports task-metric deltas (memory/disk bytes
+  * SPILLED and shuffle bytes written). Unlike wall time, spill bytes
+  * are a property of the JVM's own memory manager — ambient box load
+  * cannot fake or hide them — so they adjudicate WHICH regime a decade
+  * runs in: a family whose wall goes super-linear while spill stays 0
+  * has an algorithmic problem; one whose spill ignites in the same
+  * decade is out of single-box memory, not out of plan.
   * Usage: runMain graft.ProfileWinnow <dir> [winnow|minhash]
   */
 object ProfileWinnow {
+  /** Aggregates spill/shuffle task metrics across all tasks. Listener
+    * delivery is async; snapshot() gives the bus a short drain window
+    * after the stage's job has returned (a dev profiler can afford the
+    * 300 ms; production code would use a QueryExecutionListener). */
+  private final class SpillProbe extends SparkListener {
+    val memSpill = new AtomicLong
+    val diskSpill = new AtomicLong
+    val shufWrite = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def snapshot(): (Long, Long, Long) = {
+      Thread.sleep(300)
+      (memSpill.get, diskSpill.get, shufWrite.get)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val which = if (args.length > 1) args(1) else "winnow"
@@ -19,10 +52,26 @@ object ProfileWinnow {
     // the bench it explains run under one configuration
     val spark = GraftSession.harnessBuilder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val probe = new SpillProbe
+    spark.sparkContext.addSparkListener(probe)
+    def gb(b: Long): String = f"${b / 1e9}%.2f GB"
+    // cached-block residency: MEMORY_AND_DISK_SER checkpoints EVICT to
+    // disk when the storage pool overflows — a memory-regime change the
+    // spill counters never see (eviction is storage, spill is execution)
+    def cached(): (Long, Long) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(_.memSize).sum, infos.map(_.diskSize).sum)
+    }
     def t[A](name: String)(f: => A): A = {
+      val (m0, d0, w0) = probe.snapshot()
       val t0 = System.nanoTime()
       val r = f
-      println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (m1, d1, w1) = probe.snapshot()
+      val (cm, cd) = cached()
+      println(f"[prof] $name: $wall%.1f s  spillMem=${gb(m1 - m0)} " +
+        s"spillDisk=${gb(d1 - d0)} shufWrite=${gb(w1 - w0)} " +
+        s"cachedMem=${gb(cm)} cachedDiskEvict=${gb(cd)}")
       r
     }
     def sink(df: DataFrame): Unit =

@@ -53,8 +53,21 @@ object ScaleFamilies {
           ((d: String) => SparkEntry.queries("embed_neardup_blocked")(spark, d)))
       else Nil
 
+    // SCALE_FAMILIES_ONLY=<name[,name…]>: run a subset, one family per
+    // fresh JVM. The suite-in-one-JVM statistic measures a MARATHON —
+    // at the third decade the families interfere (page-cache churn and
+    // the previous family's asynchronous shuffle-file reaping overlap
+    // the next timed window) and a row can read 6x its standalone wall
+    // (dedup_winnowing at gen1000x: 208.6 s as family 4 of the suite vs
+    // 31.8 s standalone warm-min, same 24g heap — SCALE.md §9). A
+    // caller loops this knob and merges rows to get the per-family
+    // engine number; the no-knob suite stays the cross-round series.
+    val only = sys.env.get("SCALE_FAMILIES_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val all: Seq[(String, String => org.apache.spark.sql.DataFrame)] =
-      Families.map(n => n -> ((d: String) => SparkEntry.queries(n)(spark, d))) ++ extra
+      (Families.map(n => n -> ((d: String) => SparkEntry.queries(n)(spark, d))) ++ extra)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+    require(all.nonEmpty, s"SCALE_FAMILIES_ONLY matched no family: $only")
 
     // JIT/codegen warm-up at the small committed fixture — failures are
     // LOGGED, not swallowed: a family that never warmed up carries
@@ -91,14 +104,18 @@ object ScaleFamilies {
     // landing prep, as in Bench: the pretrained probe's first-ever
     // invocation on a corpus trains + persists the model — a once-per-
     // corpus-lifetime cost that must not be billed to the timed probe
-    try SparkEntry.queries("sim_topk_ivf_pretrained")(spark, dir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case e: Throwable =>
-      System.err.println(
-        s"WARNING: landing prep failed (${e.getMessage}); " +
-          "sim_topk_ivf_pretrained's timed number will include training")
+    // (skipped when SCALE_FAMILIES_ONLY excludes the probe: training at
+    // corpus scale would bill ~a minute to every unrelated family's JVM)
+    if (all.exists(_._1 == "sim_topk_ivf_pretrained")) {
+      try SparkEntry.queries("sim_topk_ivf_pretrained")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(
+          s"WARNING: landing prep failed (${e.getMessage}); " +
+            "sim_topk_ivf_pretrained's timed number will include training")
+      }
+      dropCheckpoints()
     }
-    dropCheckpoints()
 
     val (l1, l5) = Loadavg.read()
     val results = all.map { case (name, fn) =>
