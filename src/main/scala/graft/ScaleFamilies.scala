@@ -91,6 +91,17 @@ object ScaleFamilies {
       // families (outside every timed window) lets the cleaner reap after
       // each family, bounding on-disk state to one family's working set.
       System.gc()
+      // SCALE_FAMILIES_SETTLE_S: optional pause after the GC (outside the
+      // timed window) to let the ContextCleaner's ASYNCHRONOUS deletion of
+      // the previous family's shuffle files drain before the next timed
+      // window opens (the GC only queues the cleanup; the IO proceeds
+      // concurrently). Measured at gen1000x (r11, 4-family alternating
+      // A/B): a 20 s settle was a TIE — the marathon-context inflation is
+      // not drained by pausing, it migrates between families run-to-run
+      // (SCALE.md §9). Default 0; the knob stays for boxes where delete
+      // IO genuinely contends with the next family's shuffle writes.
+      sys.env.get("SCALE_FAMILIES_SETTLE_S").map(_.toInt).filter(_ > 0)
+        .foreach(s => Thread.sleep(s * 1000L))
     }
 
     all.foreach { case (name, fn) =>
