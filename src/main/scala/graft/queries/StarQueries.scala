@@ -515,6 +515,38 @@ object StarQueries {
       |  TRUE AS within_15pct
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- approximate quantile (the mergeable-sketch percentile) under the
+  // same bounded-oracle discipline as approx_distinct: the raw estimate is
+  // engine-specific, so the row emits the exact interpolated median (the
+  // cross-engine anchor, per percentile_exact) plus a flag testing Spark's
+  // own percentile_approx(0.5, accuracy=100) against the exact p45-p55
+  // VALUE band — a 5x margin over the sketch's documented <= 1% rank
+  // error. DuckDB emits the flag literally TRUE; a sketch regression
+  // flips it and fails the hash compare. At 100 TB the sketch is the only
+  // viable shape: exact percentile buffers every group value for a sort,
+  // while the approx aggregator carries O(accuracy) mergeable state per
+  // (group x partition) partial — same reason the exact anchor here rides
+  // along only for the oracle, not for production.
+  private def approxQuantile(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile_approx(o_totalprice, 0.5D, 100)").as("approx_med"),
+        expr("percentile(o_totalprice, 0.45D)").as("p45"),
+        expr("percentile(o_totalprice, 0.5D)").as("p50"),
+        expr("percentile(o_totalprice, 0.55D)").as("p55"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderstatus"), round(col("p50"), 4).as("median_exact"),
+        col("n"),
+        (col("approx_med") >= col("p45") &&
+          col("approx_med") <= col("p55")).as("within_rank_band"))
+      .orderBy(col("o_orderstatus"))
+
+  private val approxQuantileSql =
+    """SELECT o_orderstatus,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_exact,
+      |  COUNT(*) AS n, TRUE AS within_rank_band
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---- skew-safe two-phase aggregation: partial agg on (key, salt), final
   // agg on key. Identical result to the plain groupBy (the oracle), but the
   // hot keys (only 3 return flags) fan out over 16 partitions first — the
@@ -780,6 +812,7 @@ object StarQueries {
     QueryDef("collect_set_sorted", Some(collectSetSortedSql), collectSetSorted),
     QueryDef("percentile_exact", Some(percentileExactSql), percentileExact),
     QueryDef("approx_distinct", Some(approxDistinctSql), approxDistinct),
+    QueryDef("approx_quantile", Some(approxQuantileSql), approxQuantile),
     QueryDef("skew_salted_agg", Some(skewSaltedAggSql), skewSaltedAgg),
   )
 }
