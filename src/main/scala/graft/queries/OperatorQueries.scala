@@ -5,13 +5,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, DecimalType}
 
 import graft.{QueryDef, Tables}
+import graft.functions.LayoutFunctions
 import graft.operators.Joins
+import graft.sources.ScanPruning
 
 /** Harness queries for the composed join operators (graft.operators.Joins)
-  * — as-of, range (band), and salted joins. Each oracle states the naive
-  * relational semantics (ASOF JOIN / range predicate / plain equi-join);
-  * the Spark side demonstrates the scale-shaped plan that computes the
-  * identical result.
+  * — as-of, range (band), and salted joins — plus the z-order layout key.
+  * Each oracle states the naive relational semantics (ASOF JOIN / range
+  * predicate / plain equi-join / unrolled bit arithmetic); the Spark side
+  * demonstrates the scale-shaped plan that computes the identical result.
   */
 object OperatorQueries {
 
@@ -97,9 +99,74 @@ object OperatorQueries {
       |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |GROUP BY s.s_nationkey ORDER BY s.s_nationkey""".stripMargin
 
+  // ---- z-order key: the native interleave_bits expression (the layout
+  // primitive behind sources.Layout.zorderWrite — clustering quality is
+  // measured structurally in ZOrderSpec; THIS query pins the key's bit
+  // semantics against plain integer arithmetic). Output bit i*2+c = input
+  // bit i of column c, replayed in the oracle as an unrolled shift/mask
+  // sum — exact on any engine with two's-complement BIGINT ops.
+  private def layoutZorder(s: SparkSession, dir: String): DataFrame = {
+    val z = LayoutFunctions.interleaveBits(8,
+      col("l_partkey") % 256, col("l_suppkey") % 256)
+    Tables.lineitem(s, dir)
+      .select(z.as("__z"), col("l_quantity"))
+      .groupBy(shiftright(col("__z"), 8).as("z_bucket"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(Dec)).cast(DoubleType).as("sum_qty"))
+      .orderBy(col("z_bucket"))
+  }
+
+  private val layoutZorderSql = {
+    def bit(c: String, i: Int, pos: Int): String =
+      s"((($c >> $i) & 1) << $pos)"
+    val terms = (0 until 8).flatMap(i =>
+      Seq(bit("x", i, 2 * i), bit("y", i, 2 * i + 1)))
+    s"""WITH b AS (
+       |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y, l_quantity
+       |  FROM lineitem
+       |), zd AS (
+       |  SELECT ${terms.mkString(" + ")} AS z, l_quantity FROM b
+       |)
+       |SELECT (z >> 8) AS z_bucket, COUNT(*) AS n_items,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       |FROM zd GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---- manifest-pruned scan (sources.ScanPruning): per-file min/max
+  // manifest -> box intersection -> read only surviving files -> re-apply
+  // the row filter. Pruning is transparent by contract, so the oracle is
+  // the PLAIN filtered aggregate — a manifest bug that drops a needed
+  // file (or double-reads one) changes counts and fails the hash. The
+  // file-skipping effectiveness itself is structural, asserted in
+  // ScanPruningSpec over a 32-file z-ordered layout.
+  private def layoutPrunedScan(s: SparkSession, dir: String): DataFrame = {
+    val data = s"$dir/lineitem.parquet"
+    val manifest = ScanPruning.buildManifest(s, data,
+      Seq("l_orderkey", "l_partkey"))
+    val pruned = ScanPruning.prunedScan(s, data, manifest,
+      ScanPruning.boxPredicate(Seq(
+        ("l_orderkey", 100L, 5000L), ("l_partkey", 10L, 150L))))
+    pruned
+      .filter(col("l_orderkey").between(100, 5000) &&
+        col("l_partkey").between(10, 150))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(Dec)).cast(DoubleType).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val layoutPrunedScanSql =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 100 AND 5000 AND l_partkey BETWEEN 10 AND 150
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("asof_join", Some(asofJoinSql), asofJoin),
     QueryDef("range_join_bands", Some(rangeJoinBandsSql), rangeJoinBands),
     QueryDef("salted_join_agg", Some(saltedJoinAggSql), saltedJoinAgg),
+    QueryDef("layout_zorder", Some(layoutZorderSql), layoutZorder),
+    QueryDef("layout_pruned_scan", Some(layoutPrunedScanSql), layoutPrunedScan),
   )
 }

@@ -90,6 +90,12 @@ object GraftFunctionRegistry {
       (args: Seq[Expression]) =>
         BloomFilterAgg(args.head, intArg(args(1), "bloom_filter_build"),
           intArg(args(2), "bloom_filter_build"))),
+    (FunctionIdentifier("interleave_bits"),
+      info(classOf[InterleaveBits], "interleave_bits",
+        "interleave_bits(c1, ..., cN, bits) - Morton/Z-order key: " +
+          "interleave the low `bits` bits of N long bucket columns."),
+      (args: Seq[Expression]) =>
+        InterleaveBits(args.init, intArg(args.last, "interleave_bits"))),
     (FunctionIdentifier("bloom_might_contain"),
       info(classOf[BloomMightContain], "bloom_might_contain",
         "bloom_might_contain(bloom, hash, numHashes) - may-contain probe " +

@@ -840,3 +840,84 @@ case class GramStats(child: Expression, n: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Codegen'd bit interleaving (Morton / Z-order key) over N long bucket
+  * columns: output bit `i*N + c` is input bit `i` of child `c`, for
+  * `i < bits` — each input masked to its low `bits` bits first, so the
+  * expression is total over any long (callers bucket however they like;
+  * the mask is plain two's-complement `& (2^bits - 1)`, which replays
+  * exactly in ANSI SQL / DuckDB integer arithmetic, keeping the oracle
+  * bit-for-bit).
+  *
+  * This is the data-LAYOUT primitive for multi-dimensional parquet
+  * pruning at 100 TB: sorting a table by the interleaved key clusters
+  * rows that are close in EVERY bucketed dimension into the same row
+  * groups, so the per-row-group column min/max stats become tight boxes
+  * and a predicate on any subset of the dimensions skips most groups at
+  * scan time (a lexicographic sort only ever prunes its leading column).
+  * See graft.sources.Layout.zorderWrite for the write-side operator and
+  * ZOrderSpec for the footer-stats pruning measurement.
+  */
+case class InterleaveBits(children: Seq[Expression], bits: Int)
+    extends Expression with ImplicitCastInputTypes {
+
+  require(children.nonEmpty, "interleave_bits needs at least one column")
+  require(bits >= 1 && bits * children.size <= 63,
+    s"bits * n_cols must be in [1, 63], got $bits * ${children.size}")
+
+  private val n = children.size
+  private val mask = (1L << bits) - 1L
+
+  override def inputTypes: Seq[AbstractDataType] = Seq.fill(n)(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "interleave_bits"
+
+  override def eval(input: InternalRow): Any = {
+    var z = 0L
+    var c = 0
+    while (c < n) {
+      val v = children(c).eval(input)
+      if (v == null) return null
+      val m = v.asInstanceOf[Long] & mask
+      var i = 0
+      while (i < bits) {
+        z |= ((m >>> i) & 1L) << (i * n + c)
+        i += 1
+      }
+      c += 1
+    }
+    z
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val spread = evals.zipWithIndex.map { case (e, c) =>
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val nullGuard =
+        if (children(c).nullable) s"if (${e.isNull}) { ${ev.isNull} = true; } else"
+        else ""
+      s"""
+         |${e.code}
+         |$nullGuard if (!${ev.isNull}) {
+         |  final long $m = ${e.value} & ${mask}L;
+         |  for (int $i = 0; $i < $bits; $i++) {
+         |    ${ev.value} |= (($m >>> $i) & 1L) << ($i * $n + $c);
+         |  }
+         |}
+       """.stripMargin
+    }.mkString("\n")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code =
+      code"""
+         |boolean ${ev.isNull} = false;
+         |long ${ev.value} = 0L;
+         |$spread
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}

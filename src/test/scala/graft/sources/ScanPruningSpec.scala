@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** File-level data skipping: manifest stats are exact, the pruned scan
+  * reads only intersecting files (counted via inputFiles — structural,
+  * not timed), and pruning is transparent to the query result.
+  */
+class ScanPruningSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val tmp = System.getProperty("java.io.tmpdir")
+  private val zDir = s"$tmp/graft-test-prune-z"
+
+  private lazy val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    .select("l_orderkey", "l_partkey", "l_quantity")
+
+  private lazy val written: Unit =
+    Layout.zorderWrite(li, zDir, Seq("l_orderkey", "l_partkey"),
+      bits = 10, files = 32)
+
+  test("manifest carries exact per-file min/max and row counts") {
+    written
+    val m = ScanPruning.buildManifest(spark, zDir, Seq("l_orderkey", "l_partkey"))
+      .collect()
+    assert(m.length === 32)
+    assert(m.map(_.getAs[Long]("n_rows")).sum === li.count())
+    // spot-check one file's stats against a direct read of that file
+    val row = m.head
+    val one = spark.read.parquet(row.getString(0))
+      .agg(min("l_orderkey"), max("l_orderkey")).head()
+    assert(row.getAs[Long]("l_orderkey_min") === one.getLong(0))
+    assert(row.getAs[Long]("l_orderkey_max") === one.getLong(1))
+  }
+
+  test("pruned scan reads a fraction of the files and the same answer") {
+    written
+    val manifest = ScanPruning.buildManifest(spark, zDir,
+      Seq("l_orderkey", "l_partkey"))
+    val b = li.agg(min("l_orderkey"), max("l_orderkey"),
+      min("l_partkey"), max("l_partkey")).head()
+    val (oLo, oHi) = (b.getLong(0), b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2)
+    val (pLo, pHi) = (b.getLong(2), b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 8)
+
+    val rowFilter = col("l_orderkey").between(oLo, oHi) &&
+      col("l_partkey").between(pLo, pHi)
+    val pruned = ScanPruning.prunedScan(spark, zDir, manifest,
+      ScanPruning.boxPredicate(Seq(
+        ("l_orderkey", oLo, oHi), ("l_partkey", pLo, pHi))))
+
+    val nFiles = pruned.inputFiles.length
+    assert(nFiles < 32 && nFiles <= 12,
+      s"z-order + manifest should skip most files, read $nFiles of 32")
+
+    val got = pruned.filter(rowFilter)
+      .agg(count(lit(1)), sum("l_quantity")).head()
+    val want = spark.read.parquet(zDir).filter(rowFilter)
+      .agg(count(lit(1)), sum("l_quantity")).head()
+    assert(got === want)
+    assert(got.getLong(0) > 0, "box must be non-empty for the test to mean anything")
+  }
+
+  test("empty intersection returns an empty frame with the data schema") {
+    written
+    val manifest = ScanPruning.buildManifest(spark, zDir, Seq("l_orderkey"))
+    val out = ScanPruning.prunedScan(spark, zDir, manifest,
+      ScanPruning.boxPredicate(Seq(("l_orderkey", -100L, -1L))))
+    assert(out.count() === 0)
+    assert(out.columns.toSeq === spark.read.parquet(zDir).columns.toSeq)
+  }
+}
