@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.EventQueries.all ++
       graft.queries.MediaQueries.all ++
       graft.queries.CurationQueries.all ++
-      graft.queries.QualityQueries.all
+      graft.queries.QualityQueries.all ++
+      graft.queries.VersioningQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{QueryDef, Tables}
+import graft.operators.Versioning
+
+/** Corpus-versioning harness queries (operators.Versioning): snapshot
+  * diff, MERGE/upsert, SCD-2 history. Two corpus snapshots are derived
+  * deterministically from the documents table — old = doc_id % 7 != 0,
+  * new = doc_id % 5 != 0 with the text fingerprint rewritten ("v2") when
+  * doc_id % 11 == 0 — so both engines replay identical added / removed /
+  * changed populations, and the md5 fingerprints compare bit-for-bit.
+  * Outputs are per-class aggregates carrying a fingerprint checksum
+  * (portable md5 -> BIGINT, mod 1e9+7): a diff/merge bug that keeps the
+  * right KEYS but the wrong VERSION of a row still fails the hash.
+  */
+object VersioningQueries {
+
+  // portable fp checksum: same 15-hex-digit prefix -> BIGINT both engines
+  private def fpChk(fp: org.apache.spark.sql.Column) =
+    pmod(conv(substring(fp, 1, 15), 16, 10).cast(LongType), lit(1000000007L))
+  private def fpChkSql(c: String) =
+    s"(CAST('0x' || substring($c, 1, 15) AS BIGINT) % 1000000007)"
+
+  private def oldSnap(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("fp"), col("source"))
+
+  private def newSnap(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, md5(concat(col("text"), lit("v2"))))
+          .otherwise(md5(col("text"))).as("fp"),
+        col("source"))
+
+  private val snapSql =
+    """old AS (
+      |  SELECT doc_id, md5(text) AS fp, source
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |), new AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN md5(text || 'v2')
+      |         ELSE md5(text) END AS fp, source
+      |  FROM documents WHERE doc_id % 5 <> 0
+      |)""".stripMargin
+
+  // ---- snapshot diff: classify keys across the two snapshots; the
+  // per-class checksum covers the SURVIVING fingerprint (new for
+  // added/changed, old for removed).
+  private def versionDiff(s: SparkSession, dir: String): DataFrame =
+    Versioning.diffSnapshots(oldSnap(s, dir), newSnap(s, dir), "doc_id", "fp")
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(fpChk(coalesce(col("new_fp"), col("old_fp")))).as("fp_chk"))
+      .orderBy(col("change_type"))
+
+  private val versionDiffSql =
+    s"""WITH $snapSql, d AS (
+       |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       |    CASE WHEN o.doc_id IS NULL THEN 'added'
+       |         WHEN n.doc_id IS NULL THEN 'removed'
+       |         WHEN o.fp <> n.fp THEN 'changed' END AS change_type,
+       |    COALESCE(n.fp, o.fp) AS fp
+       |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+       |)
+       |SELECT change_type, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk
+       |FROM d WHERE change_type IS NOT NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- MERGE/upsert: the refresh batch (the added + changed slice of
+  // the new snapshot) merged into the old corpus — batch wins on key
+  // match, inserts append, the rest passes through untouched. The
+  // fp checksum proves each key carries the RIGHT version afterwards.
+  private def versionUpsert(s: SparkSession, dir: String): DataFrame = {
+    val batch = newSnap(s, dir)
+      .filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0)
+    Versioning.upsert(oldSnap(s, dir), batch, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(fpChk(col("fp"))).as("fp_chk"))
+      .orderBy(col("source"))
+  }
+
+  private val versionUpsertSql =
+    s"""WITH $snapSql, batch AS (
+       |  SELECT * FROM new WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+       |), merged AS (
+       |  SELECT * FROM batch
+       |  UNION ALL
+       |  SELECT * FROM old
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM batch)
+       |)
+       |SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk
+       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- SCD-2 apply: history opened at t1 from the old snapshot, evolved
+  // to the new snapshot at t2. Four version classes fall out of the
+  // (valid_from, valid_to) grouping: still-open t1 rows (unchanged),
+  // t1 rows closed at t2 (changed + removed), t2-opened rows (changed +
+  // added). Checksums pin WHICH fingerprint each class carries.
+  private val T1 = "2026-01-01 00:00:00"
+  private val T2 = "2026-02-01 00:00:00"
+
+  private def versionScd2(s: SparkSession, dir: String): DataFrame = {
+    val hist = oldSnap(s, dir).drop("source")
+      .withColumn("valid_from", lit(T1).cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    Versioning.scd2Apply(hist, newSnap(s, dir).drop("source"),
+        "doc_id", "fp", T2)
+      .groupBy(date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(col("valid_to"), "yyyy-MM-dd"), lit("open"))
+          .as("valid_to"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(fpChk(col("fp"))).as("fp_chk"))
+      .orderBy(col("valid_from"), col("valid_to"))
+  }
+
+  private val versionScd2Sql =
+    s"""WITH $snapSql, j AS (
+       |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       |    o.doc_id AS o_id, n.doc_id AS n_id, o.fp AS o_fp, n.fp AS n_fp
+       |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+       |), vrows AS (
+       |  SELECT doc_id, o_fp AS fp, '2026-01-01' AS valid_from,
+       |         '2026-02-01' AS valid_to
+       |  FROM j WHERE o_id IS NOT NULL AND (n_id IS NULL OR o_fp <> n_fp)
+       |  UNION ALL
+       |  SELECT doc_id, o_fp, '2026-01-01', 'open'
+       |  FROM j WHERE o_id IS NOT NULL AND n_id IS NOT NULL AND o_fp = n_fp
+       |  UNION ALL
+       |  SELECT doc_id, n_fp, '2026-02-01', 'open'
+       |  FROM j WHERE n_id IS NOT NULL AND (o_id IS NULL OR o_fp <> n_fp)
+       |)
+       |SELECT valid_from, valid_to, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk
+       |FROM vrows GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("version_diff", Some(versionDiffSql), versionDiff),
+    QueryDef("version_upsert", Some(versionUpsertSql), versionUpsert),
+    QueryDef("version_scd2", Some(versionScd2Sql), versionScd2),
+  )
+}
