@@ -71,4 +71,39 @@ class EmptyInputSpec extends SparkTestBase {
     val df = Seq((1L, 10L)).toDF("doc_id", "w").limit(0)
     assert(Packing.packShards(df, col("doc_id"), col("w"), budget = 100L).count() == 0)
   }
+
+  test("versioning degrades to identity/empty on empty sides") {
+    import spark.implicits._
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("id", "fp")
+    val none = snap.limit(0)
+    // empty old -> everything added; empty new -> everything removed
+    assert(Versioning.diffSnapshots(none, snap, "id", "fp")
+      .filter(col("change_type") === "added").count() == 2)
+    assert(Versioning.diffSnapshots(snap, none, "id", "fp")
+      .filter(col("change_type") === "removed").count() == 2)
+    assert(Versioning.diffSnapshots(none, none, "id", "fp").count() == 0)
+    // empty batch is a no-op; empty corpus becomes the batch
+    assert(Versioning.upsert(snap, none, "id").count() == 2)
+    assert(Versioning.upsert(none, snap, "id").count() == 2)
+    // empty history opens the snapshot; empty snapshot closes everything
+    val ts = "2026-02-01 00:00:00"
+    val hist = snap.withColumn("valid_from", lit("2026-01-01 00:00:00").cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    assert(Versioning.scd2Apply(hist.limit(0), snap, "id", "fp", ts)
+      .filter(col("valid_to").isNull).count() == 2)
+    assert(Versioning.scd2Apply(hist, none, "id", "fp", ts)
+      .filter(col("valid_to").isNotNull).count() == 2)
+  }
+
+  test("z-order write and manifest pruning handle an empty table") {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-test-z-empty"
+    val none = Seq((1L, 2L)).toDF("a", "b").limit(0)
+    graft.sources.Layout.zorderWrite(none, dir, Seq("a", "b"), bits = 4, files = 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 0)
+    val manifest = graft.sources.ScanPruning.buildManifest(spark, dir, Seq("a"))
+    assert(graft.sources.ScanPruning.prunedScan(spark, dir, manifest,
+      graft.sources.ScanPruning.boxPredicate(Seq(("a", 0L, 10L)))).count() == 0)
+  }
 }
