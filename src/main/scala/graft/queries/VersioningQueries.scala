@@ -140,9 +140,52 @@ object VersioningQueries {
        |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk
        |FROM vrows GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- merge-on-read corpus store (operators.CorpusStore), end to end:
+  // init the base from the old snapshot, append the refresh batch as
+  // delta 1, append mod-13 tombstones as delta 2, READ. Last-writer-wins
+  // says delta-2 deletes override delta-1 upserts for their keys, the
+  // base anti-joins on all delta keys (broadcast, plan-asserted in
+  // CorpusStoreSpec), and the oracle reconstructs the same final state
+  // relationally — so a resolution bug (wrong winner, leaked tombstone,
+  // double-kept base row) fails the hash. The store lives under the JVM
+  // tmpdir keyed by the sf dir's md5 (same convention as IvfModelStore)
+  // and is rebuilt idempotently per run.
+  private def corpusStoreRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusStore
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft_store_$key"
+    CorpusStore.init(oldSnap(s, dir), store)
+    CorpusStore.append(s, store, 1L, "doc_id",
+      newSnap(s, dir).filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0))
+    CorpusStore.append(s, store, 2L, "doc_id",
+      oldSnap(s, dir).limit(0),
+      deleteKeys = Some(Tables.documents(s, dir)
+        .filter(col("doc_id") % 13 === 0).select(col("doc_id"))))
+    CorpusStore.read(s, store, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(fpChk(col("fp"))).as("fp_chk"))
+      .orderBy(col("source"))
+  }
+
+  private val corpusStoreReadSql =
+    s"""WITH $snapSql, batch AS (
+       |  SELECT * FROM new WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+       |), final AS (
+       |  SELECT * FROM batch WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT * FROM old WHERE doc_id % 13 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM batch)
+       |)
+       |SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk
+       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("version_diff", Some(versionDiffSql), versionDiff),
     QueryDef("version_upsert", Some(versionUpsertSql), versionUpsert),
     QueryDef("version_scd2", Some(versionScd2Sql), versionScd2),
+    QueryDef("corpus_store_read", Some(corpusStoreReadSql), corpusStoreRead),
   )
 }
