@@ -88,6 +88,21 @@ object CorpusStore {
       .unionByName(survivors.select(base.columns.map(col).toIndexedSeq: _*))
   }
 
+  /** Continuous ingestion: apply a streaming frame of upserts to the
+    * store, one delta per microbatch, keyed by the stream's batchId.
+    * Exactly-once falls out of the seq contract: after a failure,
+    * Structured Streaming replays the last uncommitted batch under the
+    * SAME batchId, and the same-seq re-append overwrites the partial
+    * delta instead of double-applying it (spec-locked in
+    * CorpusStoreSpec). Caller starts/stops the returned query; pair
+    * with a checkpointLocation for recovery across JVMs. */
+  def appendStream(stream: DataFrame, dir: String, key: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        append(batch.sparkSession, dir, batchId, key, batch)
+    }
+
   /** Fold the deltas into a new base and remove them. O(corpus) — run at
     * compaction cadence, not per batch. Single-writer contract: the
     * tmp-write/swap below is not a transactional commit. */

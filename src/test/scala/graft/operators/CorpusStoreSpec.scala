@@ -77,6 +77,34 @@ class CorpusStoreSpec extends SparkTestBase {
       s"base must anti-join via broadcast:\n$plan")
   }
 
+  test("appendStream applies one delta per microbatch; batch replay is exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = freshDir("stream")
+    CorpusStore.init(Seq((1L, "a"), (2L, "b")).toDF("id", "fp"), dir)
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = CorpusStore.appendStream(
+      stream.toDF().toDF("id", "fp"), dir, "id").start()
+    try {
+      // one processAllAvailable per addData: distinct microbatches, so
+      // the (3L, ...) rewrite exercises cross-DELTA last-writer-wins
+      // (within one delta, keys are contract-unique)
+      stream.addData(Seq((2L, "B"), (3L, "c")))
+      q.processAllAvailable()
+      stream.addData(Seq((3L, "C2")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = CorpusStore.read(spark, dir, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "a"), (2L, "B"), (3L, "C2")))
+    // simulate the post-failure replay of the LAST batch under its own
+    // batchId (what Structured Streaming does on restart): same-seq
+    // overwrite keeps the state identical instead of double-applying
+    CorpusStore.append(spark, dir, 1L, "id", Seq((3L, "C2")).toDF("id", "fp"))
+    val replayed = CorpusStore.read(spark, dir, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(replayed.toSeq === got.toSeq)
+  }
+
   test("read without deltas is the base; store survives an empty upsert batch") {
     val dir = freshDir("nodelta")
     CorpusStore.init(Seq((1L, "a")).toDF("id", "fp"), dir)
