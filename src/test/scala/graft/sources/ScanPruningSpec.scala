@@ -62,6 +62,38 @@ class ScanPruningSpec extends SparkTestBase {
     assert(got.getLong(0) > 0, "box must be non-empty for the test to mean anything")
   }
 
+  test("pruning is answer-transparent for random boxes (boundary property)") {
+    written
+    val manifest = ScanPruning.buildManifest(spark, zDir,
+      Seq("l_orderkey", "l_partkey")).cache()
+    val b = li.agg(min("l_orderkey"), max("l_orderkey"),
+      min("l_partkey"), max("l_partkey")).head()
+    val rnd = new scala.util.Random(7)
+    (1 to 10).foreach { trial =>
+      // random boxes, including degenerate (lo == hi) and full-range ones;
+      // bounds land ON file min/max values often enough to catch an
+      // exclusive-comparison bug at the box edge
+      def range(lo: Long, hi: Long): (Long, Long) = {
+        val a = lo + math.abs(rnd.nextLong()) % (hi - lo + 1)
+        val c = lo + math.abs(rnd.nextLong()) % (hi - lo + 1)
+        (math.min(a, c), math.max(a, c))
+      }
+      val (oLo, oHi) = range(b.getLong(0), b.getLong(1))
+      val (pLo, pHi) = range(b.getLong(2), b.getLong(3))
+      val rowFilter = col("l_orderkey").between(oLo, oHi) &&
+        col("l_partkey").between(pLo, pHi)
+      val pruned = ScanPruning.prunedScan(spark, zDir, manifest,
+        ScanPruning.boxPredicate(Seq(
+          ("l_orderkey", oLo, oHi), ("l_partkey", pLo, pHi))))
+        .filter(rowFilter).agg(count(lit(1)), sum("l_quantity")).head()
+      val full = spark.read.parquet(zDir).filter(rowFilter)
+        .agg(count(lit(1)), sum("l_quantity")).head()
+      assert(pruned === full,
+        s"trial $trial box=($oLo,$oHi)x($pLo,$pHi): pruning changed the answer")
+    }
+    manifest.unpersist()
+  }
+
   test("empty intersection returns an empty frame with the data schema") {
     written
     val manifest = ScanPruning.buildManifest(spark, zDir, Seq("l_orderkey"))
