@@ -146,8 +146,112 @@ object QualityQueries {
       |SELECT check_name, n_violations, n_violations = 0 AS pass
       |FROM checks ORDER BY check_name""".stripMargin
 
+  // ---- distribution drift between corpus snapshots (PSI) --------------
+  //
+  // The monitoring half of the refresh lifecycle (VersioningQueries is
+  // the data half, over the same mod-7/mod-5 snapshot derivation): per
+  // source, the Population Stability Index of the n_chars distribution —
+  // PSI = sum_i (p_i - q_i) * ln(p_i / q_i) over B fixed-width buckets,
+  // the standard shift alarm (rule of thumb: < 0.1 stable, > 0.25 act).
+  //
+  // Determinism contract: buckets are FIXED width (floor(n_chars/200),
+  // capped at B-1) — never data-dependent quantiles — over the complete
+  // source x [0, B) grid (a missing bucket still contributes through
+  // smoothing); counts are Laplace-smoothed (+1 / +B) so ln never sees
+  // zero and both engines divide the same exact rationals; each bucket
+  // term is quantized to integer MICRO-nats before the per-source sum
+  // (order-exact integer aggregation; same probabilistic 1-ulp libm
+  // caveat as text_surprisal, here over only |sources| x B terms).
+  //
+  // Scale shape: two narrow (source, bucket) count aggregations over the
+  // snapshots; everything after is |sources| x B rows joined against two
+  // broadcast total maps.
+  private val PsiBuckets = 16
+  private val PsiWidth = 200
+
+  private def psiBucketed(df: DataFrame): DataFrame =
+    df.select(col("source"),
+        least(floor(col("n_chars") / PsiWidth), lit(PsiBuckets - 1))
+          .cast(LongType).as("bucket"))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  private def qualityDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    psiBySource(s, docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 5 =!= 0),
+      sources = docs.select(col("source")).distinct())
+  }
+
+  /** PSI of the n_chars distribution per source between two snapshots —
+    * see the determinism/scale notes on the registry query above.
+    * `sources` fixes the grid (a source absent from both snapshots
+    * contributes 0). Exposed for direct testing. */
+  def psiBySource(s: SparkSession, oldSnap: DataFrame, newSnap: DataFrame,
+      sources: DataFrame): DataFrame = {
+    val o = psiBucketed(oldSnap)
+    val n = psiBucketed(newSnap)
+    val grid = sources
+      .crossJoin(s.range(PsiBuckets).select(col("id").as("bucket")))
+    val counts = grid
+      .join(o.withColumnRenamed("cnt", "cnt_o"), Seq("source", "bucket"), "left")
+      .join(n.withColumnRenamed("cnt", "cnt_n"), Seq("source", "bucket"), "left")
+      .na.fill(0L, Seq("cnt_o", "cnt_n"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("cnt_o")).as("tot_o"), sum(col("cnt_n")).as("tot_n"))
+    val B = lit(PsiBuckets)
+    counts.join(broadcast(totals), "source")
+      .withColumn("p", (col("cnt_o") + 1).cast(DoubleType) /
+        (col("tot_o") + B).cast(DoubleType))
+      .withColumn("q", (col("cnt_n") + 1).cast(DoubleType) /
+        (col("tot_n") + B).cast(DoubleType))
+      .withColumn("term_micro",
+        round((col("p") - col("q")) * log(col("p") / col("q")) * lit(1000000))
+          .cast(LongType))
+      .groupBy(col("source"))
+      .agg(sum(col("term_micro")).as("psi_micro"),
+        max(col("tot_o")).as("n_old"), max(col("tot_n")).as("n_new"))
+      .orderBy(col("source"))
+  }
+
+  private val qualityDriftPsiSql =
+    """WITH o AS (
+      |  SELECT source, LEAST(CAST(FLOOR(n_chars / 200) AS BIGINT), 15) AS bucket,
+      |    COUNT(*) AS cnt_o
+      |  FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1, 2
+      |), n AS (
+      |  SELECT source, LEAST(CAST(FLOOR(n_chars / 200) AS BIGINT), 15) AS bucket,
+      |    COUNT(*) AS cnt_n
+      |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT s.source, g.range AS bucket
+      |  FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN range(16) g
+      |), counts AS (
+      |  SELECT grid.source, grid.bucket,
+      |    COALESCE(o.cnt_o, 0) AS cnt_o, COALESCE(n.cnt_n, 0) AS cnt_n
+      |  FROM grid
+      |  LEFT JOIN o ON grid.source = o.source AND grid.bucket = o.bucket
+      |  LEFT JOIN n ON grid.source = n.source AND grid.bucket = n.bucket
+      |), tot AS (
+      |  SELECT source, SUM(cnt_o) AS tot_o, SUM(cnt_n) AS tot_n
+      |  FROM counts GROUP BY 1
+      |), terms AS (
+      |  SELECT c.source,
+      |    CAST(ROUND(
+      |      (CAST(c.cnt_o + 1 AS DOUBLE) / CAST(t.tot_o + 16 AS DOUBLE)
+      |        - CAST(c.cnt_n + 1 AS DOUBLE) / CAST(t.tot_n + 16 AS DOUBLE))
+      |      * LN((CAST(c.cnt_o + 1 AS DOUBLE) / CAST(t.tot_o + 16 AS DOUBLE))
+      |         / (CAST(c.cnt_n + 1 AS DOUBLE) / CAST(t.tot_n + 16 AS DOUBLE)))
+      |      * 1000000) AS BIGINT) AS term_micro,
+      |    t.tot_o, t.tot_n
+      |  FROM counts c JOIN tot t ON c.source = t.source
+      |)
+      |SELECT source, CAST(SUM(term_micro) AS BIGINT) AS psi_micro,
+      |  CAST(MAX(tot_o) AS BIGINT) AS n_old, CAST(MAX(tot_n) AS BIGINT) AS n_new
+      |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("profile_columns", Some(profileColumnsSql), profileColumns),
     QueryDef("quality_constraints", Some(qualityConstraintsSql), qualityConstraints),
+    QueryDef("quality_drift_psi", Some(qualityDriftPsiSql), qualityDriftPsi),
   )
 }

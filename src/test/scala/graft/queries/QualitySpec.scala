@@ -2,6 +2,8 @@ package graft.queries
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkTestBase
 
 /** The harness tables are clean, so quality_constraints' oracle check
@@ -34,6 +36,31 @@ class QualitySpec extends SparkTestBase {
     assert(report("complete_custkey") == (1L, false))   // order 3
     // orphan 99 + null custkey both fail the fk match (NOT EXISTS semantics)
     assert(report("fk_orders_customer") == (2L, false))
+  }
+
+  test("drift PSI: identical snapshots score ~0; a planted shift raises one source only") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 4000).map { i =>
+      val src = s"s${i % 4}"
+      (i.toLong, src, 100L + rnd.nextInt(3000).toLong)
+    }.toDF("doc_id", "source", "n_chars")
+    val sources = docs.select(col("source")).distinct()
+
+    // identical snapshots: every term is (p-p)*ln(1) = 0 exactly
+    val same = QualityQueries.psiBySource(spark, docs, docs, sources)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(same.values.forall(_ == 0L), same)
+
+    // shift: s0 loses all long docs in the new snapshot; others untouched
+    val shifted = docs.filter(!(col("source") === "s0" && col("n_chars") > 1000))
+    val psi = QualityQueries.psiBySource(spark, docs, shifted, sources)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // PSI in micro-nats: > 0.25 (the act threshold) for the shifted
+    // source, well under 0.1 for the untouched ones
+    assert(psi("s0") > 250000L, s"shifted source must alarm: $psi")
+    Seq("s1", "s2", "s3").foreach(k =>
+      assert(math.abs(psi(k)) < 100000L, s"$k should be stable: $psi"))
   }
 
   test("a clean batch reports all-pass") {
