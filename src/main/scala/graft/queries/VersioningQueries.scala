@@ -182,10 +182,57 @@ object VersioningQueries {
        |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk
        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- refresh pipeline e2e: the real ingest shape — dedup the batch
+  // against history BEFORE merging. The batch streams through
+  // Dedup.incrementalDups (broadcast bloom probe + exact fp semi-join —
+  // neither side of the check shuffles the corpus), content-duplicate
+  // rows are anti-joined away by key, and only the fresh remainder is
+  // merged into the store. Composes three families (dedup, versioning,
+  // store) as one lazy plan; the oracle reconstructs it relationally
+  // (fp NOT IN history, then last-writer-wins), so an over- or
+  // under-aggressive dedup step changes the surviving row set and fails
+  // the hash. Note: mod-11 "changed" docs carry a rewritten fp, so they
+  // survive the content dedup and overwrite — exactly the intended
+  // refresh semantics (same content = dropped, new content = merged).
+  private def pipelineRefreshStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CorpusStore, Dedup}
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft_refresh_$key"
+    val old = oldSnap(s, dir)
+    val batch = newSnap(s, dir)
+      .filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0)
+    val dups = Dedup.incrementalDups(old.select(col("fp")), batch)
+    val fresh = batch.join(dups.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    CorpusStore.init(old, store)
+    CorpusStore.append(s, store, 1L, "doc_id", fresh)
+    CorpusStore.read(s, store, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(fpChk(col("fp"))).as("fp_chk"))
+      .orderBy(col("source"))
+  }
+
+  private val pipelineRefreshStoreSql =
+    s"""WITH $snapSql, batch AS (
+       |  SELECT * FROM new WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+       |), fresh AS (
+       |  SELECT * FROM batch WHERE fp NOT IN (SELECT fp FROM old)
+       |), final AS (
+       |  SELECT * FROM fresh
+       |  UNION ALL
+       |  SELECT * FROM old WHERE doc_id NOT IN (SELECT doc_id FROM fresh)
+       |)
+       |SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk
+       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("version_diff", Some(versionDiffSql), versionDiff),
     QueryDef("version_upsert", Some(versionUpsertSql), versionUpsert),
     QueryDef("version_scd2", Some(versionScd2Sql), versionScd2),
     QueryDef("corpus_store_read", Some(corpusStoreReadSql), corpusStoreRead),
+    QueryDef("pipeline_refresh_store", Some(pipelineRefreshStoreSql),
+      pipelineRefreshStore),
   )
 }
