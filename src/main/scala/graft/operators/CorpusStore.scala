@@ -55,7 +55,9 @@ object CorpusStore {
   /** Append one refresh batch as `delta_<seq>`: `upserts` rows replace
     * base/earlier-delta rows with their key; `deleteKeys` (a 1-column
     * frame of keys) tombstone theirs. Same-seq re-append overwrites —
-    * idempotent replay. O(batch) IO; the corpus is not read. */
+    * idempotent replay. O(batch) IO; the corpus is not read. A key named
+    * in BOTH sides of one append resolves deterministically to the
+    * tombstone (within a seq, delete wins — see [[read]]'s tie-break). */
   def append(spark: SparkSession, dir: String, seq: Long, key: String,
       upserts: DataFrame, deleteKeys: Option[DataFrame] = None): Unit = {
     require(seq >= 0, s"seq must be >= 0, got $seq")
@@ -79,8 +81,11 @@ object CorpusStore {
     val deltas = deltaPaths(spark, dir)
     if (deltas.isEmpty) return base
     val du = spark.read.parquet(deltas: _*)
+    // secondary tie-break on __op: within one seq, 'd' sorts before 'u',
+    // so a key upserted AND tombstoned in the same append deterministically
+    // resolves to the tombstone (not whichever row the shuffle saw first)
     val latest = du.withColumn("__rn", row_number().over(
-        Window.partitionBy(col(key)).orderBy(col(SeqCol).desc)))
+        Window.partitionBy(col(key)).orderBy(col(SeqCol).desc, col(OpCol).asc)))
       .filter(col("__rn") === 1)
     val survivors = latest.filter(col(OpCol) === "u")
       .drop(OpCol, SeqCol, "__rn")
@@ -112,8 +117,13 @@ object CorpusStore {
     if (deltas.isEmpty) return
     read(spark, dir, key).write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/base_compacting")
-    d.delete(new Path(s"$dir/base"), true)
-    d.rename(new Path(s"$dir/base_compacting"), new Path(s"$dir/base"))
+    // Hadoop FileSystem delete/rename report failure by RETURNING false,
+    // not throwing — abort BEFORE touching the deltas, or a silently
+    // failed swap would strand the new base and lose every delta
+    require(d.delete(new Path(s"$dir/base"), true),
+      s"compact: could not remove $dir/base; new base left at base_compacting, deltas untouched")
+    require(d.rename(new Path(s"$dir/base_compacting"), new Path(s"$dir/base")),
+      s"compact: rename base_compacting -> base failed in $dir; deltas untouched")
     deltas.foreach(p => d.delete(new Path(p), true))
   }
 }

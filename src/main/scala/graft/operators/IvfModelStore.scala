@@ -36,7 +36,10 @@ object IvfModelStore {
   def defaultPath(dir: String, c: Int = 16): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_models/ivf_${dirKey(dir)}_c$c.parquet"
 
-  private def dirKey(dir: String): String =
+  /** md5 hex of a corpus dir path — THE store-location key convention
+    * (shared by the CorpusStore-backed harness queries so the hashing
+    * cannot drift between store kinds). */
+  private[graft] def dirKey(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 

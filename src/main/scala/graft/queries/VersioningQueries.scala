@@ -151,10 +151,9 @@ object VersioningQueries {
   // tmpdir keyed by the sf dir's md5 (same convention as IvfModelStore)
   // and is rebuilt idempotently per run.
   private def corpusStoreRead(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.CorpusStore
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val store = s"${System.getProperty("java.io.tmpdir")}/graft_store_$key"
+    import graft.operators.{CorpusStore, IvfModelStore}
+    val store =
+      s"${System.getProperty("java.io.tmpdir")}/graft_store_${IvfModelStore.dirKey(dir)}"
     CorpusStore.init(oldSnap(s, dir), store)
     CorpusStore.append(s, store, 1L, "doc_id",
       newSnap(s, dir).filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0))
@@ -195,10 +194,9 @@ object VersioningQueries {
   // survive the content dedup and overwrite — exactly the intended
   // refresh semantics (same content = dropped, new content = merged).
   private def pipelineRefreshStore(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{CorpusStore, Dedup}
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val store = s"${System.getProperty("java.io.tmpdir")}/graft_refresh_$key"
+    import graft.operators.{CorpusStore, Dedup, IvfModelStore}
+    val store =
+      s"${System.getProperty("java.io.tmpdir")}/graft_refresh_${IvfModelStore.dirKey(dir)}"
     val old = oldSnap(s, dir)
     val batch = newSnap(s, dir)
       .filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0)

@@ -62,6 +62,15 @@ object Layout {
       bits: Int = 12, files: Int = 0): Unit = {
     require(cols.size >= 2,
       "z-order needs >= 2 columns (use a plain sort for one)")
+    // a non-numeric column would cast to all-null doubles and silently
+    // collapse its dimension to bucket 0 (zero clustering, and half the
+    // key bits wasted) — fail loudly instead; bucket other types into a
+    // numeric column first and cluster on that
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order column '$c' must be numeric, got $dt")
+    }
     val boundExprs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = df.agg(boundExprs.head, boundExprs.tail: _*).head()

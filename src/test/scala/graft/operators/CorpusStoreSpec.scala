@@ -50,6 +50,21 @@ class CorpusStoreSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "back")))
   }
 
+  test("a key upserted AND tombstoned in one append resolves to the tombstone, deterministically") {
+    val dir = freshDir("tie")
+    CorpusStore.init(Seq((1L, "a"), (5L, "e")).toDF("id", "fp"), dir)
+    CorpusStore.append(spark, dir, 1L, "id",
+      Seq((5L, "E-new"), (6L, "f")).toDF("id", "fp"),
+      deleteKeys = Some(Seq(Tuple1(5L)).toDF("id")))
+    // repeat the read: the winner must be stable run to run
+    (1 to 3).foreach { _ =>
+      val got = CorpusStore.read(spark, dir, "id")
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq === Seq((1L, "a"), (6L, "f")),
+        "within one seq the tombstone must win")
+    }
+  }
+
   test("compact folds deltas into the base and preserves the read exactly") {
     val dir = freshDir("compact")
     CorpusStore.init(Seq((1L, "a"), (2L, "b")).toDF("id", "fp"), dir)

@@ -90,6 +90,15 @@ class ZOrderSpec extends SparkTestBase {
     }
   }
 
+  test("zorderWrite rejects non-numeric clustering columns") {
+    import spark.implicits._
+    val df = Seq((1L, "not-a-number")).toDF("k", "url")
+    val e = intercept[IllegalArgumentException] {
+      Layout.zorderWrite(df, s"$tmp/graft-test-z-reject", Seq("k", "url"), bits = 4)
+    }
+    assert(e.getMessage.contains("url"))
+  }
+
   test("scaledBucket maps bounds into [0, 2^bits) with nulls at 0") {
     import spark.implicits._
     val df = Seq[java.lang.Double](0.0, 50.0, 100.0, null).toDF("v")
