@@ -154,7 +154,7 @@ object Reader {
     * silently). */
   private def normalizePath(p: String): String = new File(p).getAbsolutePath
 
-  private[cnj] def decodeFileUri(uri: String): String =
+  private[graft] def decodeFileUri(uri: String): String =
     try new java.net.URI(uri).getPath
     catch {
       case _: java.net.URISyntaxException =>

@@ -1,9 +1,11 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.sources.ScanPruning
 
 /** Merge-on-read corpus store: the incremental-refresh layout that makes
   * [[Versioning.upsert]] affordable as a CONTINUOUS process. A plain
@@ -14,13 +16,23 @@ import org.apache.spark.sql.functions._
   *   - [[append]] costs O(batch): one delta dir written, nothing read.
   *   - [[read]] resolves last-writer-wins at scan time: the delta union
   *     (small) takes one window for latest-per-key; the base — the
-  *     100 TB side — streams through a broadcast LEFT ANTI join on the
-  *     distinct delta keys and NEVER shuffles (plan-asserted in
-  *     CorpusStoreSpec).
+  *     100 TB side — streams through a LEFT ANTI join on the distinct
+  *     delta keys. The anti side is broadcast ONLY when the delta mass
+  *     is counted small (parquet footer counts — a metadata read), so a
+  *     store past its compaction cadence degrades to a shuffled
+  *     anti-join instead of OOMing an executor on an unbounded
+  *     broadcast (plan-asserted both ways in CorpusStoreSpec).
   *   - [[compact]] folds deltas into a new base when their mass warrants
   *     it, amortizing the O(corpus) rewrite over many appends — the
   *     LSM / merge-on-read pattern of the lakehouse table formats,
-  *     expressed in plain parquet.
+  *     expressed in plain parquet. [[compactIfNeeded]] makes the cadence
+  *     a checked contract rather than an advisory comment.
+  *   - An optional per-file stats manifest ([[graft.sources.ScanPruning]])
+  *     is maintained INCREMENTALLY: [[init]] builds it, [[append]]
+  *     extends it with one O(batch) aggregate over the new delta files,
+  *     [[compact]] rebuilds it over the new base — so [[prunedRead]] can
+  *     skip base files by min/max box at any point in the append
+  *     lifecycle without an O(corpus) manifest rescan.
   *
   * Sequence numbers are CALLER-supplied (a stream's batchId, a crawl
   * drop id): re-appending the same seq OVERWRITES that delta, so replays
@@ -34,6 +46,12 @@ object CorpusStore {
   private val SeqCol = "__seq"
   private val OpCol = "__op"
 
+  /** Bound on the delta rows [[read]] will broadcast as an anti-join key
+    * set. Footer row count, not distinct keys — a cheap upper bound.
+    * Same order as [[Dedup]]'s maxBroadcastCandidates: ~2M ids is tens
+    * of MB on the wire, safely under the 64 MB session threshold. */
+  val DefaultMaxBroadcastKeys = 2000000L
+
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -45,19 +63,51 @@ object CorpusStore {
       .map(_.getPath.toString).sorted
   }
 
-  /** Create/replace the base snapshot and drop any existing deltas. */
-  def init(df: DataFrame, dir: String): Unit = {
-    val d = fs(df.sparkSession, dir)
+  private def manifestPath(dir: String): String = s"$dir/manifest"
+
+  private def hasManifest(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new Path(manifestPath(dir)))
+
+  /** Resolve the base dir, finishing a crashed [[compact]]'s swap if one
+    * is in flight: a compact that died between its two renames leaves
+    * `base_old` (the intact pre-compaction base) and no `base` — roll
+    * back by renaming it into place; the deltas are untouched at that
+    * point, so the rolled-back store reads exactly as before the
+    * compact. Every other crash state already reads correctly (see
+    * [[compact]]'s step comments). */
+  private def ensureBase(spark: SparkSession, dir: String): String = {
+    val d = fs(spark, dir)
+    val base = new Path(s"$dir/base")
+    val old = new Path(s"$dir/base_old")
+    if (!d.exists(base) && d.exists(old))
+      require(d.rename(old, base),
+        s"recovery rename $old -> $base failed; store left as-is")
+    s"$dir/base"
+  }
+
+  /** Create/replace the base snapshot and drop any existing deltas.
+    * With `statsCols`, also build the file-skipping manifest over the
+    * new base (one column-pruned scan) — [[append]] then maintains it
+    * incrementally and [[prunedRead]] consumes it. */
+  def init(df: DataFrame, dir: String, statsCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val d = fs(spark, dir)
     df.write.mode(SaveMode.Overwrite).parquet(s"$dir/base")
-    deltaPaths(df.sparkSession, dir).foreach(p => d.delete(new Path(p), true))
+    deltaPaths(spark, dir).foreach(p => d.delete(new Path(p), true))
+    d.delete(new Path(s"$dir/base_old"), true)
+    if (statsCols.nonEmpty)
+      ScanPruning.writeManifest(spark, s"$dir/base", manifestPath(dir), statsCols)
+    else d.delete(new Path(manifestPath(dir)), true)
   }
 
   /** Append one refresh batch as `delta_<seq>`: `upserts` rows replace
     * base/earlier-delta rows with their key; `deleteKeys` (a 1-column
     * frame of keys) tombstone theirs. Same-seq re-append overwrites —
-    * idempotent replay. O(batch) IO; the corpus is not read. A key named
-    * in BOTH sides of one append resolves deterministically to the
-    * tombstone (within a seq, delete wins — see [[read]]'s tie-break). */
+    * idempotent replay (including the manifest: the delta's old file
+    * entries are dropped before the new ones land). O(batch) IO; the
+    * corpus is not read. A key named in BOTH sides of one append
+    * resolves deterministically to the tombstone (within a seq, delete
+    * wins — see [[read]]'s tie-break). */
   def append(spark: SparkSession, dir: String, seq: Long, key: String,
       upserts: DataFrame, deleteKeys: Option[DataFrame] = None): Unit = {
     require(seq >= 0, s"seq must be >= 0, got $seq")
@@ -68,19 +118,29 @@ object CorpusStore {
         allowMissingColumns = true)
       case None => up
     }
+    val deltaDir = f"$dir/delta_$seq%019d"
     all.withColumn(SeqCol, lit(seq))
-      .write.mode(SaveMode.Overwrite).parquet(f"$dir/delta_$seq%019d")
+      .write.mode(SaveMode.Overwrite).parquet(deltaDir)
+    if (hasManifest(spark, dir))
+      ScanPruning.appendManifest(spark, manifestPath(dir), deltaDir)
   }
 
   /** The current corpus: base minus overridden/tombstoned keys, plus the
-    * latest surviving delta row per key. Base never shuffles (broadcast
-    * anti on the distinct delta keys); the per-key window runs over the
-    * SMALL delta union only. */
-  def read(spark: SparkSession, dir: String, key: String): DataFrame = {
-    val base = spark.read.parquet(s"$dir/base")
+    * latest surviving delta row per key. The base never shuffles while
+    * the delta mass is within `maxBroadcastKeys` (footer-counted
+    * preflight, then a broadcast anti on the distinct delta keys); past
+    * the bound — a store that missed its compaction cadence — the read
+    * degrades to a plain shuffled anti-join with identical output
+    * instead of an unbounded broadcast. */
+  def read(spark: SparkSession, dir: String, key: String,
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
+    val base = spark.read.parquet(ensureBase(spark, dir))
     val deltas = deltaPaths(spark, dir)
     if (deltas.isEmpty) return base
     val du = spark.read.parquet(deltas: _*)
+    // parquet count-star is footer metadata, not a data scan; total delta
+    // rows bounds the distinct key count from above
+    val deltaRows = du.count()
     // secondary tie-break on __op: within one seq, 'd' sorts before 'u',
     // so a key upserted AND tombstoned in the same append deterministically
     // resolves to the tombstone (not whichever row the shuffle saw first)
@@ -89,8 +149,42 @@ object CorpusStore {
       .filter(col("__rn") === 1)
     val survivors = latest.filter(col(OpCol) === "u")
       .drop(OpCol, SeqCol, "__rn")
-    base.join(broadcast(du.select(col(key)).distinct()), Seq(key), "left_anti")
+    val keys = du.select(col(key)).distinct()
+    val anti = if (deltaRows <= maxBroadcastKeys) broadcast(keys) else keys
+    base.join(anti, Seq(key), "left_anti")
       .unionByName(survivors.select(base.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** [[read]] with manifest-driven file skipping on the base: only base
+    * files whose min/max box satisfies `keep` are opened; resolution
+    * still anti-joins on ALL delta keys (a pruned-away delta could
+    * otherwise resurrect the stale base version of a key), and delta
+    * survivors are returned in full. Same answer-transparency contract
+    * as [[ScanPruning.prunedScan]]: callers re-apply their row-level
+    * predicate on the result — `keep` prunes, it never answers.
+    * Requires a manifest (init/append with `statsCols`). */
+  def prunedRead(spark: SparkSession, dir: String, key: String, keep: Column,
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
+    val baseDir = ensureBase(spark, dir)
+    require(hasManifest(spark, dir),
+      s"prunedRead needs a manifest: init the store with statsCols, got none in $dir")
+    val basePrefix = new Path(baseDir).toUri.getPath
+    val m = spark.read.parquet(manifestPath(dir))
+    val baseSlice = m.filter(col("file").startsWith(basePrefix))
+    val prunedBase = ScanPruning.prunedScan(spark, baseDir, baseSlice, keep)
+    val deltas = deltaPaths(spark, dir)
+    if (deltas.isEmpty) return prunedBase
+    val du = spark.read.parquet(deltas: _*)
+    val deltaRows = du.count()
+    val latest = du.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(SeqCol).desc, col(OpCol).asc)))
+      .filter(col("__rn") === 1)
+    val survivors = latest.filter(col(OpCol) === "u")
+      .drop(OpCol, SeqCol, "__rn")
+    val keys = du.select(col(key)).distinct()
+    val anti = if (deltaRows <= maxBroadcastKeys) broadcast(keys) else keys
+    prunedBase.join(anti, Seq(key), "left_anti")
+      .unionByName(survivors.select(prunedBase.columns.map(col).toIndexedSeq: _*))
   }
 
   /** Continuous ingestion: apply a streaming frame of upserts to the
@@ -99,31 +193,88 @@ object CorpusStore {
     * Structured Streaming replays the last uncommitted batch under the
     * SAME batchId, and the same-seq re-append overwrites the partial
     * delta instead of double-applying it (spec-locked in
-    * CorpusStoreSpec). Caller starts/stops the returned query; pair
-    * with a checkpointLocation for recovery across JVMs. */
-  def appendStream(stream: DataFrame, dir: String, key: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch {
-      (batch: DataFrame, batchId: Long) =>
+    * CorpusStoreSpec; cross-JVM kill-and-recover measured in
+    * StoreStreamBench). `checkpointLocation` is REQUIRED, not optional:
+    * batchIds are durable and monotonic only under a stable checkpoint —
+    * restarting without one resets batchIds to 0 and would silently
+    * clobber delta_0, delta_1, ... written by the previous incarnation.
+    * Manual [[append]]s sharing a streamed store must use seqs from a
+    * disjoint range (e.g. reserve seqs >= 2^40 for manual drops); the
+    * stream owns the low batchId range. Caller starts/stops the
+    * returned query. */
+  def appendStream(stream: DataFrame, dir: String, key: String,
+      checkpointLocation: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(checkpointLocation.nonEmpty,
+      "appendStream needs a checkpointLocation: without one a restarted " +
+        "stream re-counts batchIds from 0 and overwrites existing deltas")
+    stream.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         append(batch.sparkSession, dir, batchId, key, batch)
-    }
+      }
+  }
 
   /** Fold the deltas into a new base and remove them. O(corpus) — run at
-    * compaction cadence, not per batch. Single-writer contract: the
-    * tmp-write/swap below is not a transactional commit. */
+    * compaction cadence ([[compactIfNeeded]]), not per batch.
+    * Single-writer contract: the swap below is not a transactional
+    * commit, but every crash point leaves a readable (or
+    * [[ensureBase]]-recoverable) store:
+    *
+    *   1. after writing `base_compacting`: base + deltas untouched.
+    *   2. after `base -> base_old`: [[ensureBase]] rolls the rename back
+    *      on the next read/compact; deltas are still intact.
+    *   3. after `base_compacting -> base`: the new base already FOLDS
+    *      every delta, so re-resolving any subset of still-present
+    *      deltas over it is idempotent — for each delta key the
+    *      latest-per-key value equals the folded one.
+    *   4. delta deletion runs in ASCENDING seq order, so a crash leaves
+    *      the NEWEST suffix — exactly the subset whose latest-per-key
+    *      values the folded base already carries (deleting descending
+    *      would leave an older delta to wrongly win resolution).
+    */
   def compact(spark: SparkSession, dir: String, key: String): Unit = {
     val d = fs(spark, dir)
+    val base = new Path(ensureBase(spark, dir))
+    val old = new Path(s"$dir/base_old")
+    // a stale base_old next to a live base is a prior compact that died
+    // after its swap (state 3/4) — finish its cleanup first
+    if (d.exists(old)) require(d.delete(old, true),
+      s"compact: could not remove stale $old")
     val deltas = deltaPaths(spark, dir)
     if (deltas.isEmpty) return
     read(spark, dir, key).write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/base_compacting")
     // Hadoop FileSystem delete/rename report failure by RETURNING false,
-    // not throwing — abort BEFORE touching the deltas, or a silently
-    // failed swap would strand the new base and lose every delta
-    require(d.delete(new Path(s"$dir/base"), true),
-      s"compact: could not remove $dir/base; new base left at base_compacting, deltas untouched")
-    require(d.rename(new Path(s"$dir/base_compacting"), new Path(s"$dir/base")),
-      s"compact: rename base_compacting -> base failed in $dir; deltas untouched")
-    deltas.foreach(p => d.delete(new Path(p), true))
+    // not throwing — abort while the store is still readable
+    require(d.rename(base, old),
+      s"compact: rename base -> base_old failed in $dir; store untouched")
+    require(d.rename(new Path(s"$dir/base_compacting"), base),
+      s"compact: rename base_compacting -> base failed in $dir; " +
+        "read() will roll base_old back into place")
+    require(d.delete(old, true), s"compact: could not remove $old")
+    deltas.foreach(p => require(d.delete(new Path(p), true),
+      s"compact: could not remove folded delta $p"))
+    if (hasManifest(spark, dir)) {
+      val cols = ScanPruning.manifestStatCols(spark, manifestPath(dir))
+      ScanPruning.writeManifest(spark, s"$dir/base", manifestPath(dir), cols)
+    }
+  }
+
+  /** Checked compaction cadence: fold when the delta row mass exceeds
+    * `maxDeltaToBaseRatio` of the base (both parquet footer counts — a
+    * metadata read, no data scan). Returns whether it compacted. Call
+    * after appends (or on a timer) to keep [[read]] on its broadcast
+    * fast path by contract instead of by comment. */
+  def compactIfNeeded(spark: SparkSession, dir: String, key: String,
+      maxDeltaToBaseRatio: Double = 0.2): Boolean = {
+    require(maxDeltaToBaseRatio > 0, s"ratio must be > 0, got $maxDeltaToBaseRatio")
+    val deltas = deltaPaths(spark, dir)
+    if (deltas.isEmpty) return false
+    val deltaRows = spark.read.parquet(deltas: _*).count()
+    val baseRows = spark.read.parquet(ensureBase(spark, dir)).count()
+    if (deltaRows > maxDeltaToBaseRatio * math.max(baseRows, 1L)) {
+      compact(spark, dir, key); true
+    } else false
   }
 }

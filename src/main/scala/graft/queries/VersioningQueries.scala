@@ -181,6 +181,56 @@ object VersioningQueries {
        |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk
        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- manifest-pruned store read (CorpusStore x ScanPruning), end to
+  // end: init the store RANGE-LAID-OUT on doc_id with a stats manifest,
+  // append a refresh batch and tombstones (each append extends the
+  // manifest with one O(batch) aggregate — never an O(corpus) rescan),
+  // then read through the manifest with a box on the low quarter of the
+  // id space. prunedRead opens only the base files whose min/max box
+  // intersects, but still resolves against ALL delta keys — so a stale
+  // base version of an overridden key cannot leak back in through the
+  // pruning. The row filter is re-applied on top (answer transparency),
+  // and the oracle reconstructs the same final state relationally with
+  // the same predicate — a pruning bug that drops or resurrects rows
+  // fails the hash, not just a structural file count.
+  private def storePrunedRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CorpusStore, IvfModelStore}
+    import graft.sources.ScanPruning
+    val store =
+      s"${System.getProperty("java.io.tmpdir")}/graft_pruned_${IvfModelStore.dirKey(dir)}"
+    val hi = Tables.documents(s, dir).agg(max(col("doc_id"))).head().getLong(0) / 4
+    CorpusStore.init(oldSnap(s, dir).repartitionByRange(8, col("doc_id")),
+      store, statsCols = Seq("doc_id"))
+    CorpusStore.append(s, store, 1L, "doc_id",
+      newSnap(s, dir).filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0))
+    CorpusStore.append(s, store, 2L, "doc_id",
+      oldSnap(s, dir).limit(0),
+      deleteKeys = Some(Tables.documents(s, dir)
+        .filter(col("doc_id") % 13 === 0).select(col("doc_id"))))
+    CorpusStore.prunedRead(s, store, "doc_id",
+        ScanPruning.boxPredicate(Seq(("doc_id", 0L, hi))))
+      .filter(col("doc_id").between(0L, hi))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(fpChk(col("fp"))).as("fp_chk"))
+      .orderBy(col("source"))
+  }
+
+  private val storePrunedReadSql =
+    s"""WITH $snapSql, batch AS (
+       |  SELECT * FROM new WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+       |), final AS (
+       |  SELECT * FROM batch WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT * FROM old WHERE doc_id % 13 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM batch)
+       |)
+       |SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk
+       |FROM final
+       |WHERE doc_id BETWEEN 0 AND (SELECT MAX(doc_id) // 4 FROM documents)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- refresh pipeline e2e: the real ingest shape — dedup the batch
   // against history BEFORE merging. The batch streams through
   // Dedup.incrementalDups (broadcast bloom probe + exact fp semi-join —
@@ -230,6 +280,7 @@ object VersioningQueries {
     QueryDef("version_upsert", Some(versionUpsertSql), versionUpsert),
     QueryDef("version_scd2", Some(versionScd2Sql), versionScd2),
     QueryDef("corpus_store_read", Some(corpusStoreReadSql), corpusStoreRead),
+    QueryDef("store_pruned_read", Some(storePrunedReadSql), storePrunedRead),
     QueryDef("pipeline_refresh_store", Some(pipelineRefreshStoreSql),
       pipelineRefreshStore),
   )

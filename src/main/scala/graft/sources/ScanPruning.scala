@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** File-level data skipping over plain parquet directories — the
@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   * - [[buildManifest]]: ONE column-pruned scan of the data (only the
   *   clustered/stat columns are read) → `file, n_rows, <c>_min, <c>_max`
   *   per file. O(files) rows — metadata scale.
+  * - [[writeManifest]] / [[appendManifest]]: the persisted form. Stored
+  *   manifests carry DECODED plain file paths (`input_file_name()`
+  *   yields URL-encoded URIs — the same pitfall graft.cnj.Reader
+  *   documents; feeding "%20" back to `spark.read.parquet` fails for any
+  *   path with an encodable character). The decode runs on the driver
+  *   over the O(files)-row result — the same bounded driver list every
+  *   lakehouse manifest needs. appendManifest extends a stored manifest
+  *   with ONE aggregate over just the new directory's files (O(batch),
+  *   not an O(corpus) rescan), dropping any stale entries for that
+  *   directory first so a replayed write is idempotent.
   * - [[prunedScan]]: filter the manifest with any predicate over those
   *   stat columns, collect the surviving file names (driver-bounded by
   *   the manifest's cardinality, same contract as the model/boundary
@@ -29,13 +39,16 @@ import org.apache.spark.sql.functions._
   * min/max box tight in every clustered dimension, so the manifest
   * intersection drops most files for a multi-dimensional box — measured
   * structurally in ScanPruningSpec (files read, counted, not timed).
+  * Composes with [[graft.operators.CorpusStore]]: the store maintains
+  * its manifest incrementally across appends and rebuilds it on compact.
   */
 object ScanPruning {
 
   /** Per-file stats manifest: `file, n_rows, <c>_min, <c>_max` for each
-    * stat column, from one column-pruned scan of `dataDir`. Write it next
-    * to the data at landing ([[writeManifest]]) and it costs nothing at
-    * query time. */
+    * stat column, from one column-pruned scan of `dataDir`. The `file`
+    * column here is `input_file_name()`'s raw (URL-encoded URI) form;
+    * the persisted writers below decode it and [[prunedScan]] decodes
+    * defensively, so both forms read back correctly. */
   def buildManifest(spark: SparkSession, dataDir: String,
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one stat column")
@@ -47,11 +60,61 @@ object ScanPruning {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  def writeManifest(spark: SparkSession, dataDir: String,
-      manifestPath: String, cols: Seq[String]): Unit =
-    buildManifest(spark, dataDir, cols)
+  /** Decode a manifest `file` entry to a plain filesystem path. Only
+    * URI-shaped strings (a scheme prefix) are decoded — an
+    * already-plain path containing a literal '%' must not be mangled. */
+  private def decodePath(f: String): String =
+    if (f.startsWith("file:") || f.contains("://"))
+      graft.cnj.Reader.decodeFileUri(f)
+    else f
+
+  /** [[buildManifest]] with decoded driver-side rows — the persisted
+    * form. O(files) rows pass the driver, nothing else. */
+  private def decodedRows(spark: SparkSession, dataDir: String,
+      cols: Seq[String]): (Seq[Row], org.apache.spark.sql.types.StructType) = {
+    val m = buildManifest(spark, dataDir, cols)
+    val rows = m.collect().toIndexedSeq
+      .map(r => Row.fromSeq(decodePath(r.getString(0)) +: r.toSeq.tail))
+    (rows, m.schema)
+  }
+
+  private def writeRows(spark: SparkSession, manifestPath: String,
+      rows: Seq[Row], schema: org.apache.spark.sql.types.StructType): Unit = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.sortBy(_.getString(0)).asJava, schema)
       .coalesce(1) // metadata scale: O(files) rows
       .write.mode(SaveMode.Overwrite).parquet(manifestPath)
+  }
+
+  def writeManifest(spark: SparkSession, dataDir: String,
+      manifestPath: String, cols: Seq[String]): Unit = {
+    val (rows, schema) = decodedRows(spark, dataDir, cols)
+    writeRows(spark, manifestPath, rows, schema)
+  }
+
+  /** The stat columns a persisted manifest was built with, recovered
+    * from its schema (`<c>_min` field order). */
+  def manifestStatCols(spark: SparkSession, manifestPath: String): Seq[String] =
+    spark.read.parquet(manifestPath).schema.fieldNames.toIndexedSeq
+      .filter(_.endsWith("_min")).map(_.dropRight(4))
+
+  /** Extend a stored manifest with the files of `newDir`: one aggregate
+    * over JUST those files (O(batch)), merged with the existing entries
+    * on the driver (O(files) rows). Entries already under `newDir` are
+    * dropped first — a same-directory rewrite (e.g. a replayed
+    * CorpusStore delta) replaces its stale file list instead of
+    * accumulating pointers to deleted part files. */
+  def appendManifest(spark: SparkSession, manifestPath: String,
+      newDir: String): Unit = {
+    val existing = spark.read.parquet(manifestPath)
+    val cols = manifestStatCols(spark, manifestPath)
+    require(cols.nonEmpty, s"manifest at $manifestPath has no stat columns")
+    val prefix = new org.apache.hadoop.fs.Path(newDir).toUri.getPath
+    val kept = existing.filter(!col("file").startsWith(prefix))
+      .collect().toIndexedSeq
+    val (added, schema) = decodedRows(spark, newDir, cols)
+    writeRows(spark, manifestPath, kept ++ added, schema)
+  }
 
   /** Box-intersection predicate over a manifest: keep files whose
     * [min, max] overlaps [lo, hi] in EVERY listed column. */
@@ -68,7 +131,7 @@ object ScanPruning {
   def prunedScan(spark: SparkSession, dataDir: String,
       manifest: DataFrame, keep: Column): DataFrame = {
     val files = manifest.filter(keep)
-      .select(col("file")).collect().map(_.getString(0))
+      .select(col("file")).collect().map(r => decodePath(r.getString(0)))
     if (files.isEmpty) spark.read.parquet(dataDir).filter(lit(false))
     else spark.read.parquet(files.toIndexedSeq: _*)
   }

@@ -98,7 +98,8 @@ class CorpusStoreSpec extends SparkTestBase {
     CorpusStore.init(Seq((1L, "a"), (2L, "b")).toDF("id", "fp"), dir)
     val stream = MemoryStream[(Long, String)](spark)
     val q = CorpusStore.appendStream(
-      stream.toDF().toDF("id", "fp"), dir, "id").start()
+      stream.toDF().toDF("id", "fp"), dir, "id",
+      checkpointLocation = freshDir("stream-ckpt")).start()
     try {
       // one processAllAvailable per addData: distinct microbatches, so
       // the (3L, ...) rewrite exercises cross-DELTA last-writer-wins
@@ -118,6 +119,136 @@ class CorpusStoreSpec extends SparkTestBase {
     val replayed = CorpusStore.read(spark, dir, "id")
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(replayed.toSeq === got.toSeq)
+  }
+
+  test("over-threshold delta mass falls back to a shuffled anti-join with identical output") {
+    val dir = freshDir("bigdelta")
+    CorpusStore.init(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "fp"), dir)
+    CorpusStore.append(spark, dir, 1L, "id",
+      Seq((2L, "B"), (4L, "d")).toDF("id", "fp"),
+      deleteKeys = Some(Seq(Tuple1(3L)).toDF("id")))
+    val fast = CorpusStore.read(spark, dir, "id")
+    val guarded = CorpusStore.read(spark, dir, "id", maxBroadcastKeys = 0L)
+    // the guard must strip the hint from the LOGICAL plan (AQE may still
+    // choose broadcast at runtime for tiny test data — that is its call,
+    // bounded by the session threshold, not an unconditional forced hint)
+    assert(fast.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "within-bound read should place the broadcast hint")
+    assert(!guarded.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "over-bound read must not force a broadcast")
+    val a = fast.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = guarded.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSeq === b.toSeq && a.toSeq === Seq((1L, "a"), (2L, "B"), (4L, "d")))
+  }
+
+  test("a compact crash between the two renames leaves a store read() auto-recovers") {
+    val dir = freshDir("crashmid")
+    CorpusStore.init(Seq((1L, "a"), (2L, "b")).toDF("id", "fp"), dir)
+    CorpusStore.append(spark, dir, 1L, "id", Seq((2L, "B")).toDF("id", "fp"))
+    // simulate compact dying after `base -> base_old` (its new base still
+    // at base_compacting): base_old intact, deltas intact
+    val p = new org.apache.hadoop.fs.Path(s"$dir/base")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$dir/base").write.parquet(s"$dir/base_compacting")
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(s"$dir/base_old")))
+    val got = CorpusStore.read(spark, dir, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "a"), (2L, "B")),
+      "read must roll base_old back into place and resolve deltas as before")
+    assert(fs.exists(p) && !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/base_old")))
+  }
+
+  test("a compact crash after the swap (stale base_old + unfolded deltas) still reads; next compact cleans up") {
+    val dir = freshDir("crashpost")
+    CorpusStore.init(Seq((1L, "a"), (2L, "b")).toDF("id", "fp"), dir)
+    CorpusStore.append(spark, dir, 3L, "id", Seq((2L, "B"), (9L, "z")).toDF("id", "fp"),
+      deleteKeys = Some(Seq(Tuple1(1L)).toDF("id")))
+    val expect = CorpusStore.read(spark, dir, "id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // simulate dying right after `base_compacting -> base`: new base holds
+    // the folded state, base_old is the stale pre-compact base, and every
+    // delta is still present — re-resolving them must be idempotent
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CorpusStore.read(spark, dir, "id").write.parquet(s"$dir/base_new")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/base"),
+      new org.apache.hadoop.fs.Path(s"$dir/base_old")))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/base_new"),
+      new org.apache.hadoop.fs.Path(s"$dir/base")))
+    val got = CorpusStore.read(spark, dir, "id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq === expect.toSeq)
+    CorpusStore.compact(spark, dir, "id")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/base_old")))
+    val after = CorpusStore.read(spark, dir, "id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(after.toSeq === expect.toSeq)
+  }
+
+  test("compactIfNeeded is a checked cadence: folds past the ratio, not before") {
+    val dir = freshDir("cadence")
+    CorpusStore.init((1L to 100L).map(i => (i, s"v$i")).toDF("id", "fp"), dir)
+    CorpusStore.append(spark, dir, 1L, "id", Seq((1L, "V1")).toDF("id", "fp"))
+    assert(!CorpusStore.compactIfNeeded(spark, dir, "id", maxDeltaToBaseRatio = 0.2),
+      "1 delta row over 100 base rows is under a 0.2 cadence")
+    CorpusStore.append(spark, dir, 2L, "id",
+      (101L to 140L).map(i => (i, s"v$i")).toDF("id", "fp"))
+    val before = CorpusStore.read(spark, dir, "id").count()
+    assert(CorpusStore.compactIfNeeded(spark, dir, "id", maxDeltaToBaseRatio = 0.2))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(_.getPath.getName.startsWith("delta_")) === 0)
+    assert(CorpusStore.read(spark, dir, "id").count() === before)
+  }
+
+  test("manifest maintenance: appends extend it in O(batch), prunedRead skips base files, compact rebuilds") {
+    val dir = freshDir("manifest")
+    // two well-separated id ranges -> at least two base files with
+    // disjoint min/max boxes after a range repartition
+    val base = (1L to 400L).map(i => (i, s"v$i")).toDF("id", "fp")
+      .repartitionByRange(4, col("id"))
+    CorpusStore.init(base, dir, statsCols = Seq("id"))
+    CorpusStore.append(spark, dir, 1L, "id",
+      Seq((2L, "V2"), (1000L, "new")).toDF("id", "fp"),
+      deleteKeys = Some(Seq(Tuple1(3L)).toDF("id")))
+    // the composed read: box on low ids; answer-transparent under the
+    // caller's row filter vs the full merge-on-read resolution
+    val keep = graft.sources.ScanPruning.boxPredicate(Seq(("id", 1L, 50L)))
+    val pruned = CorpusStore.prunedRead(spark, dir, "id", keep)
+      .filter(col("id").between(1L, 50L))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val full = CorpusStore.read(spark, dir, "id")
+      .filter(col("id").between(1L, 50L))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(pruned.toSeq === full.toSeq)
+    assert(pruned.exists(_ == (2L, "V2")) && !pruned.exists(_._1 == 3L),
+      "pruned read must still see delta overrides and tombstones")
+    // structural evidence: the box kept strictly fewer base files
+    val m = spark.read.parquet(s"$dir/manifest")
+    val baseFiles = m.filter(col("file").contains("/base/"))
+    assert(baseFiles.filter(keep).count() < baseFiles.count(),
+      "box should prune at least one base file")
+    // manifest covers the delta files too (appendManifest ran)
+    assert(m.filter(col("file").contains("/delta_")).count() > 0)
+    // replayed append must not leave stale manifest entries
+    CorpusStore.append(spark, dir, 1L, "id",
+      Seq((2L, "V2"), (1000L, "new")).toDF("id", "fp"),
+      deleteKeys = Some(Seq(Tuple1(3L)).toDF("id")))
+    val files = spark.read.parquet(s"$dir/manifest")
+      .select("file").collect().map(_.getString(0))
+    assert(files.distinct.length === files.length)
+    files.foreach { f =>
+      assert(new java.io.File(f).exists(), s"manifest points at a deleted file: $f")
+    }
+    // compact folds deltas and rebuilds the manifest over the new base
+    CorpusStore.compact(spark, dir, "id")
+    val m2 = spark.read.parquet(s"$dir/manifest")
+    assert(m2.filter(!col("file").contains("/base/")).count() === 0)
+    val prunedAfter = CorpusStore.prunedRead(spark, dir, "id", keep)
+      .filter(col("id").between(1L, 50L))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(prunedAfter.toSeq === full.toSeq)
   }
 
   test("read without deltas is the base; store survives an empty upsert batch") {
