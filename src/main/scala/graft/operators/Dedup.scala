@@ -15,6 +15,30 @@ import graft.functions.{HashFunctions, TextFunctions}
   */
 object Dedup {
 
+  /** Default admission bound for [[verifyJaccard]]'s candidate set: a
+    * post-blocking pair list larger than this is rejected, not verified
+    * (per-pair work over full shingle arrays must only run on a blocked
+    * set). Callers with a genuinely large post-blocking set raise the
+    * per-call `maxCandidates` explicitly. */
+  val DefaultMaxCandidates = 1000000L
+
+  /** Default broadcast bound for the candidate-member id prune in
+    * [[verifyJaccard]] (~32 MB of pair ids). Deliberately ABOVE
+    * [[DefaultMaxCandidates]]: at defaults every admitted candidate set
+    * takes the broadcast-pruned path (the shingle table never shuffles)
+    * and the shuffled equi-join fallback is reachable only when a caller
+    * consciously raises `maxCandidates` past this bound. The require
+    * below keeps that relation a checked contract — a future edit that
+    * inverts the defaults (silently sending every admitted set through
+    * the full-shuffle fallback) fails at class load, not in a 100 TB
+    * plan regression. */
+  val DefaultMaxBroadcastCandidates = 2000000L
+
+  require(DefaultMaxBroadcastCandidates > DefaultMaxCandidates,
+    s"DefaultMaxBroadcastCandidates ($DefaultMaxBroadcastCandidates) must " +
+      s"exceed DefaultMaxCandidates ($DefaultMaxCandidates): at defaults " +
+      "every admitted candidate set must take the broadcast-pruned path")
+
   /** Exact dedup: keeper = min doc_id per identical text. Groups on the
     * md5 of the text, not the text itself — the shuffle carries a 16-byte
     * key per document instead of the document (at 100 TB, that IS the
@@ -87,7 +111,7 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, threshold: Double,
       numHashes: Int = 64, bands: Int = 16,
-      maxCandidates: Long = 1000000L): DataFrame = {
+      maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sh = shingled(docs)
     val withSig = sh.withColumn("sig",
@@ -138,16 +162,17 @@ object Dedup {
     * table on doc_a / doc_b — same output, bounded driver memory.
     * Callers with a genuinely large post-blocking set raise maxCandidates
     * (threaded through [[minhashPairs]]/[[winnowingPairs]]) rather than
-    * loosening blocking. Defaults note: maxBroadcastCandidates (2M) >
-    * maxCandidates (1M) deliberately — at defaults every admitted set
-    * takes the broadcast-pruned path and the equi-join fallback is
-    * reachable only when a caller raises maxCandidates past 2M (as the
+    * loosening blocking. Defaults note: [[DefaultMaxBroadcastCandidates]]
+    * > [[DefaultMaxCandidates]] deliberately (asserted at class load,
+    * see the constants) — at defaults every admitted set takes the
+    * broadcast-pruned path and the equi-join fallback is reachable only
+    * when a caller raises maxCandidates past the broadcast bound (as the
     * harness's scale queries do with 16M); the broadcast hints stay
     * bounded at ~32 MB of pair ids either way because the guard rejects
     * anything larger before a hint is placed. */
   def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double,
-      maxBroadcastCandidates: Long = 2000000L,
-      maxCandidates: Long = 1000000L): DataFrame = {
+      maxBroadcastCandidates: Long = DefaultMaxBroadcastCandidates,
+      maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
     val cand = materializeCandidates(candidates)
     val n = cand.count()
     require(n <= maxCandidates,
@@ -306,7 +331,7 @@ object Dedup {
     * on xxhash64 (no md5 cost per gram) for engine-internal dedup. */
   def winnowingPairs(docs: DataFrame, threshold: Double,
       n: Int = 3, w: Int = 4, minShared: Int = 2, maxDf: Int = 1000,
-      maxCandidates: Long = 1000000L, portableHash: Boolean = false): DataFrame = {
+      maxCandidates: Long = DefaultMaxCandidates, portableHash: Boolean = false): DataFrame = {
     // one tokenization pass: fingerprints (candidate index) and shingles
     // (verification sets) are both derived from the same `toks` projection
     // and the frame is localCheckpoint-ed, so the corpus is tokenized and

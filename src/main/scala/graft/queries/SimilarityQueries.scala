@@ -565,20 +565,36 @@ object SimilarityQueries {
   // row_number's (d DESC, cluster_id)), measured 11x faster at c=157
   // and byte-identical output.
   private def dedupSemanticSql(dir: Option[String]): Option[String] =
-    dedupSemanticSqlFor("dedup_semantic", Similarity.DefaultSemanticThreshold)(dir)
+    dedupSemanticSqlFor("dedup_semantic", Similarity.DefaultSemanticThreshold,
+      planted = true)(dir)
 
   private def dedupSemanticLowtauSql(dir: Option[String]): Option[String] =
     dedupSemanticSqlFor("dedup_semantic_lowtau", 0.4)(dir)
 
-  private def dedupSemanticSqlFor(name: String, threshold: Double)(
+  private def dedupSemanticSqlFor(name: String, threshold: Double,
+      planted: Boolean = false)(
       dir: Option[String]): Option[String] = centsListLit(name, dir).map { cv =>
-    s"""WITH assigned AS (
+    // `planted` replays plantedEmbeddings' deterministic exact-copy union
+    // (same modulus, same id offset) so the oracle computes over the
+    // IDENTICAL corpus the Spark query did — the plant is part of the
+    // query definition, not a fixture mutation
+    val corpus =
+      if (planted)
+        s"""corpus AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + $PlantIdOffset AS vec_id, embedding
+          |  FROM embeddings WHERE vec_id % $PlantModulus = 0),
+          |""".stripMargin
+      else "corpus AS (SELECT vec_id, embedding FROM embeddings),\n"
+    s"""WITH $corpus
+      |assigned AS (
       |  SELECT vec_id, CAST(list_position(dots, list_max(dots)) - 1 AS INTEGER) AS cluster_id, v
       |  FROM (
       |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |      list_transform($cv,
       |        cv -> list_dot_product(CAST(embedding AS DOUBLE[]), cv)) AS dots
-      |    FROM embeddings)),
+      |    FROM corpus)),
       |pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |    list_dot_product(a.v, b.v) /
@@ -798,6 +814,23 @@ object SimilarityQueries {
   // subset-of-exact and planted-copy recall contracts in SimilaritySpec
   // stay as defense in depth.
   //
+  // Non-vacuous at GATE scale by construction: the sf corpora's organic
+  // pairs top out at cosine ~0.51, so the 5-sigma default used to match
+  // an EMPTY set there — a real oracle replay, but one that could not
+  // catch a silently-empty regression. The query therefore runs over
+  // plantedEmbeddings: the sf corpus UNION'd with deterministic exact
+  // copies of every 101st vector (~1% of the corpus, new ids at +2^40).
+  // An exact copy has cosine 1.0 >= any threshold and assigns to the
+  // SAME k-means cell as its source under ANY model (identical vector
+  // -> identical dots -> identical argmax), so each plant contributes
+  // exactly one (orig, copy) pair; copy-vs-other cosines equal the
+  // original's and stay under threshold. The oracle replays the same
+  // union, so a 5-sigma path that silently emits nothing now FAILS the
+  // oracle row (n/101 expected pairs) instead of passing 0=0. The
+  // unplanted operator remains covered by the planted-recall scalatest
+  // gate and by semanticDupPairs callers; dedup_semantic_lowtau stays
+  // unplanted (its organic 21-pair row is the natural-corpus check).
+  //
   // The cell count is corpus-derived (Similarity.scaledCellCount):
   // constant cell SIZE keeps the in-cell quadratic step linear in n —
   // fixed c = 16 measured 57x wall for one 10x decade (227 s, 1.9M
@@ -815,10 +848,29 @@ object SimilarityQueries {
   // The oracle SQL interpolates the SAME constant, so query and oracle
   // cannot drift apart.
   private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
-    val c = Similarity.scaledCellCount(Tables.embeddings(s, dir).count())
-    Similarity.semanticDupPairsWith(Tables.embeddings(s, dir),
+    val corpus = plantedEmbeddings(s, dir)
+    val c = Similarity.scaledCellCount(corpus.count())
+    // training stays on the natural table: identical copies assign to
+    // their source's cell under any model, so the plant needs no say in
+    // the centroids (and the pinned model the oracle replays is whatever
+    // was actually probed either way)
+    Similarity.semanticDupPairsWith(corpus,
       trainAndPin(s, dir, "dedup_semantic", c),
       threshold = Similarity.DefaultSemanticThreshold)
+  }
+
+  /** Every 101st vector re-appended as an exact copy under a fresh id:
+    * the deterministic >= 5-sigma plant that keeps dedup_semantic's
+    * oracle row non-vacuous at every gate scale (see the comment on
+    * dedupSemantic). Constants are interpolated into the oracle SQL —
+    * change them only in lockstep. */
+  private val PlantModulus = 101L
+  private val PlantIdOffset = 1L << 40
+
+  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    emb.unionByName(emb.filter(col("vec_id") % PlantModulus === 0)
+      .withColumn("vec_id", col("vec_id") + lit(PlantIdOffset)))
   }
 
   // The high-recall opt-in, registered FIRST-CLASS rather than left as

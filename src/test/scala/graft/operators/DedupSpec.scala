@@ -142,6 +142,27 @@ class DedupSpec extends SparkTestBase {
     assert(ex.getMessage.contains("pre-aggregate"))
   }
 
+  test("verifyJaccard default bounds keep the broadcast-pruned path " +
+    "covering every admitted candidate set") {
+    // the documented default inversion, asserted as a pinned contract
+    // (Dedup's class-load require is the live guard; this spec is the
+    // reviewable statement of WHY the relation must hold)
+    assert(Dedup.DefaultMaxBroadcastCandidates > Dedup.DefaultMaxCandidates,
+      "an admitted set at defaults (<= DefaultMaxCandidates pairs) must " +
+        "be under the broadcast bound, so the shuffled fallback is only " +
+        "reachable by explicit caller opt-in")
+    // and the signature defaults must BE the constants (a literal left
+    // behind in a signature would bypass the class-load require)
+    val sh = Dedup.shingled(docs)
+    val candidates = Dedup.ngramJaccardPairs(docs, threshold = 0.2)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val atDefaults = Dedup.verifyJaccard(candidates, sh, 0.2)
+    val pinned = Dedup.verifyJaccard(candidates, sh, 0.2,
+      maxBroadcastCandidates = Dedup.DefaultMaxBroadcastCandidates,
+      maxCandidates = Dedup.DefaultMaxCandidates)
+    assert(atDefaults.collect().toSeq === pinned.collect().toSeq)
+  }
+
   test("verifyJaccard broadcast and shuffle-fallback paths agree") {
     import spark.implicits._
     val sh = Dedup.shingled(docs)

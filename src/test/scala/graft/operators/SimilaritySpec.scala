@@ -165,11 +165,37 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("the registry dedup_semantic query is non-vacuous at fixture scale: " +
+    "its deterministic plant yields exactly the (orig, copy) pairs") {
+    // locks the oracle-channel contract: the registered query unions an
+    // exact copy of every 101st vector (id + 2^40), so its output at any
+    // gate scale contains one cos=1.0 pair per plant — a silently-empty
+    // 5-sigma path now fails the DuckDB hash compare instead of 0=0
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("dedup_semantic")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expectedPlants = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 101 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(expectedPlants.nonEmpty, "fixture has no 101-residue ids")
+    val plantPairs = got.filter { case (_, b, _) => b >= (1L << 40) }
+    assert(plantPairs.map(_._1).toSet === expectedPlants,
+      "plant pairs must cover exactly the 101-residue originals")
+    plantPairs.foreach { case (a, b, cos) =>
+      assert(b === a + (1L << 40) && cos === 1.0, s"bad plant pair ($a,$b,$cos)")
+    }
+    // and nothing organic sneaks past 5 sigma at fixture scale
+    assert(got.length === plantPairs.length,
+      s"unexpected organic >=5-sigma pairs: ${got.length - plantPairs.length}")
+  }
+
   test("the DEFAULT 5-sigma threshold recovers planted near-dups on the " +
     "gen-model corpus (non-vacuous gate for the default path)") {
-    // The sf0.01 oracle row for dedup_semantic passes at 0 = 0 rows at
-    // the 5-sigma default — vacuously green. This gate runs the SAME
-    // default path against the gen-model corpus (scale 1, in-memory:
+    // The sf corpora have no organic >= 5-sigma pairs (the registry's
+    // dedup_semantic row is kept non-vacuous there by its deterministic
+    // exact-copy plant — SimilarityQueries.plantedEmbeddings). This gate
+    // covers the UNPLANTED operator path on near-copies that are close
+    // but not identical: the gen-model corpus (scale 1, in-memory:
     // GenScaledCorpus plants a 5% near-copy rate at cos ~0.78-0.9, well
     // above 0.65), so a silently-empty default path CANNOT stay green:
     // if the 5-sigma regime ever emits nothing where dups are planted,

@@ -90,13 +90,25 @@ class ZOrderSpec extends SparkTestBase {
     }
   }
 
-  test("zorderWrite rejects non-numeric clustering columns") {
+  test("zorderWrite rejects non-numeric non-string clustering columns") {
     import spark.implicits._
-    val df = Seq((1L, "not-a-number")).toDF("k", "url")
+    val df = Seq((1L, true)).toDF("k", "flag")
     val e = intercept[IllegalArgumentException] {
-      Layout.zorderWrite(df, s"$tmp/graft-test-z-reject", Seq("k", "url"), bits = 4)
+      Layout.zorderWrite(df, s"$tmp/graft-test-z-reject", Seq("k", "flag"), bits = 4)
     }
-    assert(e.getMessage.contains("url"))
+    assert(e.getMessage.contains("flag"))
+    assert(e.getMessage.contains("numeric or string"))
+  }
+
+  test("zorderWrite refuses a string dimension past the dictionary bound") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, s"v_$i")).toDF("k", "s")
+    val e = intercept[IllegalArgumentException] {
+      Layout.zorderWrite(df, s"$tmp/graft-test-z-dict-reject", Seq("k", "s"),
+        bits = 4, maxDictSize = 10L)
+    }
+    assert(e.getMessage.contains("distinct values"), e.getMessage)
+    assert(e.getMessage.contains("pre-bucket"), e.getMessage)
   }
 
   test("scaledBucket maps bounds into [0, 2^bits) with nulls at 0") {
@@ -139,6 +151,75 @@ class ZOrderSpec extends SparkTestBase {
     boxes.count { case ((amin, amax), (bmin, bmax)) =>
       amax >= aLo && amin <= aHi && bmax >= bLo && bmin <= bHi
     }
+
+  /** Per row group: (min, max) of a string column + a long column. */
+  private def strLongBoxes(dir: String, strCol: String, longCol: String)
+      : Seq[((String, String), (Long, Long))] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    new java.io.File(dir).listFiles
+      .filter(f => f.getName.endsWith(".parquet") && f.length > 0).toSeq
+      .flatMap { f =>
+        val in = HadoopInputFile.fromPath(new Path(f.getPath), conf)
+        val reader = ParquetFileReader.open(in)
+        try {
+          reader.getFooter.getBlocks.asScala.toSeq.map { b =>
+            val stats = b.getColumns.asScala
+              .map(c => c.getPath.toDotString -> c.getStatistics).toMap
+            val s = stats(strCol)
+            val l = stats(longCol)
+            ((s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8,
+              s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8),
+              (l.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                l.genericGetMax.asInstanceOf[java.lang.Long].longValue()))
+          }
+        } finally reader.close()
+      }
+  }
+
+  test("z-order with a STRING dimension: dictionary rank clusters it, " +
+    "row-group boxes prune, content unchanged") {
+    import spark.implicits._
+    // 40 sources x uniform long key — the (source, key) shape a corpus
+    // actually clusters by; zero-padded names make lexicographic order
+    // the intended order
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(20000)(
+      (f"src_${rnd.nextInt(40)}%02d", math.abs(rnd.nextLong()) % 100000L,
+        rnd.nextInt(1000)))
+    val df = rows.toDF("source", "k", "v")
+    val zDir = s"$tmp/graft-test-z-string"
+    val rrDir = s"$tmp/graft-test-z-string-rr"
+    Layout.zorderWrite(df, zDir, Seq("source", "k"), bits = 8, files = 32)
+    // baseline: same data, same file count, no clustering (round-robin)
+    df.repartition(32).write.mode("overwrite").parquet(rrDir)
+
+    // content identical up to order (the rank join must be 1:1)
+    val back = spark.read.parquet(zDir)
+    assert(back.columns.toSeq === df.columns.toSeq)
+    assert(back.count() === df.count())
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+
+    // box predicate: first 10 of 40 sources x first quarter of the key
+    // range (~1/16 of the plane)
+    def hits(boxes: Seq[((String, String), (Long, Long))]): Int =
+      boxes.count { case ((smin, smax), (kmin, kmax)) =>
+        smax >= "src_00" && smin <= "src_09" && kmax >= 0L && kmin <= 25000L
+      }
+    val zBoxes = strLongBoxes(zDir, "source", "k")
+    val rrBoxes = strLongBoxes(rrDir, "source", "k")
+    assert(zBoxes.size >= 16, s"want many row groups, got ${zBoxes.size}")
+    val (zHit, rrHit) = (hits(zBoxes), hits(rrBoxes))
+    // unclustered: every row group spans all sources and the whole key
+    // range, so nothing prunes; dictionary-rank z-order must skip most
+    assert(rrHit === rrBoxes.size,
+      s"baseline sanity: round-robin boxes should all intersect ($rrHit/${rrBoxes.size})")
+    assert(zHit * 2 <= zBoxes.size,
+      s"string-dim z-order should prune at least half: $zHit of ${zBoxes.size}")
+    info(s"string-dim pruning: $zHit of ${zBoxes.size} row groups survive " +
+      s"(round-robin baseline ${rrHit}/${rrBoxes.size})")
+  }
 
   test("z-order clusters both dimensions: 2-D box prunes row groups a 1-D sort cannot") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
