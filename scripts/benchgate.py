@@ -71,7 +71,106 @@ def committed_steady():
         return best[0], None
 
 
+SCALE_BUDGET = 1.5   # same budget at gen scale
+SCALE_MIN_SEC = 1.0  # gen-scale walls: sub-second families are noise
+
+
+def family_walls(artifact):
+    """(protocol, scale, {family: seconds}) for a gen-series artifact.
+
+    Two protocols exist and their walls are NOT comparable to each other
+    (BENCH_GEN1000X_RERUN_r11: same code, two clean marathons, one family
+    4.6x apart — marathon rows carry migrating context inflation):
+      - 'marathon' (metric=scale_families): 15 families back-to-back in
+        one JVM; totals comparable suite-to-suite ONLY.
+      - 'standalone' (metric startswith scale_standalone): fresh JVM per
+        family, min of reps; the per-family statistic of record
+        (SCALE.md §9).
+    """
+    m = artifact.get("metric", "")
+    if m == "scale_families":
+        walls = {q: v.get("sec") for q, v in artifact.get("queries", {}).items()
+                 if isinstance(v, dict) and isinstance(v.get("sec"), (int, float))}
+        return "marathon", artifact.get("scale"), walls
+    if m.startswith("scale_standalone"):
+        fams = artifact.get("families") or artifact.get(
+            "full_family_series", {}).get("families", {})
+        walls = {q: v.get("min") for q, v in fams.items()
+                 if isinstance(v, dict) and isinstance(v.get("min"), (int, float))}
+        # the adjudication artifact nests its full series one level down
+        # and carries a gen1000x series; the gen100x series artifact has
+        # no scale field either — infer from the metric name when absent
+        scale = artifact.get("scale")
+        if scale is None and "gen100x" in m:
+            scale = 100
+        if scale is None and artifact.get("full_family_series"):
+            scale = 1000
+        return "standalone", scale, walls
+    return None, None, {}
+
+
+def scale_gate(new_path, base_path):
+    """Like-to-like per-family regression gate for gen-series artifacts:
+    same protocol, same corpus scale, 1.5x budget on each family wall.
+    Refuses marathon-vs-standalone (and any cross-scale) comparison —
+    the distinction BENCH_GEN1000X_RERUN_r11 measured."""
+    arts = []
+    for p in (new_path, base_path):
+        if not os.path.exists(p):
+            print(f"benchgate --scale: no artifact at {p}")
+            return 2
+        with open(p) as f:
+            arts.append(json.load(f))
+    (np_, ns, nw), (bp_, bs, bw) = family_walls(arts[0]), family_walls(arts[1])
+    for proto, path in ((np_, new_path), (bp_, base_path)):
+        if proto is None:
+            print(f"benchgate --scale: {path} is not a gen-series artifact "
+                  "(want metric scale_families or scale_standalone*)")
+            return 2
+    if np_ != bp_:
+        print(f"benchgate --scale: protocol mismatch ({np_} vs {bp_}) — "
+              "marathon rows carry migrating suite-context inflation (same "
+              "code measured 4.6x apart on one family); per-family claims "
+              "compare standalone-to-standalone, suite totals "
+              "marathon-to-marathon")
+        return 2
+    if ns != bs:
+        print(f"benchgate --scale: corpus scale mismatch ({ns} vs {bs}) — "
+              "cross-decade ratios are growth measurements, not a "
+              "regression gate; compare same-scale artifacts")
+        return 2
+    if np_ == "marathon":
+        nv, bv = arts[0].get("value"), arts[1].get("value")
+        print(f"benchgate --scale [marathon, scale={ns}]: per-family rows "
+              "are NOT judged (migrating context inflation); suite totals "
+              f"{nv} vs {bv} sec "
+              f"({(nv / bv):.2f}x)" if isinstance(nv, (int, float)) and
+              isinstance(bv, (int, float)) and bv else "")
+        return 0
+    rc = 0
+    judged = 0
+    print(f"benchgate --scale [standalone, scale={ns}] "
+          f"(fail >{SCALE_BUDGET}x and >{SCALE_MIN_SEC}s)")
+    for q in sorted(nw):
+        if q not in bw or not bw[q]:
+            print(f"  note  {q}: no baseline wall")
+            continue
+        judged += 1
+        ratio = nw[q] / bw[q]
+        tag = "FAIL" if ratio > SCALE_BUDGET and nw[q] > SCALE_MIN_SEC else "ok  "
+        if tag == "FAIL":
+            rc = 1
+        print(f"  {tag}  {q}: {nw[q]:7.2f}s vs {bw[q]:.2f}s ({ratio:.2f}x)")
+    print(f"benchgate --scale: {'FAIL' if rc else 'PASS'} ({judged} families)")
+    return rc
+
+
 def main():
+    if len(sys.argv) >= 2 and sys.argv[1] == "--scale":
+        if len(sys.argv) != 4:
+            print("usage: benchgate.py --scale NEW.json BASELINE.json")
+            return 2
+        return scale_gate(sys.argv[2], sys.argv[3])
     paths = sys.argv[1:] or [os.path.join(REPO, "BENCH_FULL.json")]
     runs = []
     for path in paths:
@@ -80,6 +179,12 @@ def main():
             return 2
         with open(path) as f:
             r = json.load(f)
+        m = r.get("metric", "total")
+        if m != "total":
+            print(f"benchgate: {path} has metric '{m}' — this gate judges "
+                  "full-registry Bench runs against BENCH_STEADY; gen-series "
+                  "artifacts are judged like-to-like via --scale")
+            return 2
         l1, l5 = r.get("loadavg_1m"), r.get("loadavg_5m")
         if l1 is None or l5 is None:
             # an artifact with no recorded noise regime is unjudgeable,
