@@ -31,8 +31,12 @@ import graft.sources.ScanPruning
   *     is maintained INCREMENTALLY: [[init]] builds it, [[append]]
   *     extends it with one O(batch) aggregate over the new delta files,
   *     [[compact]] rebuilds it over the new base — so [[prunedRead]] can
-  *     skip base files by min/max box at any point in the append
-  *     lifecycle without an O(corpus) manifest rescan.
+  *     skip base files by min/max box (and [[lookup]] by per-file key
+  *     bloom, layout-free) at any point in the append lifecycle without
+  *     an O(corpus) manifest rescan.
+  *   - [[readAt]] time-travels to any seq not yet folded by compaction;
+  *     [[changesSince]] is the O(changes) CDC feed — the net per-key op
+  *     since a consumer's last sync, read from the newer deltas alone.
   *
   * Sequence numbers are CALLER-supplied (a stream's batchId, a crawl
   * drop id): re-appending the same seq OVERWRITES that delta, so replays
@@ -88,15 +92,20 @@ object CorpusStore {
   /** Create/replace the base snapshot and drop any existing deltas.
     * With `statsCols`, also build the file-skipping manifest over the
     * new base (one column-pruned scan) — [[append]] then maintains it
-    * incrementally and [[prunedRead]] consumes it. */
-  def init(df: DataFrame, dir: String, statsCols: Seq[String] = Nil): Unit = {
+    * incrementally and [[prunedRead]] consumes it. `bloomCols` adds
+    * per-file key blooms to the manifest for point lookups on
+    * hash-laid-out (unclustered) corpora, where min/max boxes cannot
+    * prune — see [[lookup]]. */
+  def init(df: DataFrame, dir: String, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val d = fs(spark, dir)
     df.write.mode(SaveMode.Overwrite).parquet(s"$dir/base")
     deltaPaths(spark, dir).foreach(p => d.delete(new Path(p), true))
     d.delete(new Path(s"$dir/base_old"), true)
-    if (statsCols.nonEmpty)
-      ScanPruning.writeManifest(spark, s"$dir/base", manifestPath(dir), statsCols)
+    if (statsCols.nonEmpty || bloomCols.nonEmpty)
+      ScanPruning.writeManifest(spark, s"$dir/base", manifestPath(dir),
+        statsCols, bloomCols)
     else d.delete(new Path(manifestPath(dir)), true)
   }
 
@@ -125,19 +134,15 @@ object CorpusStore {
       ScanPruning.appendManifest(spark, manifestPath(dir), deltaDir)
   }
 
-  /** The current corpus: base minus overridden/tombstoned keys, plus the
-    * latest surviving delta row per key. The base never shuffles while
-    * the delta mass is within `maxBroadcastKeys` (footer-counted
-    * preflight, then a broadcast anti on the distinct delta keys); past
-    * the bound — a store that missed its compaction cadence — the read
-    * degrades to a plain shuffled anti-join with identical output
-    * instead of an unbounded broadcast. */
-  def read(spark: SparkSession, dir: String, key: String,
-      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
-    val base = spark.read.parquet(ensureBase(spark, dir))
-    val deltas = deltaPaths(spark, dir)
-    if (deltas.isEmpty) return base
-    val du = spark.read.parquet(deltas: _*)
+  /** Last-writer-wins resolution of a delta union over a base frame —
+    * shared by [[read]]/[[readAt]]/[[prunedRead]]/[[lookup]]. The base
+    * never shuffles while the delta mass is within `maxBroadcastKeys`
+    * (footer-counted preflight, then a broadcast anti on the distinct
+    * delta keys); past the bound the resolution degrades to a plain
+    * shuffled anti-join with identical output instead of an unbounded
+    * broadcast. */
+  private def resolve(base: DataFrame, du: DataFrame, key: String,
+      maxBroadcastKeys: Long): DataFrame = {
     // parquet count-star is footer metadata, not a data scan; total delta
     // rows bounds the distinct key count from above
     val deltaRows = du.count()
@@ -153,6 +158,60 @@ object CorpusStore {
     val anti = if (deltaRows <= maxBroadcastKeys) broadcast(keys) else keys
     base.join(anti, Seq(key), "left_anti")
       .unionByName(survivors.select(base.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** The current corpus: base minus overridden/tombstoned keys, plus the
+    * latest surviving delta row per key — [[resolve]]'s contract over
+    * all deltas. */
+  def read(spark: SparkSession, dir: String, key: String,
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
+    val base = spark.read.parquet(ensureBase(spark, dir))
+    val deltas = deltaPaths(spark, dir)
+    if (deltas.isEmpty) return base
+    resolve(base, spark.read.parquet(deltas: _*), key, maxBroadcastKeys)
+  }
+
+  /** The seq encoded in a delta dir name (`delta_<%019d>`). */
+  private def deltaSeqOf(p: String): Long =
+    new Path(p).getName.stripPrefix("delta_").toLong
+
+  /** Time travel: the corpus as of `asOfSeq` — base plus only the deltas
+    * with seq <= asOfSeq (selected by DIR NAME, so newer deltas are
+    * never even opened). History reaches back to the last [[compact]]:
+    * compaction folds the deltas it consumes into the base, so seqs at
+    * or below the fold point all read as the folded state (the
+    * lakehouse VACUUM contract — retained history is bounded by
+    * compaction cadence, by design, not accident). */
+  def readAt(spark: SparkSession, dir: String, key: String, asOfSeq: Long,
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
+    val base = spark.read.parquet(ensureBase(spark, dir))
+    val deltas = deltaPaths(spark, dir).filter(p => deltaSeqOf(p) <= asOfSeq)
+    if (deltas.isEmpty) return base
+    resolve(base, spark.read.parquet(deltas: _*), key, maxBroadcastKeys)
+  }
+
+  /** Change-data feed: the NET change per key since `sinceSeq` — the
+    * latest op ('u' with the row's new values, or 'd') across the deltas
+    * with seq > sinceSeq, as data columns + `op` + `seq`. O(changes):
+    * only the newer delta dirs are read, the base never is — the
+    * incremental-consumer primitive (index refresh, downstream sync)
+    * that costs what changed, not what exists. A consumer that applies
+    * the feed to its copy of the `sinceSeq` state reaches the
+    * [[read]]/[[readAt]] state for the newest seq ('d' for a key the
+    * consumer never had is an idempotent no-op). Same truncation
+    * contract as [[readAt]]: changes folded by a [[compact]] are no
+    * longer individually replayable. */
+  def changesSince(spark: SparkSession, dir: String, key: String,
+      sinceSeq: Long): DataFrame = {
+    val deltas = deltaPaths(spark, dir).filter(p => deltaSeqOf(p) > sinceSeq)
+    if (deltas.isEmpty)
+      return spark.read.parquet(ensureBase(spark, dir)).filter(lit(false))
+        .withColumn("op", lit("")).withColumn("seq", lit(0L))
+    spark.read.parquet(deltas: _*)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(SeqCol).desc, col(OpCol).asc)))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumnRenamed(OpCol, "op").withColumnRenamed(SeqCol, "seq")
   }
 
   /** [[read]] with manifest-driven file skipping on the base: only base
@@ -174,17 +233,24 @@ object CorpusStore {
     val prunedBase = ScanPruning.prunedScan(spark, baseDir, baseSlice, keep)
     val deltas = deltaPaths(spark, dir)
     if (deltas.isEmpty) return prunedBase
-    val du = spark.read.parquet(deltas: _*)
-    val deltaRows = du.count()
-    val latest = du.withColumn("__rn", row_number().over(
-        Window.partitionBy(col(key)).orderBy(col(SeqCol).desc, col(OpCol).asc)))
-      .filter(col("__rn") === 1)
-    val survivors = latest.filter(col(OpCol) === "u")
-      .drop(OpCol, SeqCol, "__rn")
-    val keys = du.select(col(key)).distinct()
-    val anti = if (deltaRows <= maxBroadcastKeys) broadcast(keys) else keys
-    prunedBase.join(anti, Seq(key), "left_anti")
-      .unionByName(survivors.select(prunedBase.columns.map(col).toIndexedSeq: _*))
+    resolve(prunedBase, spark.read.parquet(deltas: _*), key, maxBroadcastKeys)
+  }
+
+  /** Point/small-IN lookup by key: open only the base files whose bloom
+    * may contain one of `keys` (manifest built with
+    * `bloomCols = Seq(key)`), resolve deltas as usual, and return exactly
+    * the matching rows. On a hash-laid-out 100 TB corpus this touches
+    * ~(1 + fpp·files) base files instead of every one — the layout-free
+    * complement to min/max pruning (which needs clustering to bite).
+    * `keys` are bounded driver-side literals (an id list, not a join
+    * side). */
+  def lookup(spark: SparkSession, dir: String, key: String, keys: Seq[Any],
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
+    require(hasManifest(spark, dir),
+      s"lookup needs a manifest: init the store with bloomCols = Seq(\"$key\")")
+    val pred = ScanPruning.keyLookupPredicate(spark, manifestPath(dir), key, keys)
+    prunedRead(spark, dir, key, pred, maxBroadcastKeys)
+      .filter(col(key).isin(keys: _*))
   }
 
   /** Continuous ingestion: apply a streaming frame of upserts to the
@@ -255,10 +321,8 @@ object CorpusStore {
     require(d.delete(old, true), s"compact: could not remove $old")
     deltas.foreach(p => require(d.delete(new Path(p), true),
       s"compact: could not remove folded delta $p"))
-    if (hasManifest(spark, dir)) {
-      val cols = ScanPruning.manifestStatCols(spark, manifestPath(dir))
-      ScanPruning.writeManifest(spark, s"$dir/base", manifestPath(dir), cols)
-    }
+    if (hasManifest(spark, dir))
+      ScanPruning.rebuildManifest(spark, s"$dir/base", manifestPath(dir))
   }
 
   /** Checked compaction cadence: fold when the delta row mass exceeds

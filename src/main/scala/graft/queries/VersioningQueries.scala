@@ -275,12 +275,148 @@ object VersioningQueries {
        |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk
        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- time travel (CorpusStore.readAt): the SAME store read at two
+  // asOf points in one result — as of seq 1 the refresh batch is applied
+  // but the seq-2 tombstones are not yet visible; as of seq 2 they are.
+  // Tagging each snapshot with as_of and unioning pins the asOf BOUNDARY
+  // (a readAt that leaks newer deltas collapses the two snapshots into
+  // one and fails rows+hash; one that drops older deltas loses the batch
+  // from both). The oracle reconstructs both states relationally.
+  private def storeTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CorpusStore, IvfModelStore}
+    val store =
+      s"${System.getProperty("java.io.tmpdir")}/graft_tt_${IvfModelStore.dirKey(dir)}"
+    CorpusStore.init(oldSnap(s, dir), store)
+    CorpusStore.append(s, store, 1L, "doc_id",
+      newSnap(s, dir).filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0))
+    CorpusStore.append(s, store, 2L, "doc_id",
+      oldSnap(s, dir).limit(0),
+      deleteKeys = Some(Tables.documents(s, dir)
+        .filter(col("doc_id") % 13 === 0).select(col("doc_id"))))
+    def snapAgg(asOf: Long): DataFrame =
+      CorpusStore.readAt(s, store, "doc_id", asOf)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("id_sum"), sum(fpChk(col("fp"))).as("fp_chk"))
+        .withColumn("as_of", lit(asOf))
+    snapAgg(1L).unionByName(snapAgg(2L))
+      .select(col("as_of"), col("source"), col("n"), col("id_sum"), col("fp_chk"))
+      .orderBy(col("as_of"), col("source"))
+  }
+
+  private val storeTimeTravelSql =
+    s"""WITH $snapSql, batch AS (
+       |  SELECT * FROM new WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+       |), at1 AS (
+       |  SELECT * FROM batch
+       |  UNION ALL
+       |  SELECT * FROM old WHERE doc_id NOT IN (SELECT doc_id FROM batch)
+       |), at2 AS (
+       |  SELECT * FROM at1 WHERE doc_id % 13 <> 0
+       |), both_snaps AS (
+       |  SELECT CAST(1 AS BIGINT) AS as_of, * FROM at1
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT) AS as_of, * FROM at2
+       |)
+       |SELECT as_of, source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk
+       |FROM both_snaps GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- CDC feed (CorpusStore.changesSince): the net per-key op since a
+  // consumer's sync point, read from the NEWER deltas alone — the base
+  // is never opened (O(changes), plan shape locked in CorpusStoreSpec).
+  // Two sync points in one result: since 0 the feed nets delta 1's
+  // upserts against delta 2's tombstones (tombstone wins per key); since
+  // 1 only the tombstones remain. Tombstone rows carry a NULL fp, so the
+  // fp checksum also pins that 'd' rows carry no stale payload.
+  private def storeChangesFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CorpusStore, IvfModelStore}
+    val store =
+      s"${System.getProperty("java.io.tmpdir")}/graft_cdc_${IvfModelStore.dirKey(dir)}"
+    CorpusStore.init(oldSnap(s, dir), store)
+    CorpusStore.append(s, store, 1L, "doc_id",
+      newSnap(s, dir).filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0))
+    CorpusStore.append(s, store, 2L, "doc_id",
+      oldSnap(s, dir).limit(0),
+      deleteKeys = Some(Tables.documents(s, dir)
+        .filter(col("doc_id") % 13 === 0).select(col("doc_id"))))
+    def feedAgg(since: Long): DataFrame =
+      CorpusStore.changesSince(s, store, "doc_id", since)
+        .groupBy(col("op")).agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("id_sum"),
+          coalesce(sum(fpChk(col("fp"))), lit(0L)).as("fp_chk"))
+        .withColumn("since", lit(since))
+    feedAgg(0L).unionByName(feedAgg(1L))
+      .select(col("since"), col("op"), col("n"), col("id_sum"), col("fp_chk"))
+      .orderBy(col("since"), col("op"))
+  }
+
+  private val storeChangesFeedSql =
+    s"""WITH $snapSql, batch AS (
+       |  SELECT * FROM new WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+       |), dels AS (
+       |  SELECT doc_id FROM documents WHERE doc_id % 13 = 0
+       |), feed AS (
+       |  SELECT CAST(0 AS BIGINT) AS since, 'd' AS op, doc_id,
+       |         CAST(NULL AS VARCHAR) AS fp FROM dels
+       |  UNION ALL
+       |  SELECT CAST(0 AS BIGINT), 'u', doc_id, fp FROM batch
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dels)
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT), 'd', doc_id, CAST(NULL AS VARCHAR) FROM dels
+       |)
+       |SELECT since, op, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(COALESCE(SUM(${fpChkSql("fp")}), 0) AS BIGINT) AS fp_chk
+       |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- bloom point lookup (CorpusStore.lookup x ScanPruning key
+  // blooms): the base is HASH-laid-out, so every file's min/max box
+  // spans the whole id domain and box pruning cannot skip anything —
+  // only the per-file key blooms can. The lookup resolves deltas as
+  // usual (an overridden key returns its delta version, a tombstoned
+  // one vanishes), so the oracle filters the reconstructed final state
+  // to the same literal id set. Structural file-skipping evidence lives
+  // in CorpusStoreSpec; this row pins the ANSWER at gate scale.
+  private val lookupIds: Seq[Long] = 1L to 40L
+
+  private def storeKeyLookup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CorpusStore, IvfModelStore}
+    val store =
+      s"${System.getProperty("java.io.tmpdir")}/graft_kv_${IvfModelStore.dirKey(dir)}"
+    CorpusStore.init(oldSnap(s, dir).repartition(8, col("doc_id")), store,
+      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    CorpusStore.append(s, store, 1L, "doc_id",
+      newSnap(s, dir).filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0))
+    CorpusStore.append(s, store, 2L, "doc_id",
+      oldSnap(s, dir).limit(0),
+      deleteKeys = Some(Tables.documents(s, dir)
+        .filter(col("doc_id") % 13 === 0).select(col("doc_id"))))
+    CorpusStore.lookup(s, store, "doc_id", lookupIds)
+      .select(col("doc_id"), col("source"), fpChk(col("fp")).as("fp_chk"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val storeKeyLookupSql =
+    s"""WITH $snapSql, batch AS (
+       |  SELECT * FROM new WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+       |), final AS (
+       |  SELECT * FROM batch WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT * FROM old WHERE doc_id % 13 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM batch)
+       |)
+       |SELECT doc_id, source, ${fpChkSql("fp")} AS fp_chk
+       |FROM final WHERE doc_id IN (${lookupIds.mkString(", ")})
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("version_diff", Some(versionDiffSql), versionDiff),
     QueryDef("version_upsert", Some(versionUpsertSql), versionUpsert),
     QueryDef("version_scd2", Some(versionScd2Sql), versionScd2),
     QueryDef("corpus_store_read", Some(corpusStoreReadSql), corpusStoreRead),
     QueryDef("store_pruned_read", Some(storePrunedReadSql), storePrunedRead),
+    QueryDef("store_time_travel", Some(storeTimeTravelSql), storeTimeTravel),
+    QueryDef("store_changes_feed", Some(storeChangesFeedSql), storeChangesFeed),
+    QueryDef("store_key_lookup", Some(storeKeyLookupSql), storeKeyLookup),
     QueryDef("pipeline_refresh_store", Some(pipelineRefreshStoreSql),
       pipelineRefreshStore),
   )

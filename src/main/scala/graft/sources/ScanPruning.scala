@@ -41,23 +41,48 @@ import org.apache.spark.sql.functions._
   * structurally in ScanPruningSpec (files read, counted, not timed).
   * Composes with [[graft.operators.CorpusStore]]: the store maintains
   * its manifest incrementally across appends and rebuilds it on compact.
+  *
+  * Min/max boxes only prune CLUSTERED dimensions — on a hash-laid-out
+  * corpus every file's box spans the whole key domain and nothing is
+  * skipped. For key-equality lookups on such layouts the manifest can
+  * instead carry a small per-file BLOOM FILTER per key column
+  * (`bloomCols`): [[keyLookupPredicate]] probes each file's filter and a
+  * point lookup opens ~(1 + fpp·files) files instead of all of them,
+  * regardless of layout. No false negatives (a bloom never drops a file
+  * that holds the key), and the same answer-transparency contract: the
+  * caller re-applies the key filter on the surviving rows.
   */
 object ScanPruning {
 
+  /** Default per-file bloom size: 2^16 bits = 8 KB per file per column —
+    * O(files) metadata (8 GB of blooms per MILLION files), sized for
+    * ~10k distinct keys per file at ~1% fpp with 5 hashes. */
+  val DefaultBloomBits: Int = 1 << 16
+  val DefaultBloomHashes: Int = 5
+
   /** Per-file stats manifest: `file, n_rows, <c>_min, <c>_max` for each
-    * stat column, from one column-pruned scan of `dataDir`. The `file`
-    * column here is `input_file_name()`'s raw (URL-encoded URI) form;
-    * the persisted writers below decode it and [[prunedScan]] decodes
-    * defensively, so both forms read back correctly. */
+    * stat column — plus, for each bloom column, `<c>_bloom` (the
+    * serialized filter over xxhash64 of the column) and a constant
+    * `bloom_k` column recording the hash count probes must reuse — from
+    * one column-pruned scan of `dataDir`. The `file` column here is
+    * `input_file_name()`'s raw (URL-encoded URI) form; the persisted
+    * writers below decode it and [[prunedScan]] decodes defensively, so
+    * both forms read back correctly. */
   def buildManifest(spark: SparkSession, dataDir: String,
-      cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "need at least one stat column")
-    val aggs = count(lit(1)).as("n_rows") +:
-      cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
-    spark.read.parquet(dataDir)
-      .select(input_file_name().as("file") +: cols.map(col): _*)
+      cols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits,
+      bloomHashes: Int = DefaultBloomHashes): DataFrame = {
+    require(cols.nonEmpty || bloomCols.nonEmpty,
+      "need at least one stat or bloom column")
+    val aggs = (count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))) ++
+      bloomCols.map(c => graft.functions.HashFunctions
+        .bloomAgg(xxhash64(col(c)), bloomBits, bloomHashes).as(s"${c}_bloom"))
+    val m = spark.read.parquet(dataDir)
+      .select(input_file_name().as("file") +: (cols ++ bloomCols).distinct.map(col): _*)
       .groupBy(col("file"))
       .agg(aggs.head, aggs.tail: _*)
+    if (bloomCols.isEmpty) m else m.withColumn("bloom_k", lit(bloomHashes))
   }
 
   /** Decode a manifest `file` entry to a plain filesystem path. Only
@@ -71,8 +96,11 @@ object ScanPruning {
   /** [[buildManifest]] with decoded driver-side rows — the persisted
     * form. O(files) rows pass the driver, nothing else. */
   private def decodedRows(spark: SparkSession, dataDir: String,
-      cols: Seq[String]): (Seq[Row], org.apache.spark.sql.types.StructType) = {
-    val m = buildManifest(spark, dataDir, cols)
+      cols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits,
+      bloomHashes: Int = DefaultBloomHashes)
+      : (Seq[Row], org.apache.spark.sql.types.StructType) = {
+    val m = buildManifest(spark, dataDir, cols, bloomCols, bloomBits, bloomHashes)
     val rows = m.collect().toIndexedSeq
       .map(r => Row.fromSeq(decodePath(r.getString(0)) +: r.toSeq.tail))
     (rows, m.schema)
@@ -87,8 +115,11 @@ object ScanPruning {
   }
 
   def writeManifest(spark: SparkSession, dataDir: String,
-      manifestPath: String, cols: Seq[String]): Unit = {
-    val (rows, schema) = decodedRows(spark, dataDir, cols)
+      manifestPath: String, cols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits,
+      bloomHashes: Int = DefaultBloomHashes): Unit = {
+    val (rows, schema) =
+      decodedRows(spark, dataDir, cols, bloomCols, bloomBits, bloomHashes)
     writeRows(spark, manifestPath, rows, schema)
   }
 
@@ -98,22 +129,58 @@ object ScanPruning {
     spark.read.parquet(manifestPath).schema.fieldNames.toIndexedSeq
       .filter(_.endsWith("_min")).map(_.dropRight(4))
 
+  /** The bloom columns a persisted manifest was built with (`<c>_bloom`
+    * field order). */
+  def manifestBloomCols(spark: SparkSession, manifestPath: String): Seq[String] =
+    spark.read.parquet(manifestPath).schema.fieldNames.toIndexedSeq
+      .filter(_.endsWith("_bloom")).map(_.dropRight(6))
+
+  /** The (bloomBits, bloomHashes) a persisted manifest's filters were
+    * built with — bits recovered from the serialized filter length, k
+    * from the recorded `bloom_k` column — so incremental extensions and
+    * rebuilds stay probe-compatible with the original entries. */
+  private def manifestBloomConfig(spark: SparkSession, manifestPath: String,
+      bloomCols: Seq[String]): (Int, Int) =
+    if (bloomCols.isEmpty) (DefaultBloomBits, DefaultBloomHashes)
+    else {
+      val r = spark.read.parquet(manifestPath)
+        .select(col(s"${bloomCols.head}_bloom"), col("bloom_k")).head()
+      (r.getAs[Array[Byte]](0).length * 8, r.getInt(1))
+    }
+
   /** Extend a stored manifest with the files of `newDir`: one aggregate
     * over JUST those files (O(batch)), merged with the existing entries
     * on the driver (O(files) rows). Entries already under `newDir` are
     * dropped first — a same-directory rewrite (e.g. a replayed
     * CorpusStore delta) replaces its stale file list instead of
-    * accumulating pointers to deleted part files. */
+    * accumulating pointers to deleted part files. Stat AND bloom columns
+    * (with the original filters' size and hash count) are recovered from
+    * the stored manifest, so the new entries stay probe-compatible. */
   def appendManifest(spark: SparkSession, manifestPath: String,
       newDir: String): Unit = {
     val existing = spark.read.parquet(manifestPath)
     val cols = manifestStatCols(spark, manifestPath)
-    require(cols.nonEmpty, s"manifest at $manifestPath has no stat columns")
+    val bloomCols = manifestBloomCols(spark, manifestPath)
+    require(cols.nonEmpty || bloomCols.nonEmpty,
+      s"manifest at $manifestPath has no stat or bloom columns")
+    val (bits, k) = manifestBloomConfig(spark, manifestPath, bloomCols)
     val prefix = new org.apache.hadoop.fs.Path(newDir).toUri.getPath
     val kept = existing.filter(!col("file").startsWith(prefix))
       .collect().toIndexedSeq
-    val (added, schema) = decodedRows(spark, newDir, cols)
+    val (added, schema) = decodedRows(spark, newDir, cols, bloomCols, bits, k)
     writeRows(spark, manifestPath, kept ++ added, schema)
+  }
+
+  /** Rebuild a stored manifest over `dataDir` with the SAME stat/bloom
+    * configuration it was built with (recovered before the overwrite) —
+    * the compaction-time refresh. */
+  def rebuildManifest(spark: SparkSession, dataDir: String,
+      manifestPath: String): Unit = {
+    val cols = manifestStatCols(spark, manifestPath)
+    val bloomCols = manifestBloomCols(spark, manifestPath)
+    val (bits, k) = manifestBloomConfig(spark, manifestPath, bloomCols)
+    // recovery above is eager (schema + one head()); safe to overwrite
+    writeManifest(spark, dataDir, manifestPath, cols, bloomCols, bits, k)
   }
 
   /** Box-intersection predicate over a manifest: keep files whose
@@ -122,6 +189,30 @@ object ScanPruning {
     bounds.map { case (c, lo, hi) =>
       col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi)
     }.reduce(_ && _)
+
+  /** Key-equality predicate over a manifest with a `<c>_bloom` column:
+    * keep files whose filter MAY contain any of `keys` (bounded,
+    * driver-side literals — a point/small-IN lookup, not a join). No
+    * false negatives, so pruning stays answer-transparent; expected
+    * survivors ≈ (files holding a key) + fpp·files. The probe hash count
+    * is read back from the manifest's `bloom_k`, so callers cannot drift
+    * from the build-time configuration. */
+  def keyLookupPredicate(spark: SparkSession, manifestPath: String,
+      c: String, keys: Seq[Any]): Column = {
+    require(keys.nonEmpty, "key lookup needs at least one key")
+    val m = spark.read.parquet(manifestPath)
+    require(m.schema.fieldNames.contains(s"${c}_bloom"),
+      s"manifest at $manifestPath has no bloom for '$c' " +
+        s"(build it with bloomCols = Seq(\"$c\"))")
+    m.select(col("bloom_k")).limit(1).collect().headOption match {
+      case None => lit(false) // empty manifest: nothing to keep
+      case Some(r) =>
+        val k = r.getInt(0)
+        keys.map(v => graft.functions.HashFunctions
+            .bloomMightContain(col(s"${c}_bloom"), xxhash64(lit(v)), k))
+          .reduce(_ || _)
+    }
+  }
 
   /** Read only the files of `dataDir` whose manifest row satisfies
     * `keep`. The result is a plain DataFrame over the surviving files —

@@ -251,6 +251,94 @@ class CorpusStoreSpec extends SparkTestBase {
     assert(prunedAfter.toSeq === full.toSeq)
   }
 
+  test("readAt time-travels to every seq boundary; compact truncates history to the fold") {
+    val dir = freshDir("timetravel")
+    CorpusStore.init(Seq((1L, "a"), (2L, "b")).toDF("id", "fp"), dir)
+    CorpusStore.append(spark, dir, 1L, "id", Seq((2L, "B"), (4L, "d")).toDF("id", "fp"))
+    CorpusStore.append(spark, dir, 2L, "id",
+      Seq.empty[(Long, String)].toDF("id", "fp"),
+      deleteKeys = Some(Seq(Tuple1(1L)).toDF("id")))
+    CorpusStore.append(spark, dir, 3L, "id", Seq((1L, "A2")).toDF("id", "fp"))
+    def at(seq: Long) = CorpusStore.readAt(spark, dir, "id", seq)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(at(0L) === Seq((1L, "a"), (2L, "b")), "asOf before every delta is the base")
+    assert(at(1L) === Seq((1L, "a"), (2L, "B"), (4L, "d")))
+    assert(at(2L) === Seq((2L, "B"), (4L, "d")), "seq-2 tombstone visible, seq-3 re-add not")
+    assert(at(99L) === Seq((1L, "A2"), (2L, "B"), (4L, "d")))
+    assert(at(99L) === CorpusStore.read(spark, dir, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    // newer deltas are excluded by DIR NAME — readAt(1) must not open them
+    assert(CorpusStore.readAt(spark, dir, "id", 1L).inputFiles
+      .forall(f => !f.contains("delta_") || f.contains("0000000000000000001")),
+      "readAt must not open newer delta dirs")
+    CorpusStore.compact(spark, dir, "id")
+    assert(at(0L) === at(99L), "compaction folds history: pre-fold seqs read as the folded state")
+  }
+
+  test("changesSince is the net per-key op from the newer deltas alone; the base is never read") {
+    val dir = freshDir("cdc")
+    CorpusStore.init(Seq((1L, "a"), (2L, "b")).toDF("id", "fp"), dir)
+    CorpusStore.append(spark, dir, 1L, "id", Seq((2L, "B"), (4L, "d")).toDF("id", "fp"))
+    CorpusStore.append(spark, dir, 2L, "id",
+      Seq.empty[(Long, String)].toDF("id", "fp"),
+      deleteKeys = Some(Seq(Tuple1(1L)).toDF("id")))
+    CorpusStore.append(spark, dir, 3L, "id", Seq((1L, "A2")).toDF("id", "fp"))
+    def feed(since: Long) = CorpusStore.changesSince(spark, dir, "id", since)
+    val f0 = feed(0L).orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2), r.getLong(3)))
+    // key 1: deleted at 2, re-added at 3 -> net 'u' A2; 2 and 4 upserted at 1
+    assert(f0.toSeq === Seq((1L, Some("A2"), "u", 3L),
+      (2L, Some("B"), "u", 1L), (4L, Some("d"), "u", 1L)))
+    val f1 = feed(1L).orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2), r.getLong(3)))
+    assert(f1.toSeq === Seq((1L, Some("A2"), "u", 3L)),
+      "a sync at seq 1 nets delete-then-re-add to the re-add alone")
+    // a consumer synced at seq 2 sees only the re-add
+    val f2 = feed(2L).collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(f2.toSeq === Seq((1L, "A2", "u")))
+    // fully-synced consumer: empty feed, schema intact
+    val f3 = feed(3L)
+    assert(f3.count() === 0 && f3.columns.toSeq === Seq("id", "fp", "op", "seq"))
+    // O(changes) contract: the feed never opens the base
+    assert(feed(0L).inputFiles.forall(!_.contains("/base")),
+      "changesSince must read deltas only")
+  }
+
+  test("lookup prunes base files via per-file key blooms on a HASH layout and answers exactly") {
+    val dir = freshDir("bloomkv")
+    val base = (1L to 400L).map(i => (i, s"v$i")).toDF("id", "fp")
+      .repartition(8, col("id")) // hash layout: min/max boxes span everything
+    CorpusStore.init(base, dir, statsCols = Seq("id"), bloomCols = Seq("id"))
+    CorpusStore.append(spark, dir, 1L, "id",
+      Seq((2L, "V2"), (1000L, "new")).toDF("id", "fp"),
+      deleteKeys = Some(Seq(Tuple1(3L)).toDF("id")))
+    val keys: Seq[Any] = Seq(1L, 2L, 3L, 1000L, 9999L)
+    val got = CorpusStore.lookup(spark, dir, "id", keys)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "v1"), (2L, "V2"), (1000L, "new")),
+      "override visible, tombstone gone, absent key absent")
+    val full = CorpusStore.read(spark, dir, "id").filter(col("id").isin(keys: _*))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === full.toSeq, "lookup must equal the unpruned read")
+    // structural: the box CANNOT prune this layout, the bloom can
+    val m = spark.read.parquet(s"$dir/manifest")
+    val baseFiles = m.filter(col("file").contains("/base/"))
+    assert(baseFiles.filter(graft.sources.ScanPruning.boxPredicate(
+      Seq(("id", 1L, 200L)))).count() === baseFiles.count(),
+      "hash layout: every file's min/max box intersects a half-domain range")
+    val pred = graft.sources.ScanPruning.keyLookupPredicate(
+      spark, s"$dir/manifest", "id", keys)
+    assert(baseFiles.filter(pred).count() < baseFiles.count(),
+      "the bloom must skip at least one base file for a 5-key lookup")
+    // compact rebuilds the manifest WITH its blooms; lookup still exact
+    CorpusStore.compact(spark, dir, "id")
+    assert(graft.sources.ScanPruning.manifestBloomCols(spark, s"$dir/manifest")
+      === Seq("id"))
+    val after = CorpusStore.lookup(spark, dir, "id", keys)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(after.toSeq === got.toSeq)
+  }
+
   test("read without deltas is the base; store survives an empty upsert batch") {
     val dir = freshDir("nodelta")
     CorpusStore.init(Seq((1L, "a")).toDF("id", "fp"), dir)
