@@ -281,6 +281,33 @@ object CorpusStore {
       }
   }
 
+  /** The store's deltas as a STREAMING source — the continuous form of
+    * [[changesSince]]: a Structured Streaming file source over
+    * `delta_*`, so each new append (manual or [[appendStream]]) is
+    * discovered and emitted as raw change rows (data columns + `op` +
+    * `seq`) in its next microbatch. The subscriber model of a log store,
+    * over plain parquet: downstream consumers (index refresh, replica
+    * sync) attach with their own checkpoint and pay O(changes), never
+    * touching the base. Contracts the caller owns:
+    *   - RAW rows, not netted: apply ops in `seq` order ('d' before 'u'
+    *     within a seq, the same tie-break [[read]] resolves with).
+    *   - A same-seq replayed append rewrites its delta dir with NEW part
+    *     files, which the file source emits again — delivery across
+    *     WRITER failures is at-least-once per seq; idempotent consumers
+    *     key their apply on `seq` (e.g. foreachBatch into a second
+    *     store, which the seq-overwrite contract makes exactly-once).
+    *   - [[compact]] deletes the deltas it folds; run it only past the
+    *     consumers' sync horizon (the retention contract every log
+    *     store has — cadence is the caller's checked knob via
+    *     [[compactIfNeeded]]). */
+  def changesStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(ensureBase(spark, dir)).schema
+      .add(OpCol, org.apache.spark.sql.types.StringType)
+      .add(SeqCol, org.apache.spark.sql.types.LongType)
+    spark.readStream.schema(schema).parquet(s"$dir/delta_*")
+      .withColumnRenamed(OpCol, "op").withColumnRenamed(SeqCol, "seq")
+  }
+
   /** Fold the deltas into a new base and remove them. O(corpus) — run at
     * compaction cadence ([[compactIfNeeded]]), not per batch.
     * Single-writer contract: the swap below is not a transactional

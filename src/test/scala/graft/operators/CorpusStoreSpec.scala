@@ -304,6 +304,30 @@ class CorpusStoreSpec extends SparkTestBase {
       "changesSince must read deltas only")
   }
 
+  test("changesStream emits each append as change rows in its next microbatch; base untouched") {
+    val dir = freshDir("cdcstream")
+    CorpusStore.init(Seq((1L, "a"), (2L, "b")).toDF("id", "fp"), dir)
+    val q = CorpusStore.changesStream(spark, dir).writeStream
+      .format("memory").queryName("cdc_feed")
+      .option("checkpointLocation", freshDir("cdcstream-ckpt")).start()
+    try {
+      CorpusStore.append(spark, dir, 1L, "id", Seq((2L, "B"), (4L, "d")).toDF("id", "fp"))
+      q.processAllAvailable()
+      val after1 = spark.table("cdc_feed").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(after1.toSeq === Seq((2L, "B", "u", 1L), (4L, "d", "u", 1L)))
+      // a later tombstone append is discovered as a NEW microbatch
+      CorpusStore.append(spark, dir, 2L, "id",
+        Seq.empty[(Long, String)].toDF("id", "fp"),
+        deleteKeys = Some(Seq(Tuple1(4L)).toDF("id")))
+      q.processAllAvailable()
+      val after2 = spark.table("cdc_feed").orderBy("seq", "id").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2), r.getLong(3)))
+      assert(after2.toSeq === Seq((2L, Some("B"), "u", 1L), (4L, Some("d"), "u", 1L),
+        (4L, None, "d", 2L)), "raw rows in seq order, tombstone carries null payload")
+    } finally q.stop()
+  }
+
   test("lookup prunes base files via per-file key blooms on a HASH layout and answers exactly") {
     val dir = freshDir("bloomkv")
     val base = (1L to 400L).map(i => (i, s"v$i")).toDF("id", "fp")
