@@ -142,7 +142,7 @@ object CorpusStore {
     * shuffled anti-join with identical output instead of an unbounded
     * broadcast. */
   private def resolve(base: DataFrame, du: DataFrame, key: String,
-      maxBroadcastKeys: Long): DataFrame = {
+      maxBroadcastKeys: Long, evolveSchema: Boolean = false): DataFrame = {
     // parquet count-star is footer metadata, not a data scan; total delta
     // rows bounds the distinct key count from above
     val deltaRows = du.count()
@@ -156,19 +156,41 @@ object CorpusStore {
       .drop(OpCol, SeqCol, "__rn")
     val keys = du.select(col(key)).distinct()
     val anti = if (deltaRows <= maxBroadcastKeys) broadcast(keys) else keys
-    base.join(anti, Seq(key), "left_anti")
-      .unionByName(survivors.select(base.columns.map(col).toIndexedSeq: _*))
+    val kept = base.join(anti, Seq(key), "left_anti")
+    if (evolveSchema) kept.unionByName(survivors, allowMissingColumns = true)
+    else kept.unionByName(survivors.select(base.columns.map(col).toIndexedSeq: _*))
   }
+
+  /** Read the delta dirs; with `evolveSchema`, merge their parquet
+    * schemas (an O(deltas) footer read) so a widened delta's new columns
+    * survive a multi-dir scan instead of being dropped to the first
+    * file's schema. */
+  private def readDeltas(spark: SparkSession, deltas: Seq[String],
+      evolveSchema: Boolean): DataFrame =
+    if (evolveSchema)
+      spark.read.option("mergeSchema", "true").parquet(deltas: _*)
+    else spark.read.parquet(deltas: _*)
 
   /** The current corpus: base minus overridden/tombstoned keys, plus the
     * latest surviving delta row per key — [[resolve]]'s contract over
-    * all deltas. */
+    * all deltas.
+    *
+    * `evolveSchema = true` is the lakehouse schema-evolution read: a
+    * refresh batch may ADD columns without rewriting the corpus — the
+    * result schema is base ∪ delta columns (base order first), base
+    * rows read null in the added columns, and a delta row reads null in
+    * any base column its schema omits (an upsert replaces the WHOLE
+    * row; callers wanting carry-over include the columns in the batch).
+    * The default (false) keeps the base schema exactly and is only
+    * correct while every delta carries it. */
   def read(spark: SparkSession, dir: String, key: String,
-      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys,
+      evolveSchema: Boolean = false): DataFrame = {
     val base = spark.read.parquet(ensureBase(spark, dir))
     val deltas = deltaPaths(spark, dir)
     if (deltas.isEmpty) return base
-    resolve(base, spark.read.parquet(deltas: _*), key, maxBroadcastKeys)
+    resolve(base, readDeltas(spark, deltas, evolveSchema), key,
+      maxBroadcastKeys, evolveSchema)
   }
 
   /** The seq encoded in a delta dir name (`delta_<%019d>`). */
@@ -183,11 +205,13 @@ object CorpusStore {
     * lakehouse VACUUM contract — retained history is bounded by
     * compaction cadence, by design, not accident). */
   def readAt(spark: SparkSession, dir: String, key: String, asOfSeq: Long,
-      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys,
+      evolveSchema: Boolean = false): DataFrame = {
     val base = spark.read.parquet(ensureBase(spark, dir))
     val deltas = deltaPaths(spark, dir).filter(p => deltaSeqOf(p) <= asOfSeq)
     if (deltas.isEmpty) return base
-    resolve(base, spark.read.parquet(deltas: _*), key, maxBroadcastKeys)
+    resolve(base, readDeltas(spark, deltas, evolveSchema), key,
+      maxBroadcastKeys, evolveSchema)
   }
 
   /** Change-data feed: the NET change per key since `sinceSeq` — the
@@ -207,7 +231,10 @@ object CorpusStore {
     if (deltas.isEmpty)
       return spark.read.parquet(ensureBase(spark, dir)).filter(lit(false))
         .withColumn("op", lit("")).withColumn("seq", lit(0L))
-    spark.read.parquet(deltas: _*)
+    // mergeSchema unconditionally: the feed must carry a widened delta's
+    // added columns even when older deltas in the range lack them (an
+    // O(deltas) footer read — metadata scale)
+    spark.read.option("mergeSchema", "true").parquet(deltas: _*)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(key)).orderBy(col(SeqCol).desc, col(OpCol).asc)))
       .filter(col("__rn") === 1).drop("__rn")
@@ -326,7 +353,8 @@ object CorpusStore {
     *      values the folded base already carries (deleting descending
     *      would leave an older delta to wrongly win resolution).
     */
-  def compact(spark: SparkSession, dir: String, key: String): Unit = {
+  def compact(spark: SparkSession, dir: String, key: String,
+      evolveSchema: Boolean = false): Unit = {
     val d = fs(spark, dir)
     val base = new Path(ensureBase(spark, dir))
     val old = new Path(s"$dir/base_old")
@@ -336,8 +364,12 @@ object CorpusStore {
       s"compact: could not remove stale $old")
     val deltas = deltaPaths(spark, dir)
     if (deltas.isEmpty) return
-    read(spark, dir, key).write.mode(SaveMode.Overwrite)
-      .parquet(s"$dir/base_compacting")
+    // evolveSchema folds widened deltas into a WIDENED base — the one
+    // O(corpus) write schema evolution ever pays, amortized over the
+    // same cadence as any compact; plain reads carry the new columns
+    // from then on
+    read(spark, dir, key, evolveSchema = evolveSchema)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/base_compacting")
     // Hadoop FileSystem delete/rename report failure by RETURNING false,
     // not throwing — abort while the store is still readable
     require(d.rename(base, old),

@@ -368,6 +368,45 @@ object VersioningQueries {
        |  CAST(COALESCE(SUM(${fpChkSql("fp")}), 0) AS BIGINT) AS fp_chk
        |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- schema evolution (CorpusStore.read(evolveSchema)): the refresh
+  // batch ADDS a lang column; the merge-on-read resolution widens the
+  // result (base rows read null in the new column) without any corpus
+  // rewrite. The per-bucket fp checksum pins that the widened read still
+  // carries the RIGHT row versions, and the 'none' bucket (base
+  // passthrough mass) catches a resolution that silently drops or
+  // duplicates unwidened rows.
+  private def storeSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CorpusStore, IvfModelStore}
+    val store =
+      s"${System.getProperty("java.io.tmpdir")}/graft_evo_${IvfModelStore.dirKey(dir)}"
+    CorpusStore.init(oldSnap(s, dir), store)
+    CorpusStore.append(s, store, 1L, "doc_id",
+      newSnap(s, dir).filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0)
+        .withColumn("lang",
+          when(col("doc_id") % 2 === 0, lit("en")).otherwise(lit("pt"))))
+    CorpusStore.read(s, store, "doc_id", evolveSchema = true)
+      .groupBy(coalesce(col("lang"), lit("none")).as("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(fpChk(col("fp"))).as("fp_chk"))
+      .orderBy(col("lang"))
+  }
+
+  private val storeSchemaEvolutionSql =
+    s"""WITH $snapSql, batch AS (
+       |  SELECT doc_id, fp,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'pt' END AS lang
+       |  FROM new WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+       |), final AS (
+       |  SELECT doc_id, fp, lang FROM batch
+       |  UNION ALL
+       |  SELECT doc_id, fp, CAST(NULL AS VARCHAR) AS lang FROM old
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM batch)
+       |)
+       |SELECT COALESCE(lang, 'none') AS lang, COUNT(*) AS n,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk
+       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- bloom point lookup (CorpusStore.lookup x ScanPruning key
   // blooms): the base is HASH-laid-out, so every file's min/max box
   // spans the whole id domain and box pruning cannot skip anything —
@@ -417,6 +456,8 @@ object VersioningQueries {
     QueryDef("store_time_travel", Some(storeTimeTravelSql), storeTimeTravel),
     QueryDef("store_changes_feed", Some(storeChangesFeedSql), storeChangesFeed),
     QueryDef("store_key_lookup", Some(storeKeyLookupSql), storeKeyLookup),
+    QueryDef("store_schema_evolution", Some(storeSchemaEvolutionSql),
+      storeSchemaEvolution),
     QueryDef("pipeline_refresh_store", Some(pipelineRefreshStoreSql),
       pipelineRefreshStore),
   )

@@ -363,6 +363,32 @@ class CorpusStoreSpec extends SparkTestBase {
     assert(after.toSeq === got.toSeq)
   }
 
+  test("schema evolution: widened deltas read/feed their new column; compact folds a widened base") {
+    val dir = freshDir("evolve")
+    CorpusStore.init(Seq((1L, "a"), (2L, "b")).toDF("id", "fp"), dir)
+    // seq 1 ADDS a column; seq 2 is an old-schema writer (no lang)
+    CorpusStore.append(spark, dir, 1L, "id",
+      Seq((2L, "B", "en"), (3L, "c", "pt")).toDF("id", "fp", "lang"))
+    CorpusStore.append(spark, dir, 2L, "id", Seq((4L, "d")).toDF("id", "fp"))
+    val evolved = CorpusStore.read(spark, dir, "id", evolveSchema = true)
+    assert(evolved.columns.toSeq === Seq("id", "fp", "lang"))
+    val got = evolved.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(got.toSeq === Seq((1L, "a", None), (2L, "B", Some("en")),
+      (3L, "c", Some("pt")), (4L, "d", None)),
+      "base rows and old-schema delta rows read null in the added column")
+    // the CDC feed merges schemas across heterogeneous deltas too
+    val feed = CorpusStore.changesSince(spark, dir, "id", 0L)
+    assert(feed.columns.contains("lang"))
+    assert(feed.filter(col("id") === 2L).head().getAs[String]("lang") === "en")
+    // compact(evolveSchema) pays the one O(corpus) widening write;
+    // PLAIN reads carry the new column from then on
+    CorpusStore.compact(spark, dir, "id", evolveSchema = true)
+    val after = CorpusStore.read(spark, dir, "id").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(after.toSeq === got.toSeq)
+  }
+
   test("read without deltas is the base; store survives an empty upsert batch") {
     val dir = freshDir("nodelta")
     CorpusStore.init(Seq((1L, "a")).toDF("id", "fp"), dir)
