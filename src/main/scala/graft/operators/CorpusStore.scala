@@ -354,7 +354,8 @@ object CorpusStore {
     *      would leave an older delta to wrongly win resolution).
     */
   def compact(spark: SparkSession, dir: String, key: String,
-      evolveSchema: Boolean = false): Unit = {
+      evolveSchema: Boolean = false, clusterBy: Seq[String] = Nil,
+      clusterFiles: Int = 0): Unit = {
     val d = fs(spark, dir)
     val base = new Path(ensureBase(spark, dir))
     val old = new Path(s"$dir/base_old")
@@ -368,8 +369,30 @@ object CorpusStore {
     // O(corpus) write schema evolution ever pays, amortized over the
     // same cadence as any compact; plain reads carry the new columns
     // from then on
-    read(spark, dir, key, evolveSchema = evolveSchema)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/base_compacting")
+    val folded = read(spark, dir, key, evolveSchema = evolveSchema)
+    // clusterBy: compaction is already the O(corpus) rewrite, so it is
+    // the natural (free-shuffle) moment to LAY OUT the new base — range
+    // for one column, z-order for several — making every file's min/max
+    // box tight again after appends scattered the key space; the
+    // manifest rebuild below then prunes like a fresh landing. Content
+    // is unchanged (Layout's answer-transparency contract).
+    // clusterFiles > 0 pins the output file count (an explicit
+    // repartition is exempt from AQE coalescing); 0 lets the session
+    // size the files — the right default at scale, where AQE's
+    // bytes-per-partition target IS the row-group sizing policy.
+    clusterBy match {
+      case Nil =>
+        folded.write.mode(SaveMode.Overwrite).parquet(s"$dir/base_compacting")
+      case Seq(c) =>
+        val ranged = if (clusterFiles > 0)
+          folded.repartitionByRange(clusterFiles, col(c))
+        else folded.repartitionByRange(col(c))
+        ranged.sortWithinPartitions(col(c))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/base_compacting")
+      case cs =>
+        graft.sources.Layout.zorderWrite(folded, s"$dir/base_compacting", cs,
+          files = clusterFiles)
+    }
     // Hadoop FileSystem delete/rename report failure by RETURNING false,
     // not throwing — abort while the store is still readable
     require(d.rename(base, old),
@@ -390,14 +413,15 @@ object CorpusStore {
     * after appends (or on a timer) to keep [[read]] on its broadcast
     * fast path by contract instead of by comment. */
   def compactIfNeeded(spark: SparkSession, dir: String, key: String,
-      maxDeltaToBaseRatio: Double = 0.2): Boolean = {
+      maxDeltaToBaseRatio: Double = 0.2, evolveSchema: Boolean = false,
+      clusterBy: Seq[String] = Nil): Boolean = {
     require(maxDeltaToBaseRatio > 0, s"ratio must be > 0, got $maxDeltaToBaseRatio")
     val deltas = deltaPaths(spark, dir)
     if (deltas.isEmpty) return false
     val deltaRows = spark.read.parquet(deltas: _*).count()
     val baseRows = spark.read.parquet(ensureBase(spark, dir)).count()
     if (deltaRows > maxDeltaToBaseRatio * math.max(baseRows, 1L)) {
-      compact(spark, dir, key); true
+      compact(spark, dir, key, evolveSchema, clusterBy); true
     } else false
   }
 }

@@ -231,6 +231,57 @@ object VersioningQueries {
        |WHERE doc_id BETWEEN 0 AND (SELECT MAX(doc_id) // 4 FROM documents)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- cluster-on-compact (CorpusStore.compact(clusterBy) x
+  // ScanPruning): the base starts HASH-laid-out (boxes span the id
+  // domain, pruning impossible), takes a refresh batch and tombstones,
+  // then compacts WITH a range layout — the O(corpus) fold doubles as
+  // the re-clustering moment, and the rebuilt manifest prunes the new
+  // base like a fresh landing. The read is a post-compact prunedRead
+  // over the upper half of the id space; the oracle reconstructs the
+  // same final state relationally, so a fold that drops, duplicates, or
+  // mis-resolves rows during the re-layout fails the hash (structural
+  // file-skipping evidence is CorpusStoreSpec's subject).
+  private def storeClusterCompact(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CorpusStore, IvfModelStore}
+    import graft.sources.ScanPruning
+    val store =
+      s"${System.getProperty("java.io.tmpdir")}/graft_cc_${IvfModelStore.dirKey(dir)}"
+    val hi = Tables.documents(s, dir).agg(max(col("doc_id"))).head().getLong(0)
+    CorpusStore.init(oldSnap(s, dir).repartition(8, col("doc_id")), store,
+      statsCols = Seq("doc_id"))
+    CorpusStore.append(s, store, 1L, "doc_id",
+      newSnap(s, dir).filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0))
+    CorpusStore.append(s, store, 2L, "doc_id",
+      oldSnap(s, dir).limit(0),
+      deleteKeys = Some(Tables.documents(s, dir)
+        .filter(col("doc_id") % 13 === 0).select(col("doc_id"))))
+    CorpusStore.compact(s, store, "doc_id", clusterBy = Seq("doc_id"),
+      clusterFiles = 8) // pinned so the half-domain box prunes at every sf
+    CorpusStore.prunedRead(s, store, "doc_id",
+        ScanPruning.boxPredicate(Seq(("doc_id", hi / 2, hi))))
+      .filter(col("doc_id").between(hi / 2, hi))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(fpChk(col("fp"))).as("fp_chk"))
+      .orderBy(col("source"))
+  }
+
+  private val storeClusterCompactSql =
+    s"""WITH $snapSql, batch AS (
+       |  SELECT * FROM new WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+       |), final AS (
+       |  SELECT * FROM batch WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT * FROM old WHERE doc_id % 13 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM batch)
+       |)
+       |SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk
+       |FROM final
+       |WHERE doc_id BETWEEN (SELECT MAX(doc_id) // 2 FROM documents)
+       |  AND (SELECT MAX(doc_id) FROM documents)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- refresh pipeline e2e: the real ingest shape — dedup the batch
   // against history BEFORE merging. The batch streams through
   // Dedup.incrementalDups (broadcast bloom probe + exact fp semi-join —
@@ -458,6 +509,8 @@ object VersioningQueries {
     QueryDef("store_key_lookup", Some(storeKeyLookupSql), storeKeyLookup),
     QueryDef("store_schema_evolution", Some(storeSchemaEvolutionSql),
       storeSchemaEvolution),
+    QueryDef("store_cluster_compact", Some(storeClusterCompactSql),
+      storeClusterCompact),
     QueryDef("pipeline_refresh_store", Some(pipelineRefreshStoreSql),
       pipelineRefreshStore),
   )

@@ -389,6 +389,46 @@ class CorpusStoreSpec extends SparkTestBase {
     assert(after.toSeq === got.toSeq)
   }
 
+  test("compact(clusterBy) re-lays the base: boxes tighten, pruning resumes, content unchanged") {
+    val dir = freshDir("recluster")
+    // hash layout: every file's min/max box spans the id domain
+    CorpusStore.init((1L to 400L).map(i => (i, s"v$i")).toDF("id", "fp")
+      .repartition(8, col("id")), dir, statsCols = Seq("id"))
+    CorpusStore.append(spark, dir, 1L, "id",
+      Seq((2L, "V2"), (1000L, "x")).toDF("id", "fp"))
+    val before = CorpusStore.read(spark, dir, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val keep = graft.sources.ScanPruning.boxPredicate(Seq(("id", 1L, 50L)))
+    val preSurv = spark.read.parquet(s"$dir/manifest")
+      .filter(col("file").contains("/base/")).filter(keep).count()
+    CorpusStore.compact(spark, dir, "id", clusterBy = Seq("id"),
+      clusterFiles = 8) // tiny corpus: pin the file count (AQE would coalesce to 1)
+    val after = CorpusStore.read(spark, dir, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(after.toSeq === before.toSeq, "re-clustering must not change content")
+    val m = spark.read.parquet(s"$dir/manifest")
+    assert(m.filter(keep).count() < m.count(),
+      "the re-laid base must have prunable boxes")
+    assert(m.filter(keep).count() <= preSurv,
+      "clustering must not make pruning worse than the hash layout")
+    val pruned = CorpusStore.prunedRead(spark, dir, "id", keep)
+      .filter(col("id").between(1L, 50L))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(pruned.toSeq === after.filter(t => t._1 >= 1L && t._1 <= 50L).toSeq)
+    // multi-column clusterBy goes through the z-order writer (plumbing +
+    // content check; pruning quality is ZOrderSpec's subject)
+    val dir2 = freshDir("recluster2")
+    CorpusStore.init((1L to 100L).map(i => (i, i % 7, s"v$i"))
+      .toDF("id", "grp", "fp"), dir2)
+    CorpusStore.append(spark, dir2, 1L, "id", Seq((5L, 5L, "V5")).toDF("id", "grp", "fp"))
+    val want2 = CorpusStore.read(spark, dir2, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    CorpusStore.compact(spark, dir2, "id", clusterBy = Seq("id", "grp"))
+    val got2 = CorpusStore.read(spark, dir2, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got2.toSeq === want2.toSeq)
+  }
+
   test("read without deltas is the base; store survives an empty upsert batch") {
     val dir = freshDir("nodelta")
     CorpusStore.init(Seq((1L, "a")).toDF("id", "fp"), dir)
