@@ -1,7 +1,9 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** File-level data skipping over plain parquet directories — the
   * manifest half of the z-order story.
@@ -15,25 +17,41 @@ import org.apache.spark.sql.functions._
   * per-file statistics manifest at landing, intersect it with the query
   * box at plan time, and hand Spark only the surviving file list.
   *
-  * - [[buildManifest]]: ONE column-pruned scan of the data (only the
-  *   clustered/stat columns are read) → `file, n_rows, <c>_min, <c>_max`
-  *   per file. O(files) rows — metadata scale.
-  * - [[writeManifest]] / [[appendManifest]]: the persisted form. Stored
-  *   manifests carry DECODED plain file paths (`input_file_name()`
-  *   yields URL-encoded URIs — the same pitfall graft.cnj.Reader
-  *   documents; feeding "%20" back to `spark.read.parquet` fails for any
-  *   path with an encodable character). The decode runs on the driver
-  *   over the O(files)-row result — the same bounded driver list every
-  *   lakehouse manifest needs. appendManifest extends a stored manifest
-  *   with ONE aggregate over just the new directory's files (O(batch),
-  *   not an O(corpus) rescan), dropping any stale entries for that
-  *   directory first so a replayed write is idempotent.
-  * - [[prunedScan]]: filter the manifest with any predicate over those
-  *   stat columns, collect the surviving file names (driver-bounded by
-  *   the manifest's cardinality, same contract as the model/boundary
-  *   tables elsewhere), and read exactly those files. Pruning is
-  *   TRANSPARENT: callers re-apply their row-level filter on the result;
-  *   a file kept by the box may still hold non-matching rows.
+  * The persisted manifest is MULTI-PART — a directory of single-file
+  * parquet parts, one per landed data directory (`<dirname>.parquet`),
+  * exactly the shape every table format's manifest list takes:
+  *
+  * - [[writeManifest]] resets the manifest to one part covering
+  *   `dataDir` (landing / compaction).
+  * - [[appendManifest]] adds ONE new part built from one aggregate over
+  *   JUST the new directory's files — O(batch) compute, O(batch) write,
+  *   and ZERO round-trip of existing entries (the r12 single-file form
+  *   collected every prior entry — including 8 KB/file bloom bytes — to
+  *   the driver and rewrote the whole manifest per append, an O(files)
+  *   cost on an O(batch) contract). A replayed append writes the SAME
+  *   part name, replacing its stale file list instead of accumulating
+  *   pointers to deleted part files — idempotence by part naming, not
+  *   driver filtering.
+  * - Reads (`spark.read.parquet(manifestPath)`) union the parts; parts
+  *   are moved into place by rename (built under an underscore-prefixed
+  *   temp dir readers ignore), so a concurrent read never sees a
+  *   half-written part.
+  * - [[rebuildManifest]] folds the parts back to one on compaction.
+  *
+  * Per-file entries are `file, n_rows, <c>_min, <c>_max` from ONE
+  * column-pruned scan of the landing directory — O(files) rows, metadata
+  * scale. Stored manifests carry DECODED plain file paths
+  * (`input_file_name()` yields URL-encoded URIs — the same pitfall
+  * graft.cnj.Reader documents; feeding "%20" back to
+  * `spark.read.parquet` fails for any path with an encodable character).
+  * The decode runs on the driver over the new part's O(batch) rows only.
+  *
+  * [[prunedScan]]: filter the manifest with any predicate over those
+  * stat columns, collect the surviving file names (driver-bounded by
+  * the manifest's cardinality, same contract as the model/boundary
+  * tables elsewhere), and read exactly those files. Pruning is
+  * TRANSPARENT: callers re-apply their row-level filter on the result;
+  * a file kept by the box may still hold non-matching rows.
   *
   * Composes with [[Layout.zorderWrite]]: z-ordering makes each file's
   * min/max box tight in every clustered dimension, so the manifest
@@ -50,39 +68,95 @@ import org.apache.spark.sql.functions._
   * point lookup opens ~(1 + fpp·files) files instead of all of them,
   * regardless of layout. No false negatives (a bloom never drops a file
   * that holds the key), and the same answer-transparency contract: the
-  * caller re-applies the key filter on the surviving rows.
+  * caller re-applies the key filter on the surviving rows. Alongside
+  * each filter the manifest records the probe hash count (`bloom_k`)
+  * and the key column's data type (`<c>_bloom_dt`) — probes recompute
+  * the build-time hash exactly instead of trusting the caller's literal
+  * types (xxhash64 hashes Int and Long DIFFERENTLY, so an untyped probe
+  * literal would silently generate false negatives).
   */
 object ScanPruning {
 
-  /** Default per-file bloom size: 2^16 bits = 8 KB per file per column —
-    * O(files) metadata (8 GB of blooms per MILLION files), sized for
-    * ~10k distinct keys per file at ~1% fpp with 5 hashes. */
+  /** Floor for per-file bloom size: 2^16 bits = 8 KB per file per column —
+    * O(files) metadata, sized for ~6.5k distinct keys per file at ~1% fpp
+    * with 5 hashes. */
   val DefaultBloomBits: Int = 1 << 16
+
+  /** Ceiling for auto-sized blooms: 2^27 bits = 16 MB per file — enough
+    * for ~13M keys/file at ~1% fpp, i.e. a fully-compacted ~1 GB file of
+    * short rows. Past this the fpp degrades gracefully (more file opens,
+    * never wrong answers). */
+  val MaxBloomBits: Int = 1 << 27
+
   val DefaultBloomHashes: Int = 5
+
+  /** Sentinel: derive the bloom size from the landing directory's
+    * footer-metadata rows-per-file at build time ([[sizeBloomBits]])
+    * instead of a fixed constant — a compacted 128 MB–1 GB file holds
+    * millions of keys, and a fixed 8 KB filter would quietly saturate
+    * (fpp → 1, pruning decays to opening most files). */
+  val AutoBloomBits: Int = 0
+
+  /** ~10 bits/key ≈ 1% fpp at 5 hashes — the classic sizing rule. */
+  val BloomBitsPerKey: Int = 10
+
+  /** Bloom size (bits, power of two, clamped to
+    * [[[DefaultBloomBits]], [[MaxBloomBits]]]) for a file expected to
+    * hold `rowsPerFile` keys. */
+  def sizeBloomBits(rowsPerFile: Long): Int = {
+    val want = rowsPerFile * BloomBitsPerKey
+    if (want <= DefaultBloomBits) DefaultBloomBits
+    else if (want >= MaxBloomBits) MaxBloomBits
+    else (java.lang.Long.highestOneBit(want - 1) << 1).toInt
+  }
+
+  /** Resolve [[AutoBloomBits]] against a landing directory: footer row
+    * count / file count (a metadata read — the empty-schema parquet scan
+    * never materializes a column). */
+  private def resolveBloomBits(spark: SparkSession, dataDir: String,
+      bloomBits: Int): Int =
+    if (bloomBits != AutoBloomBits) bloomBits
+    else {
+      val df = spark.read.parquet(dataDir)
+      val files = math.max(df.inputFiles.length, 1)
+      sizeBloomBits((df.count() + files - 1) / files)
+    }
 
   /** Per-file stats manifest: `file, n_rows, <c>_min, <c>_max` for each
     * stat column — plus, for each bloom column, `<c>_bloom` (the
-    * serialized filter over xxhash64 of the column) and a constant
-    * `bloom_k` column recording the hash count probes must reuse — from
-    * one column-pruned scan of `dataDir`. The `file` column here is
-    * `input_file_name()`'s raw (URL-encoded URI) form; the persisted
-    * writers below decode it and [[prunedScan]] decodes defensively, so
-    * both forms read back correctly. */
+    * serialized filter over xxhash64 of the column), a constant
+    * `bloom_k` column recording the hash count probes must reuse, and a
+    * constant `<c>_bloom_dt` recording the column's data type so probe
+    * literals hash identically to the build — from one column-pruned
+    * scan of `dataDir`. Filters may differ in SIZE across parts (auto
+    * sizing follows each landing's rows-per-file); probes read each
+    * row's bit count from the serialized length, so mixed sizes stay
+    * probe-compatible as long as `bloom_k` is constant. The `file`
+    * column here is `input_file_name()`'s raw (URL-encoded URI) form;
+    * the persisted writers below decode it and [[prunedScan]] decodes
+    * defensively, so both forms read back correctly. */
   def buildManifest(spark: SparkSession, dataDir: String,
       cols: Seq[String], bloomCols: Seq[String] = Nil,
-      bloomBits: Int = DefaultBloomBits,
+      bloomBits: Int = AutoBloomBits,
       bloomHashes: Int = DefaultBloomHashes): DataFrame = {
     require(cols.nonEmpty || bloomCols.nonEmpty,
       "need at least one stat or bloom column")
+    val data = spark.read.parquet(dataDir)
+    val bits = if (bloomCols.isEmpty) DefaultBloomBits
+      else resolveBloomBits(spark, dataDir, bloomBits)
     val aggs = (count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))) ++
       bloomCols.map(c => graft.functions.HashFunctions
-        .bloomAgg(xxhash64(col(c)), bloomBits, bloomHashes).as(s"${c}_bloom"))
-    val m = spark.read.parquet(dataDir)
+        .bloomAgg(xxhash64(col(c)), bits, bloomHashes).as(s"${c}_bloom"))
+    val m = data
       .select(input_file_name().as("file") +: (cols ++ bloomCols).distinct.map(col): _*)
       .groupBy(col("file"))
       .agg(aggs.head, aggs.tail: _*)
-    if (bloomCols.isEmpty) m else m.withColumn("bloom_k", lit(bloomHashes))
+    if (bloomCols.isEmpty) m
+    else bloomCols.foldLeft(m.withColumn("bloom_k", lit(bloomHashes))) {
+      (acc, c) => acc.withColumn(s"${c}_bloom_dt",
+        lit(data.schema(c).dataType.catalogString))
+    }
   }
 
   /** Decode a manifest `file` entry to a plain filesystem path. Only
@@ -94,93 +168,124 @@ object ScanPruning {
     else f
 
   /** [[buildManifest]] with decoded driver-side rows — the persisted
-    * form. O(files) rows pass the driver, nothing else. */
+    * form. O(files of dataDir) rows pass the driver, nothing else. */
   private def decodedRows(spark: SparkSession, dataDir: String,
       cols: Seq[String], bloomCols: Seq[String] = Nil,
-      bloomBits: Int = DefaultBloomBits,
-      bloomHashes: Int = DefaultBloomHashes)
-      : (Seq[Row], org.apache.spark.sql.types.StructType) = {
+      bloomBits: Int = AutoBloomBits,
+      bloomHashes: Int = DefaultBloomHashes): (Seq[Row], StructType) = {
     val m = buildManifest(spark, dataDir, cols, bloomCols, bloomBits, bloomHashes)
     val rows = m.collect().toIndexedSeq
       .map(r => Row.fromSeq(decodePath(r.getString(0)) +: r.toSeq.tail))
     (rows, m.schema)
   }
 
-  private def writeRows(spark: SparkSession, manifestPath: String,
-      rows: Seq[Row], schema: org.apache.spark.sql.types.StructType): Unit = {
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.sortBy(_.getString(0)).asJava, schema)
-      .coalesce(1) // metadata scale: O(files) rows
-      .write.mode(SaveMode.Overwrite).parquet(manifestPath)
+  /** The part name a data directory's entries land under: its last path
+    * segment (`base`, `delta_<seq>`, ...) — so a same-directory rewrite
+    * REPLACES its part instead of accumulating stale entries. */
+  private def partTag(dataDir: String): String = new Path(dataDir).getName
+
+  /** Write one manifest part: the rows land as a single parquet file
+    * `<tag>.parquet` inside `manifestPath`, built under an
+    * underscore-prefixed temp dir (invisible to concurrent manifest
+    * reads) and moved into place by rename. An existing same-name part
+    * is replaced — the idempotent-replay contract. */
+  private def writePart(spark: SparkSession, manifestPath: String,
+      tag: String, rows: Seq[Row], schema: StructType): Unit = {
+    val dir = new Path(manifestPath)
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, s"_tmp_$tag")
+    // parallelize(…, 1): exactly one part file, even for zero rows (an
+    // empty LocalRelation write can plan zero tasks and emit no file)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.sortBy(_.getString(0)), 1), schema)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val part = fsys.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"manifest part write produced no parquet file under $tmp"))
+    val target = new Path(dir, s"$tag.parquet")
+    if (fsys.exists(target))
+      require(fsys.delete(target, false), s"could not replace manifest part $target")
+    require(fsys.rename(part, target), s"could not move manifest part into $target")
+    fsys.delete(tmp, true)
   }
 
+  /** Reset the manifest to a single part covering `dataDir` — the
+    * landing / compaction form. */
   def writeManifest(spark: SparkSession, dataDir: String,
       manifestPath: String, cols: Seq[String], bloomCols: Seq[String] = Nil,
-      bloomBits: Int = DefaultBloomBits,
+      bloomBits: Int = AutoBloomBits,
       bloomHashes: Int = DefaultBloomHashes): Unit = {
     val (rows, schema) =
       decodedRows(spark, dataDir, cols, bloomCols, bloomBits, bloomHashes)
-    writeRows(spark, manifestPath, rows, schema)
+    // built before the reset: a failed build leaves the old manifest intact
+    val p = new Path(manifestPath)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(p, true)
+    writePart(spark, manifestPath, partTag(dataDir), rows, schema)
   }
+
+  private def statColsOf(schema: StructType): Seq[String] =
+    schema.fieldNames.toIndexedSeq.filter(_.endsWith("_min")).map(_.dropRight(4))
+
+  private def bloomColsOf(schema: StructType): Seq[String] =
+    schema.fieldNames.toIndexedSeq.filter(_.endsWith("_bloom")).map(_.dropRight(6))
 
   /** The stat columns a persisted manifest was built with, recovered
     * from its schema (`<c>_min` field order). */
   def manifestStatCols(spark: SparkSession, manifestPath: String): Seq[String] =
-    spark.read.parquet(manifestPath).schema.fieldNames.toIndexedSeq
-      .filter(_.endsWith("_min")).map(_.dropRight(4))
+    statColsOf(spark.read.parquet(manifestPath).schema)
 
   /** The bloom columns a persisted manifest was built with (`<c>_bloom`
     * field order). */
   def manifestBloomCols(spark: SparkSession, manifestPath: String): Seq[String] =
-    spark.read.parquet(manifestPath).schema.fieldNames.toIndexedSeq
-      .filter(_.endsWith("_bloom")).map(_.dropRight(6))
+    bloomColsOf(spark.read.parquet(manifestPath).schema)
 
-  /** The (bloomBits, bloomHashes) a persisted manifest's filters were
-    * built with — bits recovered from the serialized filter length, k
-    * from the recorded `bloom_k` column — so incremental extensions and
-    * rebuilds stay probe-compatible with the original entries. */
-  private def manifestBloomConfig(spark: SparkSession, manifestPath: String,
-      bloomCols: Seq[String]): (Int, Int) =
-    if (bloomCols.isEmpty) (DefaultBloomBits, DefaultBloomHashes)
-    else {
-      val r = spark.read.parquet(manifestPath)
-        .select(col(s"${bloomCols.head}_bloom"), col("bloom_k")).head()
-      (r.getAs[Array[Byte]](0).length * 8, r.getInt(1))
-    }
+  /** The probe hash count a persisted manifest's filters were built with
+    * (one recorded `bloom_k` row — constant across parts by contract).
+    * Falls back to the default for a zero-row manifest. */
+  private def manifestBloomK(spark: SparkSession, manifestPath: String,
+      bloomCols: Seq[String]): Int =
+    if (bloomCols.isEmpty) DefaultBloomHashes
+    else spark.read.parquet(manifestPath).select(col("bloom_k"))
+      .limit(1).collect().headOption
+      .map(_.getInt(0)).getOrElse(DefaultBloomHashes)
 
   /** Extend a stored manifest with the files of `newDir`: one aggregate
-    * over JUST those files (O(batch)), merged with the existing entries
-    * on the driver (O(files) rows). Entries already under `newDir` are
-    * dropped first — a same-directory rewrite (e.g. a replayed
-    * CorpusStore delta) replaces its stale file list instead of
+    * over JUST those files, written as ONE NEW PART — O(batch) compute
+    * and IO, no round-trip of existing entries through the driver. The
+    * part is named after `newDir`, so a same-directory rewrite (e.g. a
+    * replayed CorpusStore delta) replaces its stale file list instead of
     * accumulating pointers to deleted part files. Stat AND bloom columns
-    * (with the original filters' size and hash count) are recovered from
-    * the stored manifest, so the new entries stay probe-compatible. */
+    * (with the original filters' hash count) are recovered from the
+    * stored manifest's schema — footer metadata plus one `bloom_k` row,
+    * never the entries themselves — so the new part stays
+    * probe-compatible. Bloom SIZE is auto-fitted to the new directory's
+    * rows-per-file ([[sizeBloomBits]]); probes handle mixed sizes. */
   def appendManifest(spark: SparkSession, manifestPath: String,
       newDir: String): Unit = {
-    val existing = spark.read.parquet(manifestPath)
-    val cols = manifestStatCols(spark, manifestPath)
-    val bloomCols = manifestBloomCols(spark, manifestPath)
+    val mSchema = spark.read.parquet(manifestPath).schema
+    val cols = statColsOf(mSchema)
+    val bloomCols = bloomColsOf(mSchema)
     require(cols.nonEmpty || bloomCols.nonEmpty,
       s"manifest at $manifestPath has no stat or bloom columns")
-    val (bits, k) = manifestBloomConfig(spark, manifestPath, bloomCols)
-    val prefix = new org.apache.hadoop.fs.Path(newDir).toUri.getPath
-    val kept = existing.filter(!col("file").startsWith(prefix))
-      .collect().toIndexedSeq
-    val (added, schema) = decodedRows(spark, newDir, cols, bloomCols, bits, k)
-    writeRows(spark, manifestPath, kept ++ added, schema)
+    val k = manifestBloomK(spark, manifestPath, bloomCols)
+    val (rows, schema) = decodedRows(spark, newDir, cols, bloomCols,
+      AutoBloomBits, k)
+    writePart(spark, manifestPath, partTag(newDir), rows, schema)
   }
 
   /** Rebuild a stored manifest over `dataDir` with the SAME stat/bloom
-    * configuration it was built with (recovered before the overwrite) —
-    * the compaction-time refresh. */
+    * configuration it was built with (recovered before the overwrite),
+    * folding all parts back to one — the compaction-time refresh. */
   def rebuildManifest(spark: SparkSession, dataDir: String,
       manifestPath: String): Unit = {
     val cols = manifestStatCols(spark, manifestPath)
     val bloomCols = manifestBloomCols(spark, manifestPath)
-    val (bits, k) = manifestBloomConfig(spark, manifestPath, bloomCols)
-    // recovery above is eager (schema + one head()); safe to overwrite
-    writeManifest(spark, dataDir, manifestPath, cols, bloomCols, bits, k)
+    val k = manifestBloomK(spark, manifestPath, bloomCols)
+    // recovery above is eager (schema + one row); safe to overwrite
+    writeManifest(spark, dataDir, manifestPath, cols, bloomCols,
+      AutoBloomBits, k)
   }
 
   /** Box-intersection predicate over a manifest: keep files whose
@@ -190,13 +295,34 @@ object ScanPruning {
       col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi)
     }.reduce(_ && _)
 
+  /** Driver-side cast of a probe key to the bloom column's recorded data
+    * type: xxhash64 hashes IntegerType and LongType (etc.) differently,
+    * so probing with the literal's INFERRED type would silently miss
+    * every file holding the key — a false-negative generator breaking
+    * the no-false-negatives contract. A key that cannot be represented
+    * in the column's type (cast fails or yields null) cannot match any
+    * row, so it prunes everything (None). */
+  private def typedKeyLiteral(v: Any, dt: DataType): Option[Column] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    val l = Literal(v)
+    if (l.dataType == dt) Some(ColumnBridge.column(l))
+    else if (!Cast.canCast(l.dataType, dt)) None
+    else try Option(Cast(l, dt, Some("UTC")).eval(null))
+      .map(x => ColumnBridge.column(Literal(x, dt)))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Key-equality predicate over a manifest with a `<c>_bloom` column:
     * keep files whose filter MAY contain any of `keys` (bounded,
     * driver-side literals — a point/small-IN lookup, not a join). No
     * false negatives, so pruning stays answer-transparent; expected
     * survivors ≈ (files holding a key) + fpp·files. The probe hash count
-    * is read back from the manifest's `bloom_k`, so callers cannot drift
-    * from the build-time configuration. */
+    * AND the key column's data type are read back from the manifest
+    * (`bloom_k`, `<c>_bloom_dt`), so callers can neither drift from the
+    * build-time configuration nor silently probe with a mistyped
+    * literal — an Int key on a Long column is cast before hashing, and
+    * an unrepresentable key prunes every file (it cannot match a row). */
   def keyLookupPredicate(spark: SparkSession, manifestPath: String,
       c: String, keys: Seq[Any]): Column = {
     require(keys.nonEmpty, "key lookup needs at least one key")
@@ -204,12 +330,22 @@ object ScanPruning {
     require(m.schema.fieldNames.contains(s"${c}_bloom"),
       s"manifest at $manifestPath has no bloom for '$c' " +
         s"(build it with bloomCols = Seq(\"$c\"))")
-    m.select(col("bloom_k")).limit(1).collect().headOption match {
+    val dtField = s"${c}_bloom_dt"
+    val hasDt = m.schema.fieldNames.contains(dtField)
+    val sel = if (hasDt) m.select(col("bloom_k"), col(dtField))
+      else m.select(col("bloom_k"))
+    sel.limit(1).collect().headOption match {
       case None => lit(false) // empty manifest: nothing to keep
       case Some(r) =>
         val k = r.getInt(0)
-        keys.map(v => graft.functions.HashFunctions
-            .bloomMightContain(col(s"${c}_bloom"), xxhash64(lit(v)), k))
+        val lits: Seq[Column] =
+          if (hasDt) {
+            val dt = DataType.fromDDL(r.getString(1))
+            keys.flatMap(typedKeyLiteral(_, dt))
+          } else keys.map(lit) // pre-dt manifest: caller-typed literals
+        if (lits.isEmpty) lit(false) // no key representable in the column
+        else lits.map(v => graft.functions.HashFunctions
+            .bloomMightContain(col(s"${c}_bloom"), xxhash64(v), k))
           .reduce(_ || _)
     }
   }

@@ -209,9 +209,22 @@ class CorpusStoreSpec extends SparkTestBase {
     val base = (1L to 400L).map(i => (i, s"v$i")).toDF("id", "fp")
       .repartitionByRange(4, col("id"))
     CorpusStore.init(base, dir, statsCols = Seq("id"))
+    // O(batch) manifest contract: an append adds ONE new manifest part
+    // and never reads or rewrites the existing parts (multi-part layout)
+    val mfs = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mParts() = mfs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/manifest"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.getName, st.getModificationTime, st.getLen)).sortBy(_._1)
+    val mBefore = mParts()
     CorpusStore.append(spark, dir, 1L, "id",
       Seq((2L, "V2"), (1000L, "new")).toDF("id", "fp"),
       deleteKeys = Some(Seq(Tuple1(3L)).toDF("id")))
+    val mAfter = mParts()
+    assert(mAfter.length === mBefore.length + 1,
+      "append must extend the manifest by exactly one part")
+    assert(mAfter.filter(p => mBefore.exists(_._1 == p._1)).toSeq === mBefore.toSeq,
+      "append must leave every pre-existing manifest part byte-identical")
     // the composed read: box on low ids; answer-transparent under the
     // caller's row filter vs the full merge-on-read resolution
     val keep = graft.sources.ScanPruning.boxPredicate(Seq(("id", 1L, 50L)))

@@ -128,6 +128,108 @@ class ScanPruningSpec extends SparkTestBase {
     assert(got3 === want)
   }
 
+  test("probe keys are cast to the bloom column's recorded type (no false negatives from Int-vs-Long)") {
+    val hDir = s"$tmp/graft-test-prune-typed"
+    li.repartition(8, col("l_orderkey"))
+      .write.mode("overwrite").parquet(hDir)
+    val mPath = s"$tmp/graft-test-prune-typed-manifest"
+    ScanPruning.writeManifest(spark, hDir, mPath,
+      cols = Nil, bloomCols = Seq("l_orderkey"))
+    val present = li.select("l_orderkey").distinct().orderBy("l_orderkey")
+      .limit(2).collect().map(_.getLong(0))
+    // the ADVICE case: Int literals probing a LongType column — xxhash64
+    // hashes the two types differently, so an untyped probe would prune
+    // every file holding the key and silently return missing rows
+    val intKeys: Seq[Any] = present.map(_.toInt).toSeq
+    val pred = ScanPruning.keyLookupPredicate(spark, mPath, "l_orderkey", intKeys)
+    val got = ScanPruning.prunedScan(spark, hDir, spark.read.parquet(mPath), pred)
+      .filter(col("l_orderkey").isin(present.toIndexedSeq: _*)).count()
+    val want = spark.read.parquet(hDir)
+      .filter(col("l_orderkey").isin(present.toIndexedSeq: _*)).count()
+    assert(want > 0 && got === want,
+      "Int keys on a Long column must find every row (typed probe)")
+    // a key no row can hold (unrepresentable in the column's type) prunes
+    // every file rather than erroring or scanning
+    val bogus = ScanPruning.keyLookupPredicate(spark, mPath, "l_orderkey",
+      Seq("not-a-number"))
+    assert(spark.read.parquet(mPath).filter(bogus).count() === 0)
+    // string keys on a string column keep working (identity type path)
+    val sDir = s"$tmp/graft-test-prune-strcol"
+    li.select(concat(lit("k"), col("l_orderkey")).as("sk"), col("l_quantity"))
+      .repartition(4, col("sk")).write.mode("overwrite").parquet(sDir)
+    val smPath = s"$tmp/graft-test-prune-strcol-manifest"
+    ScanPruning.writeManifest(spark, sDir, smPath, cols = Nil, bloomCols = Seq("sk"))
+    val sPred = ScanPruning.keyLookupPredicate(spark, smPath, "sk",
+      Seq(s"k${present.head}"))
+    val sGot = ScanPruning.prunedScan(spark, sDir, spark.read.parquet(smPath), sPred)
+      .filter(col("sk") === s"k${present.head}").count()
+    assert(sGot === li.filter(col("l_orderkey") === present.head).count())
+  }
+
+  test("auto-sized blooms keep pruning at a million-key file; a fixed 8 KB filter saturates") {
+    val dir = s"$tmp/graft-test-prune-bigbloom"
+    // 2 files x 1M distinct keys each, disjoint ranges but HASH layout
+    // within is irrelevant — blooms are the only pruning signal probed
+    spark.range(0L, 2000000L).selectExpr("id AS k")
+      .repartitionByRange(2, col("k")) // two non-empty ~1M-key files
+      .write.mode("overwrite").parquet(dir)
+    val mAuto = s"$tmp/graft-test-prune-bigbloom-auto"
+    ScanPruning.writeManifest(spark, dir, mAuto, cols = Nil, bloomCols = Seq("k"))
+    // auto sizing: 1M rows/file -> 10M bits -> 2^24 (2 MB), recorded size
+    val bytes = spark.read.parquet(mAuto).select(col("k_bloom")).head()
+      .getAs[Array[Byte]](0).length
+    assert(bytes === (1 << 24) / 8, s"expected 2^24-bit auto filter, got ${bytes * 8} bits")
+    // a present key survives exactly its file; an absent key prunes both
+    val pPresent = ScanPruning.keyLookupPredicate(spark, mAuto, "k", Seq(123456L))
+    assert(spark.read.parquet(mAuto).filter(pPresent).count() === 1L,
+      "auto-sized bloom must keep only the key's file at 1M keys/file")
+    val pAbsent = ScanPruning.keyLookupPredicate(spark, mAuto, "k", Seq(-5L))
+    assert(spark.read.parquet(mAuto).filter(pAbsent).count() === 0L)
+    // the saturation counterfactual: the old fixed 8 KB default at the
+    // same scale keeps every file even for an absent key (fpp -> 1)
+    val mFixed = s"$tmp/graft-test-prune-bigbloom-fixed"
+    ScanPruning.writeManifest(spark, dir, mFixed, cols = Nil,
+      bloomCols = Seq("k"), bloomBits = ScanPruning.DefaultBloomBits)
+    val pSat = ScanPruning.keyLookupPredicate(spark, mFixed, "k", Seq(-5L))
+    assert(spark.read.parquet(mFixed).filter(pSat).count() === 2L,
+      "fixed 8 KB filter should saturate at 1M keys/file (motivates auto sizing)")
+  }
+
+  test("appendManifest writes one NEW part and never rewrites existing parts (O(batch) contract)") {
+    val aDir = s"$tmp/graft-test-prune-mp-a"
+    val bDir = s"$tmp/graft-test-prune-mp-b"
+    li.filter(col("l_orderkey") % 2 === 0).write.mode("overwrite").parquet(aDir)
+    li.filter(col("l_orderkey") % 2 === 1).write.mode("overwrite").parquet(bDir)
+    val mPath = s"$tmp/graft-test-prune-mp-manifest"
+    ScanPruning.writeManifest(spark, aDir, mPath,
+      cols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+    val fsys = new org.apache.hadoop.fs.Path(mPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts() = fsys.listStatus(new org.apache.hadoop.fs.Path(mPath))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.getName, st.getModificationTime, st.getLen)).sortBy(_._1)
+    val before = parts()
+    assert(before.length === 1)
+    ScanPruning.appendManifest(spark, mPath, bDir)
+    val after = parts()
+    assert(after.length === 2, "append must add exactly one part")
+    assert(after.filter(_._1 == before.head._1).toSeq === before.toSeq,
+      "append must not touch (rewrite, grow, or re-stamp) the existing part")
+    // union read covers both dirs; entries are per-file and exact
+    val m = spark.read.parquet(mPath)
+    assert(m.agg(sum("n_rows")).head().getLong(0) === li.count())
+    // replayed append REPLACES its own part (same tag), never duplicates
+    ScanPruning.appendManifest(spark, mPath, bDir)
+    val replayed = parts()
+    assert(replayed.length === 2)
+    val files = spark.read.parquet(mPath).select("file").collect().map(_.getString(0))
+    assert(files.distinct.length === files.length, "no stale/duplicate entries after replay")
+    // rebuild folds the parts back to one with the same config
+    ScanPruning.rebuildManifest(spark, aDir, mPath)
+    assert(parts().length === 1)
+    assert(ScanPruning.manifestBloomCols(spark, mPath) === Seq("l_orderkey"))
+  }
+
   test("empty intersection returns an empty frame with the data schema") {
     written
     val manifest = ScanPruning.buildManifest(spark, zDir, Seq("l_orderkey"))
