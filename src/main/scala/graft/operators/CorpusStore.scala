@@ -158,7 +158,18 @@ object CorpusStore {
     val anti = if (deltaRows <= maxBroadcastKeys) broadcast(keys) else keys
     val kept = base.join(anti, Seq(key), "left_anti")
     if (evolveSchema) kept.unionByName(survivors, allowMissingColumns = true)
-    else kept.unionByName(survivors.select(base.columns.map(col).toIndexedSeq: _*))
+    else {
+      // null-fill base columns the delta schema omits instead of selecting
+      // unresolved names: keeps the "every crash point leaves a readable
+      // store" invariant when an evolveSchema [[compact]] died after its
+      // base swap (widened base, old-schema deltas still present) — those
+      // delta rows read null in the added columns, exactly what the
+      // evolve read would say, instead of an AnalysisException
+      val sCols = survivors.columns.toSet
+      kept.unionByName(survivors.select(base.schema.map(f =>
+        if (sCols.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*))
+    }
   }
 
   /** Read the delta dirs; with `evolveSchema`, merge their parquet
@@ -248,9 +259,12 @@ object CorpusStore {
     * survivors are returned in full. Same answer-transparency contract
     * as [[ScanPruning.prunedScan]]: callers re-apply their row-level
     * predicate on the result — `keep` prunes, it never answers.
-    * Requires a manifest (init/append with `statsCols`). */
+    * Requires a manifest (init/append with `statsCols`). `evolveSchema`
+    * as in [[read]] — the escape hatch for reading widened deltas'
+    * added columns before the widening compact has folded them. */
   def prunedRead(spark: SparkSession, dir: String, key: String, keep: Column,
-      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys,
+      evolveSchema: Boolean = false): DataFrame = {
     val baseDir = ensureBase(spark, dir)
     require(hasManifest(spark, dir),
       s"prunedRead needs a manifest: init the store with statsCols, got none in $dir")
@@ -260,7 +274,8 @@ object CorpusStore {
     val prunedBase = ScanPruning.prunedScan(spark, baseDir, baseSlice, keep)
     val deltas = deltaPaths(spark, dir)
     if (deltas.isEmpty) return prunedBase
-    resolve(prunedBase, spark.read.parquet(deltas: _*), key, maxBroadcastKeys)
+    resolve(prunedBase, readDeltas(spark, deltas, evolveSchema), key,
+      maxBroadcastKeys, evolveSchema)
   }
 
   /** Point/small-IN lookup by key: open only the base files whose bloom
@@ -272,11 +287,12 @@ object CorpusStore {
     * `keys` are bounded driver-side literals (an id list, not a join
     * side). */
   def lookup(spark: SparkSession, dir: String, key: String, keys: Seq[Any],
-      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys,
+      evolveSchema: Boolean = false): DataFrame = {
     require(hasManifest(spark, dir),
       s"lookup needs a manifest: init the store with bloomCols = Seq(\"$key\")")
     val pred = ScanPruning.keyLookupPredicate(spark, manifestPath(dir), key, keys)
-    prunedRead(spark, dir, key, pred, maxBroadcastKeys)
+    prunedRead(spark, dir, key, pred, maxBroadcastKeys, evolveSchema)
       .filter(col(key).isin(keys: _*))
   }
 
@@ -316,8 +332,12 @@ object CorpusStore {
     * over plain parquet: downstream consumers (index refresh, replica
     * sync) attach with their own checkpoint and pay O(changes), never
     * touching the base. Contracts the caller owns:
-    *   - RAW rows, not netted: apply ops in `seq` order ('d' before 'u'
-    *     within a seq, the same tie-break [[read]] resolves with).
+    *   - RAW rows, not netted: apply ops in `seq` order; within one seq
+    *     apply 'u' before 'd', so the tombstone lands last and WINS —
+    *     the same resolution [[read]]/[[changesSince]] use for a key
+    *     upserted and deleted in a single append. (Or net per key first
+    *     with the same (seq desc, op asc) tie-break — what
+    *     [[replicateTo]] does.)
     *   - A same-seq replayed append rewrites its delta dir with NEW part
     *     files, which the file source emits again — delivery across
     *     WRITER failures is at-least-once per seq; idempotent consumers
@@ -326,13 +346,75 @@ object CorpusStore {
     *   - [[compact]] deletes the deltas it folds; run it only past the
     *     consumers' sync horizon (the retention contract every log
     *     store has — cadence is the caller's checked knob via
-    *     [[compactIfNeeded]]). */
+    *     [[compactIfNeeded]]).
+    *   - The stream's schema is pinned at STREAM START: base ∪ columns
+    *     of the deltas present at that moment (merged parquet footers —
+    *     O(deltas) metadata, the same merge [[changesSince]] does). A
+    *     delta widened AFTER start is read with this schema, its added
+    *     columns absent — RESTART the stream to pick them up, the
+    *     restart-to-widen contract every lakehouse CDC stream has
+    *     (a running Structured Streaming query cannot change schema
+    *     mid-flight). */
   def changesStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(ensureBase(spark, dir)).schema
+    val baseSchema = spark.read.parquet(ensureBase(spark, dir)).schema
+    val deltas = deltaPaths(spark, dir)
+    val dataSchema =
+      if (deltas.isEmpty) baseSchema
+      else {
+        val ds = spark.read.option("mergeSchema", "true").parquet(deltas: _*)
+          .schema.filterNot(f => baseSchema.fieldNames.contains(f.name) ||
+            f.name == OpCol || f.name == SeqCol)
+        ds.foldLeft(baseSchema)((s, f) => s.add(f)) // base order first
+      }
+    val schema = dataSchema
       .add(OpCol, org.apache.spark.sql.types.StringType)
       .add(SeqCol, org.apache.spark.sql.types.LongType)
     spark.readStream.schema(schema).parquet(s"$dir/delta_*")
       .withColumnRenamed(OpCol, "op").withColumnRenamed(SeqCol, "seq")
+  }
+
+  /** Continuous replication: [[changesStream]] composed with
+    * [[append]] — apply one store's change feed to a second store, the
+    * downstream half of the CDC story. Each microbatch is NETTED per key
+    * with the same (seq desc, 'd'-beats-'u') resolution [[read]] uses,
+    * then applied as ONE replica delta keyed by the microbatch id:
+    * net 'u' rows upsert, net 'd' keys tombstone. Exactly-once across
+    * REPLICATOR failures falls out of the same seq-overwrite contract as
+    * [[appendStream]] — a post-crash replay re-runs the last microbatch
+    * under the SAME batchId and overwrites its partial replica delta.
+    * At-least-once redelivery from PRIMARY-writer replays (a rewritten
+    * delta's new part files are emitted again) nets to the same values —
+    * idempotent by content. Contracts:
+    *   - `replicaDir` is an initialized store (e.g. [[init]] from the
+    *     primary's base, or empty for a from-scratch rebuild with the
+    *     stream started before the first primary append).
+    *   - READ-STATE equivalence, not history: replica deltas are
+    *     per-microbatch, so `replica.read == primary.read` once synced,
+    *     while per-seq time travel on the replica reflects sync batches.
+    *   - Primary seqs must land nondecreasing (what [[appendStream]]
+    *     guarantees: a restart replays its failed batch BEFORE producing
+    *     newer seqs). A manual re-append of an OLD seq after newer ones
+    *     exist would reach the replica out of order and win wrongly.
+    *   - Schema is pinned at stream start ([[changesStream]]'s
+    *     restart-to-widen contract).
+    * Caller starts/stops the returned query; kill-and-recover parity is
+    * measured cross-JVM in StoreStreamBench. */
+  def replicateTo(spark: SparkSession, primaryDir: String, replicaDir: String,
+      key: String, checkpointLocation: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(checkpointLocation.nonEmpty,
+      "replicateTo needs a checkpointLocation: without one a restarted " +
+        "replicator re-counts batchIds from 0 and overwrites replica deltas")
+    changesStream(spark, primaryDir).writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val net = batch.withColumn("__brn", row_number().over(
+            Window.partitionBy(col(key)).orderBy(col("seq").desc, col("op").asc)))
+          .filter(col("__brn") === 1).drop("__brn", "seq")
+        append(batch.sparkSession, replicaDir, batchId, key,
+          net.filter(col("op") === "u").drop("op"),
+          deleteKeys = Some(net.filter(col("op") === "d").select(col(key))))
+      }
   }
 
   /** Fold the deltas into a new base and remove them. O(corpus) — run at
@@ -352,7 +434,22 @@ object CorpusStore {
     *      the NEWEST suffix — exactly the subset whose latest-per-key
     *      values the folded base already carries (deleting descending
     *      would leave an older delta to wrongly win resolution).
-    */
+    *
+    * READER-vs-COMPACT contract (stated, not mitigated): compact RENAMES
+    * `base` and DELETES the folded deltas, so a concurrent reader whose
+    * plan listed its files before the compact fails with a
+    * FileNotFoundException when it reaches them — plain parquet has no
+    * snapshot pinning, so the reader retention window across a compact
+    * boundary is ZERO. Operationally: in-flight reads must complete
+    * between compacts (the compaction cadence — [[compactIfNeeded]]'s
+    * ratio — IS the reader SLA, the same horizon [[changesStream]]
+    * consumers already own), long-lived snapshots should be materialized
+    * before compacting, and a failed reader is safe to re-run (it
+    * re-lists and sees the folded, equivalent state). A production
+    * deployment wraps these exact plan shapes in a table format's
+    * snapshot/VACUUM protocol, which is a commit layer — not a different
+    * query plan. Spec-locked in CorpusStoreSpec ("a reader plan that
+    * overlaps a compact ..."). */
   def compact(spark: SparkSession, dir: String, key: String,
       evolveSchema: Boolean = false, clusterBy: Seq[String] = Nil,
       clusterFiles: Int = 0): Unit = {

@@ -442,6 +442,121 @@ class CorpusStoreSpec extends SparkTestBase {
     assert(got2.toSeq === want2.toSeq)
   }
 
+  test("a widened base over old-schema deltas stays readable on EVERY path (evolve-compact crash state)") {
+    // simulate compact(evolveSchema=true) dying right after its base swap:
+    // the new base is WIDENED, the old-schema deltas are still present —
+    // the "every crash point leaves a readable store" invariant must hold
+    // for plain read/prunedRead/lookup, not only evolve reads
+    val dir = freshDir("evolvecrash")
+    val wide = Seq((1L, "a", "en"), (2L, "b", "pt")).toDF("id", "fp", "lang")
+      .repartitionByRange(2, col("id"))
+    CorpusStore.init(wide, dir, statsCols = Seq("id"), bloomCols = Seq("id"))
+    // an old-schema writer's delta (no lang), exactly what a pre-widening
+    // append leaves behind
+    CorpusStore.append(spark, dir, 1L, "id", Seq((2L, "B2")).toDF("id", "fp"),
+      deleteKeys = Some(Seq(Tuple1(1L)).toDF("id")))
+    val got = CorpusStore.read(spark, dir, "id").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(got.toSeq === Seq((2L, "B2", None)),
+      "old-schema delta rows must read null in the widened column, not throw")
+    val pruned = CorpusStore.prunedRead(spark, dir, "id",
+        graft.sources.ScanPruning.boxPredicate(Seq(("id", 0L, 100L)))).collect()
+    assert(pruned.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "B2")))
+    val looked = CorpusStore.lookup(spark, dir, "id", Seq(1L, 2L)).collect()
+    assert(looked.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "B2")))
+  }
+
+  test("changesStream's start-time schema covers already-widened deltas; restart-to-widen documented") {
+    val dir = freshDir("cdcwide")
+    CorpusStore.init(Seq((1L, "a"), (2L, "b")).toDF("id", "fp"), dir)
+    // the widening append lands BEFORE the stream starts — its added
+    // column must arrive in the feed (r12 pinned the schema to the BASE,
+    // silently dropping it; the batch feed changesSince carried it, so
+    // the two CDC forms disagreed on the same store)
+    CorpusStore.append(spark, dir, 1L, "id",
+      Seq((2L, "B", "en"), (3L, "c", "pt")).toDF("id", "fp", "lang"))
+    val q = CorpusStore.changesStream(spark, dir).writeStream
+      .format("memory").queryName("cdc_wide")
+      .option("checkpointLocation", freshDir("cdcwide-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cdc_wide").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getAs[String]("lang")),
+          r.getAs[String]("op"), r.getAs[Long]("seq")))
+      assert(rows.toSeq === Seq((2L, "B", Some("en"), "u", 1L),
+        (3L, "c", Some("pt"), "u", 1L)),
+        "the stream must carry the widened column with its values")
+      // an old-schema delta appended while running still fits the schema
+      CorpusStore.append(spark, dir, 2L, "id", Seq((4L, "d")).toDF("id", "fp"))
+      q.processAllAvailable()
+      val after = spark.table("cdc_wide").filter(col("seq") === 2L).collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getAs[String]("lang"))))
+      assert(after.toSeq === Seq((4L, "d", None)))
+      // stream schema == batch feed schema on the same store (the r12 gap)
+      assert(spark.table("cdc_wide").columns.toSeq ===
+        CorpusStore.changesSince(spark, dir, "id", 0L).columns.toSeq)
+    } finally q.stop()
+  }
+
+  test("a reader plan that overlaps a compact fails loudly and re-runs to the folded state (zero-retention contract)") {
+    val dir = freshDir("readerrace")
+    CorpusStore.init((1L to 100L).map(i => (i, s"v$i")).toDF("id", "fp"), dir)
+    CorpusStore.append(spark, dir, 1L, "id", Seq((2L, "B")).toDF("id", "fp"))
+    // the reader lists its files at plan time (read() builds the file
+    // index eagerly), then the compact renames base and deletes deltas
+    // underneath it — plain parquet pins no snapshot
+    val overlapping = CorpusStore.read(spark, dir, "id")
+    CorpusStore.compact(spark, dir, "id")
+    val e = intercept[Exception] { overlapping.count() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
+      String.valueOf(c.getMessage).contains("does not exist") ||
+      String.valueOf(c.getMessage).contains("FileNotFound")),
+      s"overlap must surface as a missing-file failure, got: $e")
+    // the documented recovery: re-run — the fresh plan lists the folded
+    // store and reads the equivalent state
+    val rerun = CorpusStore.read(spark, dir, "id").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rerun.length === 100 && rerun.exists(_ == (2L, "B")))
+  }
+
+  test("replicateTo keeps a replica read-equivalent through upserts, tombstones, and netted batches") {
+    val primary = freshDir("repl-primary")
+    val replica = freshDir("repl-replica")
+    CorpusStore.init(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "fp"), primary)
+    CorpusStore.init(spark.read.parquet(s"$primary/base"), replica)
+    val q = CorpusStore.replicateTo(spark, primary, replica, "id",
+      checkpointLocation = freshDir("repl-ckpt")).start()
+    try {
+      CorpusStore.append(spark, primary, 1L, "id",
+        Seq((2L, "B"), (4L, "d")).toDF("id", "fp"),
+        deleteKeys = Some(Seq(Tuple1(3L)).toDF("id")))
+      q.processAllAvailable()
+      def state(dir: String) = CorpusStore.read(spark, dir, "id")
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(state(replica) === state(primary))
+      assert(state(replica) === Seq((1L, "a"), (2L, "B"), (4L, "d")))
+      // a key upserted and tombstoned in ONE primary append nets to the
+      // tombstone on the replica (same tie-break as read)
+      CorpusStore.append(spark, primary, 2L, "id",
+        Seq((4L, "D2"), (5L, "e")).toDF("id", "fp"),
+        deleteKeys = Some(Seq(Tuple1(4L)).toDF("id")))
+      q.processAllAvailable()
+      assert(state(replica) === state(primary))
+      assert(!state(replica).exists(_._1 == 4L), "netted tombstone must win")
+      // delete-then-re-add ACROSS seqs nets to the re-add even when both
+      // land in the same replication microbatch
+      CorpusStore.append(spark, primary, 3L, "id",
+        Seq.empty[(Long, String)].toDF("id", "fp"),
+        deleteKeys = Some(Seq(Tuple1(1L)).toDF("id")))
+      CorpusStore.append(spark, primary, 4L, "id", Seq((1L, "A2")).toDF("id", "fp"))
+      q.processAllAvailable()
+      assert(state(replica) === state(primary))
+      assert(state(replica).exists(_ == (1L, "A2")))
+    } finally q.stop()
+  }
+
   test("read without deltas is the base; store survives an empty upsert batch") {
     val dir = freshDir("nodelta")
     CorpusStore.init(Seq((1L, "a")).toDF("id", "fp"), dir)
