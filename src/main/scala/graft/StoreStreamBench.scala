@@ -39,6 +39,13 @@ import graft.operators.CorpusStore
   *     then run the uninterrupted control (fresh store + checkpoint, same
   *     input) and compare CorpusStore.read row-for-row. Emits one
   *     `store_stream_recovery` JSON line; exit 1 on any parity failure.
+  *
+  * A second protocol (`repl-prep` / `repl-victim` / `repl-recover`) does
+  * the same for the DOWNSTREAM half — [[CorpusStore.replicateTo]], the
+  * changesStream -> second-store replica — killing the REPLICATOR
+  * mid-apply and asserting the recovered replica reads identically to
+  * both an uninterrupted control replica and the primary itself. See the
+  * section comment below.
   */
 object StoreStreamBench {
 
@@ -66,7 +73,13 @@ object StoreStreamBench {
       if (args.length > 3) args(3).toInt else 8)
     case "victim"  => victim(args(1), args(2).toLong)
     case "recover" => recover(args(1))
-    case other => sys.error(s"unknown phase '$other' (prep|victim|recover)")
+    case "repl-prep"    => replPrep(args(1),
+      if (args.length > 2) args(2).toInt else 100,
+      if (args.length > 3) args(3).toInt else 8)
+    case "repl-victim"  => replVictim(args(1), args(2).toLong)
+    case "repl-recover" => replRecover(args(1))
+    case other => sys.error(
+      s"unknown phase '$other' (prep|victim|recover|repl-prep|repl-victim|repl-recover)")
   }
 
   /** Stage base + overlapping upsert chunks. Chunk i covers doc_ids
@@ -185,5 +198,171 @@ object StoreStreamBench {
     println(s"""{"metric":"store_stream_recovery","killed_batch":$killedBatch,"partial_delta_rows_before":$beforeRows,"delta_rows_after_replay":$afterRows,"full_chunk_rows":$fullRows,"partial_overwritten":$overwrote,"replayed_batch_ids":${replayed.mkString("[", ",", "]")},"replayed_killed_batch":$replayedKilled,"recover_sec":${fmt(recoverSec)},"control_sec":${fmt(controlSec)},"control_batches":$controlBatches,"store_rows":$gotRows,"control_rows":$wantRows,"rows_only_in_recovered":$onlyGot,"rows_only_in_control":$onlyWant,"parity":$parity,"loadavg_1m":${fmt(l1)},"loadavg_5m":${fmt(l5)}}""")
     spark.stop()
     if (!(parity && overwrote && replayedKilled)) sys.exit(1)
+  }
+
+  // --------------------------------------------------------------------
+  // CDC replication kill-and-recover: changesStream -> replicateTo into a
+  // SECOND store, the downstream half composed with the upstream one.
+  // Same three-JVM shape as the ingest protocol above; the victim is the
+  // REPLICATOR this time (the primary is fully written in repl-prep), the
+  // recover phase restarts the REAL CorpusStore.replicateTo against the
+  // victim's checkpoint, and parity is judged BOTH against an
+  // uninterrupted control replica and against the primary itself (the
+  // operator's actual contract: replica.read == primary.read once
+  // synced). maxFilesPerTrigger=3 deliberately MISALIGNS microbatches
+  // with the primary's delta dirs (~4 files each), so the run also
+  // proves per-key netting keeps a straddled seq correct.
+  // --------------------------------------------------------------------
+
+  private val ReplOpts = Map("maxFilesPerTrigger" -> "3")
+
+  /** Stage the PRIMARY: a base snapshot plus `appends` overlapping
+    * upsert+tombstone deltas (window i overwrites the tail of window
+    * i-1 with rev = i+1; mod-13 keys inside each window are tombstoned
+    * in the SAME append — the delete-wins tie-break — and partially
+    * re-added by the next window's overlap). Each delta is written with
+    * 4 part files so maxFilesPerTrigger=3 straddles seqs across
+    * microbatches. */
+  private def replPrep(work: String, scale: Int, appends: Int): Unit = {
+    val spark = session()
+    val docs = GenScaledCorpus.documentsDf(spark, scale)
+      .withColumn("rev", lit(0L))
+    CorpusStore.init(docs, s"$work/primary")
+    val base = spark.read.parquet(s"$work/primary/base")
+    val n = base.count()
+    val chunkRows = n / appends
+    val step = math.max(1L, (chunkRows * 4) / 5)
+    (0 until appends).foreach { i =>
+      val lo = i * step
+      val window = col(Key) >= lo && col(Key) < lo + chunkRows
+      CorpusStore.append(spark, s"$work/primary", i.toLong, Key,
+        base.filter(window).withColumn("rev", lit(i + 1L)).repartition(4),
+        deleteKeys = Some(base.filter(window && col(Key) % 13 === 0)
+          .select(col(Key))))
+    }
+    val deltaFiles = spark.read.parquet(s"$work/primary/delta_*").inputFiles.length
+    println(s"""{"metric":"store_repl_prep","base_rows":$n,"appends":$appends,"chunk_rows":$chunkRows,"step":$step,"delta_files":$deltaFiles}""")
+    spark.stop()
+  }
+
+  /** The replicator that dies: the REAL per-seq apply
+    * ([[CorpusStore.applyChangeSlice]]) for every batch before
+    * killAfter; on batchId == killAfter it applies only the even-key
+    * HALF of the batch's rows (all seqs), then halts before foreachBatch
+    * returns — a replicator dead mid-apply with partial replica deltas
+    * on disk and the batch's offset uncommitted. */
+  private def replVictim(work: String, killAfter: Long): Unit = {
+    val spark = session()
+    CorpusStore.init(spark.read.parquet(s"$work/primary/base"), s"$work/replica")
+    val q = CorpusStore.changesStream(spark, s"$work/primary", ReplOpts)
+      .writeStream
+      .option("checkpointLocation", s"$work/rckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId == killAfter) {
+          val half = batch.filter(pmod(col(Key), lit(2L)) === 0)
+          val halfRows = half.count()
+          val fullRows = batch.count()
+          val seqs = batch.select(col("seq")).distinct().collect()
+            .map(_.getLong(0)).sorted
+          CorpusStore.applyChangeSlice(batch.sparkSession, s"$work/replica",
+            Key, half)
+          val out = new java.io.PrintWriter(s"$work/repl_victim.json")
+          try out.println(s"""{"killed_batch":$batchId,"partial_rows":$halfRows,"full_rows":$fullRows,"killed_seqs":${seqs.mkString("[", ",", "]")}}""")
+          finally out.close()
+          Console.out.flush(); Console.err.flush()
+          Runtime.getRuntime.halt(137)
+        } else CorpusStore.applyChangeSlice(batch.sparkSession,
+          s"$work/replica", Key, batch)
+      }
+      .start()
+    q.awaitTermination() // never returns normally: halt() kills the JVM
+  }
+
+  private def replRecover(work: String): Unit = {
+    val (l1, l5) = Loadavg.read()
+    val spark = session()
+    val victimJson = {
+      val src = scala.io.Source.fromFile(s"$work/repl_victim.json")
+      try src.mkString finally src.close()
+    }
+    def field(name: String): Long =
+      s""""$name":(\\d+)""".r.findFirstMatchIn(victimJson)
+        .map(_.group(1).toLong)
+        .getOrElse(sys.error(s"repl_victim.json missing $name"))
+    val killedBatch = field("killed_batch")
+    val partialRows = field("partial_rows")
+    val fullRows = field("full_rows")
+    val killedSeqs = """"killed_seqs":\[([0-9, ]*)\]""".r
+      .findFirstMatchIn(victimJson).map(_.group(1))
+      .getOrElse(sys.error("repl_victim.json missing killed_seqs"))
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toIndexedSeq
+    // replica deltas are keyed by PRIMARY seq; the killed batch's seqs are
+    // in a partial merged state right now. Row count alone is not enough
+    // evidence — a skipped slice can be pure tombstone FLIPS for keys
+    // already present (count unchanged, op values wrong) — so track the
+    // netted tombstone count too.
+    val rfs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def killedDeltaState(): (Long, Long) = killedSeqs.map { s =>
+      val d = f"$work/replica/delta_$s%019d"
+      if (!rfs.exists(new Path(d))) (0L, 0L)
+      else {
+        val df = spark.read.parquet(d)
+        (df.count(), df.filter(col("__op") === "d").count())
+      }
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    // the fully-synced expectation from the PRIMARY: one netted row per
+    // distinct key, op 'd' for every key the primary append tombstoned
+    val (expectedRows, expectedTombs) = killedSeqs.map { s =>
+      val p = spark.read.parquet(f"$work/primary/delta_$s%019d")
+      (p.select(Key).distinct().count(),
+        p.filter(col("__op") === "d").select(Key).distinct().count())
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    val (beforeRows, beforeTombs) = killedDeltaState()
+
+    // incarnation 2: the REAL replicateTo against the victim's checkpoint
+    val t0 = System.nanoTime()
+    val q = CorpusStore.replicateTo(spark, s"$work/primary", s"$work/replica",
+      Key, s"$work/rckpt", ReplOpts).start()
+    try q.processAllAvailable() finally {}
+    val replayed = q.recentProgress.toIndexedSeq
+      .filter(_.numInputRows > 0).map(_.batchId)
+    q.stop()
+    val recoverSec = (System.nanoTime() - t0) / 1e9
+    val (afterRows, afterTombs) = killedDeltaState()
+
+    // uninterrupted control replica: fresh store + checkpoint, same feed
+    val t1 = System.nanoTime()
+    CorpusStore.init(spark.read.parquet(s"$work/primary/base"),
+      s"$work/replica_control")
+    val qc = CorpusStore.replicateTo(spark, s"$work/primary",
+      s"$work/replica_control", Key, s"$work/rckpt_control", ReplOpts).start()
+    try qc.processAllAvailable() finally {}
+    val controlBatches = qc.recentProgress.toIndexedSeq.count(_.numInputRows > 0)
+    qc.stop()
+    val controlSec = (System.nanoTime() - t1) / 1e9
+
+    // parity 1 (the operator contract): replica.read == primary.read
+    val primary = CorpusStore.read(spark, s"$work/primary", Key)
+    val replica = CorpusStore.read(spark, s"$work/replica", Key)
+    val primRows = primary.count()
+    val replRows = replica.count()
+    val onlyRepl = replica.exceptAll(primary).count()
+    val onlyPrim = primary.exceptAll(replica).count()
+    val parityPrimary = primRows == replRows && onlyRepl == 0L && onlyPrim == 0L
+    // parity 2: recovered replica == uninterrupted control replica
+    val control = CorpusStore.read(spark, s"$work/replica_control", Key)
+    val onlyGotC = replica.exceptAll(control).count()
+    val onlyCtlC = control.exceptAll(replica).count()
+    val parityControl = onlyGotC == 0L && onlyCtlC == 0L
+    // crash-state evidence: the killed seqs' replica deltas were short of
+    // the primary's netted state (fewer keys OR fewer tombstones) before
+    // the replay, and match it exactly after the merge-replay
+    val overwrote = (beforeRows < expectedRows || beforeTombs < expectedTombs) &&
+      afterRows == expectedRows && afterTombs == expectedTombs
+    val replayedKilled = replayed.contains(killedBatch)
+
+    println(s"""{"metric":"store_replication_recovery","killed_batch":$killedBatch,"killed_seqs":${killedSeqs.mkString("[", ",", "]")},"victim_partial_rows":$partialRows,"victim_batch_rows":$fullRows,"killed_delta_rows_before":$beforeRows,"killed_delta_tombs_before":$beforeTombs,"killed_delta_rows_after":$afterRows,"killed_delta_tombs_after":$afterTombs,"killed_delta_rows_expected":$expectedRows,"killed_delta_tombs_expected":$expectedTombs,"partial_merged_to_full":$overwrote,"replayed_batch_ids":${replayed.mkString("[", ",", "]")},"replayed_killed_batch":$replayedKilled,"recover_sec":${fmt(recoverSec)},"control_sec":${fmt(controlSec)},"control_batches":$controlBatches,"primary_rows":$primRows,"replica_rows":$replRows,"rows_only_in_replica":$onlyRepl,"rows_only_in_primary":$onlyPrim,"parity_vs_primary":$parityPrimary,"rows_only_vs_control":${onlyGotC + onlyCtlC},"parity_vs_control":$parityControl,"loadavg_1m":${fmt(l1)},"loadavg_5m":${fmt(l5)}}""")
+    spark.stop()
+    if (!(parityPrimary && parityControl && overwrote && replayedKilled)) sys.exit(1)
   }
 }

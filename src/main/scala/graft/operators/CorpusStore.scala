@@ -335,9 +335,10 @@ object CorpusStore {
     *   - RAW rows, not netted: apply ops in `seq` order; within one seq
     *     apply 'u' before 'd', so the tombstone lands last and WINS —
     *     the same resolution [[read]]/[[changesSince]] use for a key
-    *     upserted and deleted in a single append. (Or net per key first
-    *     with the same (seq desc, op asc) tie-break — what
-    *     [[replicateTo]] does.)
+    *     upserted and deleted in a single append. (Or net per (seq, key)
+    *     first with the same op tie-break — what [[replicateTo]] does,
+    *     which also makes the outcome independent of file arrival
+    *     order.)
     *   - A same-seq replayed append rewrites its delta dir with NEW part
     *     files, which the file source emits again — delivery across
     *     WRITER failures is at-least-once per seq; idempotent consumers
@@ -354,8 +355,12 @@ object CorpusStore {
     *     columns absent — RESTART the stream to pick them up, the
     *     restart-to-widen contract every lakehouse CDC stream has
     *     (a running Structured Streaming query cannot change schema
-    *     mid-flight). */
-  def changesStream(spark: SparkSession, dir: String): DataFrame = {
+    *     mid-flight).
+    * `options` passes file-source knobs through (e.g.
+    * `maxFilesPerTrigger` to rate-limit a backlog drain so one huge
+    * catch-up doesn't become a single giant microbatch). */
+  def changesStream(spark: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val baseSchema = spark.read.parquet(ensureBase(spark, dir)).schema
     val deltas = deltaPaths(spark, dir)
     val dataSchema =
@@ -369,52 +374,88 @@ object CorpusStore {
     val schema = dataSchema
       .add(OpCol, org.apache.spark.sql.types.StringType)
       .add(SeqCol, org.apache.spark.sql.types.LongType)
-    spark.readStream.schema(schema).parquet(s"$dir/delta_*")
+    spark.readStream.schema(schema).options(options).parquet(s"$dir/delta_*")
       .withColumnRenamed(OpCol, "op").withColumnRenamed(SeqCol, "seq")
   }
 
   /** Continuous replication: [[changesStream]] composed with
     * [[append]] — apply one store's change feed to a second store, the
-    * downstream half of the CDC story. Each microbatch is NETTED per key
-    * with the same (seq desc, 'd'-beats-'u') resolution [[read]] uses,
-    * then applied as ONE replica delta keyed by the microbatch id:
-    * net 'u' rows upsert, net 'd' keys tombstone. Exactly-once across
-    * REPLICATOR failures falls out of the same seq-overwrite contract as
-    * [[appendStream]] — a post-crash replay re-runs the last microbatch
-    * under the SAME batchId and overwrites its partial replica delta.
-    * At-least-once redelivery from PRIMARY-writer replays (a rewritten
-    * delta's new part files are emitted again) nets to the same values —
-    * idempotent by content. Contracts:
+    * downstream half of the CDC story. Each microbatch is applied PER
+    * SOURCE SEQ: the batch's rows for seq s land as the replica's
+    * `delta_s`, netted per key with read's 'd'-beats-'u' tie-break. When
+    * `delta_s` already exists on the replica it is MERGED, not
+    * overwritten — a microbatch boundary can straddle one primary
+    * append's files (e.g. under `maxFilesPerTrigger`), splitting a key's
+    * same-seq 'u' and 'd' rows across two batches, and only re-resolving
+    * the tie-break over the merged set keeps the outcome independent of
+    * arrival order (applying slices in arrival order would let whichever
+    * op arrived LAST win — the first cut of this operator had exactly
+    * that bug, caught by the cross-JVM bench's parity-vs-primary gate).
+    * The merge is also what makes every redelivery idempotent: a
+    * replayed replicator microbatch, or a rewritten primary delta's
+    * re-emitted files, nets into content already applied. Contracts:
     *   - `replicaDir` is an initialized store (e.g. [[init]] from the
     *     primary's base, or empty for a from-scratch rebuild with the
     *     stream started before the first primary append).
-    *   - READ-STATE equivalence, not history: replica deltas are
-    *     per-microbatch, so `replica.read == primary.read` once synced,
-    *     while per-seq time travel on the replica reflects sync batches.
+    *   - `replica.read == primary.read` once synced; replica deltas are
+    *     keyed by PRIMARY seq, so [[readAt]] boundaries align with the
+    *     primary's (within-seq u+d pairs net to the tombstone — the
+    *     identical outcome under read/readAt/changesSince resolution).
     *   - Primary seqs must land nondecreasing (what [[appendStream]]
     *     guarantees: a restart replays its failed batch BEFORE producing
-    *     newer seqs). A manual re-append of an OLD seq after newer ones
-    *     exist would reach the replica out of order and win wrongly.
+    *     newer seqs).
     *   - Schema is pinned at stream start ([[changesStream]]'s
-    *     restart-to-widen contract).
-    * Caller starts/stops the returned query; kill-and-recover parity is
-    * measured cross-JVM in StoreStreamBench. */
+    *     restart-to-widen contract); don't [[compact]] the REPLICA while
+    *     the replicator runs (a late slice of an already-folded seq
+    *     would resurrect it as a fresh delta).
+    * Crash recovery: a replicator that dies mid-apply leaves some seqs
+    * of its batch applied and at most one partial replica delta; the
+    * restarted stream replays the SAME microbatch and every seq's merge
+    * nets the redelivered rows into whatever landed — exactly-once by
+    * content (measured cross-JVM in StoreStreamBench). Caller
+    * starts/stops the returned query. */
   def replicateTo(spark: SparkSession, primaryDir: String, replicaDir: String,
-      key: String, checkpointLocation: String)
+      key: String, checkpointLocation: String,
+      options: Map[String, String] = Map.empty)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(checkpointLocation.nonEmpty,
       "replicateTo needs a checkpointLocation: without one a restarted " +
         "replicator re-counts batchIds from 0 and overwrites replica deltas")
-    changesStream(spark, primaryDir).writeStream
+    changesStream(spark, primaryDir, options).writeStream
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val net = batch.withColumn("__brn", row_number().over(
-            Window.partitionBy(col(key)).orderBy(col("seq").desc, col("op").asc)))
-          .filter(col("__brn") === 1).drop("__brn", "seq")
-        append(batch.sparkSession, replicaDir, batchId, key,
-          net.filter(col("op") === "u").drop("op"),
-          deleteKeys = Some(net.filter(col("op") === "d").select(col(key))))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyChangeSlice(batch.sparkSession, replicaDir, key, batch)
       }
+  }
+
+  /** One [[replicateTo]] microbatch: apply raw change rows (data + op +
+    * seq) to `replicaDir`, one replica delta per source seq, merging
+    * into an existing same-seq delta. Driver work is O(distinct seqs in
+    * the batch) — bounded by the batch's file count. */
+  private[graft] def applyChangeSlice(spark: SparkSession, replicaDir: String,
+      key: String, batch: DataFrame): Unit = {
+    val seqs = batch.select(col("seq")).distinct().collect()
+      .map(_.getLong(0)).sorted
+    seqs.foreach { s =>
+      val incoming = batch.filter(col("seq") === s).drop("seq")
+      val deltaDir = f"$replicaDir/delta_$s%019d"
+      val exists = fs(spark, replicaDir).exists(new Path(deltaDir))
+      val merged = if (!exists) incoming
+        else spark.read.parquet(deltaDir)
+          .withColumnRenamed(OpCol, "op").drop(SeqCol)
+          .unionByName(incoming, allowMissingColumns = true)
+      val net = merged.withColumn("__brn", row_number().over(
+          Window.partitionBy(col(key)).orderBy(col("op").asc)))
+        .filter(col("__brn") === 1).drop("__brn")
+      // the merge READS delta_s while append OVERWRITES it — pin the net
+      // rows first (eager, lineage-free) so the write cannot consume its
+      // own input; a lost block just fails the batch, which the stream
+      // replays (the merge makes the replay idempotent)
+      val pinned = if (exists) net.localCheckpoint(true) else net
+      append(spark, replicaDir, s, key,
+        pinned.filter(col("op") === "u").drop("op"),
+        deleteKeys = Some(pinned.filter(col("op") === "d").select(col(key))))
+    }
   }
 
   /** Fold the deltas into a new base and remove them. O(corpus) — run at

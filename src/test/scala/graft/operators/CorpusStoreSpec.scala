@@ -557,6 +557,41 @@ class CorpusStoreSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("replication outcome is independent of slice arrival order within a seq (merge re-resolves the tie-break)") {
+    // one primary append can put a key's 'u' and 'd' rows in DIFFERENT
+    // files; a rate-limited change stream (maxFilesPerTrigger) can then
+    // deliver them in separate microbatches, in either order. Applying
+    // slices in arrival order would let the LAST-arrived op win; the
+    // per-seq merge must re-resolve to the tombstone both ways.
+    def run(firstOp: String, secondOp: String): Seq[(Long, String)] = {
+      val replica = freshDir(s"slice-$firstOp$secondOp")
+      CorpusStore.init(Seq((1L, "a")).toDF("id", "fp"), replica)
+      def slice(op: String) = {
+        val base = Seq((5L, if (op == "u") "V5" else null))
+          .toDF("id", "fp").withColumn("op", lit(op)).withColumn("seq", lit(1L))
+        if (op == "d") base.select(col("id"), lit(null).cast("string").as("fp"),
+          col("op"), col("seq")) else base
+      }
+      CorpusStore.applyChangeSlice(spark, replica, "id", slice(firstOp))
+      CorpusStore.applyChangeSlice(spark, replica, "id", slice(secondOp))
+      CorpusStore.read(spark, replica, "id").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    }
+    assert(run("u", "d") === Seq((1L, "a")), "d after u: tombstone wins")
+    assert(run("d", "u") === Seq((1L, "a")),
+      "u after d: tombstone must STILL win — arrival order is not resolution order")
+    // redelivery of the same slice is idempotent by content
+    val replica = freshDir("slice-redeliver")
+    CorpusStore.init(Seq((1L, "a")).toDF("id", "fp"), replica)
+    val s = Seq((2L, "B")).toDF("id", "fp")
+      .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+    CorpusStore.applyChangeSlice(spark, replica, "id", s)
+    CorpusStore.applyChangeSlice(spark, replica, "id", s)
+    assert(CorpusStore.read(spark, replica, "id").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "B")))
+  }
+
   test("read without deltas is the base; store survives an empty upsert batch") {
     val dir = freshDir("nodelta")
     CorpusStore.init(Seq((1L, "a")).toDF("id", "fp"), dir)
