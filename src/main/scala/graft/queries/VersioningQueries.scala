@@ -498,6 +498,109 @@ object VersioningQueries {
        |FROM final WHERE doc_id IN (${lookupIds.mkString(", ")})
        |ORDER BY doc_id""".stripMargin
 
+  // ---- READ-ONLY store variants: the e2e store queries above rebuild
+  // their store (init + 2 appends + manifest) INSIDE the measured run, so
+  // their bench budgets are setup-dominated and a regression in the READ
+  // plan could hide under setup noise. These variants build the SAME
+  // store state once per corpus (content-versioned marker, rebuilt when
+  // the store layout version bumps — the IvfModelStore staleness
+  // pattern) and time only the read. Correctness is still oracle-gated:
+  // the read result is identical to the e2e twin's, so the SQL is
+  // shared verbatim. The e2e twins remain the setup-inclusive evidence;
+  // these are the budgets of record for the read plans.
+
+  /** Bump when the store/manifest ON-DISK layout changes — a prebuilt
+    * store from an older layout must be rebuilt, not trusted. */
+  private val RoStoreVersion = "v2-multipart-manifest"
+
+  private def ensureRoStore(s: SparkSession, dir: String, tag: String)
+      (build: String => Unit): String = {
+    import graft.operators.IvfModelStore
+    val store =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ro_${tag}_${IvfModelStore.dirKey(dir)}"
+    val marker = new java.io.File(store, "_ro_built")
+    val fresh = marker.exists && {
+      val src = scala.io.Source.fromFile(marker)
+      try src.mkString.trim == RoStoreVersion finally src.close()
+    }
+    if (!fresh) {
+      if (marker.exists) marker.delete() // a stale marker must not survive a failed rebuild
+      build(store)
+      val w = new java.io.PrintWriter(marker)
+      try w.println(RoStoreVersion) finally w.close()
+    }
+    store
+  }
+
+  /** The shared e2e delta pattern: refresh batch at seq 1, mod-13
+    * tombstones at seq 2 — over a caller-chosen base layout/manifest. */
+  private def buildSnapStore(s: SparkSession, dir: String, store: String,
+      baseLayout: DataFrame => DataFrame, statsCols: Seq[String],
+      bloomCols: Seq[String]): Unit = {
+    import graft.operators.CorpusStore
+    CorpusStore.init(baseLayout(oldSnap(s, dir)), store,
+      statsCols = statsCols, bloomCols = bloomCols)
+    CorpusStore.append(s, store, 1L, "doc_id",
+      newSnap(s, dir).filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0))
+    CorpusStore.append(s, store, 2L, "doc_id",
+      oldSnap(s, dir).limit(0),
+      deleteKeys = Some(Tables.documents(s, dir)
+        .filter(col("doc_id") % 13 === 0).select(col("doc_id"))))
+  }
+
+  private def storeRoPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusStore
+    import graft.sources.ScanPruning
+    val store = ensureRoStore(s, dir, "pruned")(st => buildSnapStore(s, dir, st,
+      _.repartitionByRange(8, col("doc_id")), Seq("doc_id"), Nil))
+    val hi = Tables.documents(s, dir).agg(max(col("doc_id"))).head().getLong(0) / 4
+    CorpusStore.prunedRead(s, store, "doc_id",
+        ScanPruning.boxPredicate(Seq(("doc_id", 0L, hi))))
+      .filter(col("doc_id").between(0L, hi))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(fpChk(col("fp"))).as("fp_chk"))
+      .orderBy(col("source"))
+  }
+
+  private def storeRoKeyLookup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusStore
+    val store = ensureRoStore(s, dir, "kv")(st => buildSnapStore(s, dir, st,
+      _.repartition(8, col("doc_id")), Seq("doc_id"), Seq("doc_id")))
+    CorpusStore.lookup(s, store, "doc_id", lookupIds)
+      .select(col("doc_id"), col("source"), fpChk(col("fp")).as("fp_chk"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def storeRoTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusStore
+    val store = ensureRoStore(s, dir, "tt")(st => buildSnapStore(s, dir, st,
+      identity, Nil, Nil))
+    def snapAgg(asOf: Long): DataFrame =
+      CorpusStore.readAt(s, store, "doc_id", asOf)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("id_sum"), sum(fpChk(col("fp"))).as("fp_chk"))
+        .withColumn("as_of", lit(asOf))
+    snapAgg(1L).unionByName(snapAgg(2L))
+      .select(col("as_of"), col("source"), col("n"), col("id_sum"), col("fp_chk"))
+      .orderBy(col("as_of"), col("source"))
+  }
+
+  private def storeRoChangesFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusStore
+    val store = ensureRoStore(s, dir, "cdc")(st => buildSnapStore(s, dir, st,
+      identity, Nil, Nil))
+    def feedAgg(since: Long): DataFrame =
+      CorpusStore.changesSince(s, store, "doc_id", since)
+        .groupBy(col("op")).agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("id_sum"),
+          coalesce(sum(fpChk(col("fp"))), lit(0L)).as("fp_chk"))
+        .withColumn("since", lit(since))
+    feedAgg(0L).unionByName(feedAgg(1L))
+      .select(col("since"), col("op"), col("n"), col("id_sum"), col("fp_chk"))
+      .orderBy(col("since"), col("op"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("version_diff", Some(versionDiffSql), versionDiff),
     QueryDef("version_upsert", Some(versionUpsertSql), versionUpsert),
@@ -513,5 +616,10 @@ object VersioningQueries {
       storeClusterCompact),
     QueryDef("pipeline_refresh_store", Some(pipelineRefreshStoreSql),
       pipelineRefreshStore),
+    // read-only budgets of record (prebuilt store, shared oracle SQL)
+    QueryDef("store_ro_pruned_read", Some(storePrunedReadSql), storeRoPrunedRead),
+    QueryDef("store_ro_key_lookup", Some(storeKeyLookupSql), storeRoKeyLookup),
+    QueryDef("store_ro_time_travel", Some(storeTimeTravelSql), storeRoTimeTravel),
+    QueryDef("store_ro_changes_feed", Some(storeChangesFeedSql), storeRoChangesFeed),
   )
 }
