@@ -41,9 +41,18 @@ import graft.sources.ScanPruning
   * Sequence numbers are CALLER-supplied (a stream's batchId, a crawl
   * drop id): re-appending the same seq OVERWRITES that delta, so replays
   * after a failure are idempotent. Contracts: keys unique within base
-  * and within each delta; single writer for [[compact]] (plain
-  * parquet has no commit protocol — a production deployment puts a
-  * table format's atomic commit around the same plan shapes).
+  * and within each delta; single writer for [[compact]].
+  *
+  * SNAPSHOT ISOLATION for readers: a compact never renames or deletes
+  * what the current snapshot's readers hold — it writes the fold as a
+  * NEW base generation (`base_gen_<n>`, committed by its `_SUCCESS`
+  * marker), retires folded deltas with an in-dir marker new plans skip,
+  * and purges the previous generation's files only at the START of the
+  * NEXT compact. Readers therefore get a one-compact-cycle grace
+  * window (the VACUUM-retention contract of the table formats,
+  * expressed in plain parquet); a plan overlapping TWO compacts loses
+  * its files and must re-run. See [[compact]]'s crash-state and
+  * retention notes.
   */
 object CorpusStore {
 
@@ -59,11 +68,24 @@ object CorpusStore {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Marker file a [[compact]] drops inside each delta it folded: the
+    * delta's content now lives in the new base generation, so every NEW
+    * plan skips the dir, while its FILES stay on disk until the next
+    * compact for the benefit of plans that listed them earlier (the
+    * snapshot grace window). Underscore-prefixed, so parquet readers and
+    * the [[changesStream]] file source ignore the marker itself. */
+  private val FoldedMarker = "_folded"
+
+  private def isFolded(d: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
+    d.exists(new Path(p, FoldedMarker))
+
+  /** Live (unfolded) delta dirs — what every read resolves against. */
   private def deltaPaths(spark: SparkSession, dir: String): Seq[String] = {
     val d = fs(spark, dir)
     if (!d.exists(new Path(dir))) Seq.empty
     else d.listStatus(new Path(dir)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta_"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta_")
+        && !isFolded(d, st.getPath))
       .map(_.getPath.toString).sorted
   }
 
@@ -72,24 +94,37 @@ object CorpusStore {
   private def hasManifest(spark: SparkSession, dir: String): Boolean =
     fs(spark, dir).exists(new Path(manifestPath(dir)))
 
-  /** Resolve the base dir, finishing a crashed [[compact]]'s swap if one
-    * is in flight: a compact that died between its two renames leaves
-    * `base_old` (the intact pre-compaction base) and no `base` — roll
-    * back by renaming it into place; the deltas are untouched at that
-    * point, so the rolled-back store reads exactly as before the
-    * compact. Every other crash state already reads correctly (see
-    * [[compact]]'s step comments). */
-  private def ensureBase(spark: SparkSession, dir: String): String = {
+  /** Compacted base generations live in `base_gen_<n>` dirs; [[init]]'s
+    * original snapshot is generation 0 at `base`. */
+  private val GenPrefix = "base_gen_"
+
+  /** COMPLETE base generations (their Spark write committed — `_SUCCESS`
+    * present), newest last. An in-flight or crashed fold attempt has no
+    * `_SUCCESS` and is invisible here. */
+  private def genDirs(spark: SparkSession, dir: String): Seq[(Long, String)] = {
     val d = fs(spark, dir)
-    val base = new Path(s"$dir/base")
-    val old = new Path(s"$dir/base_old")
-    if (!d.exists(base) && d.exists(old))
-      require(d.rename(old, base),
-        s"recovery rename $old -> $base failed; store left as-is")
-    s"$dir/base"
+    if (!d.exists(new Path(dir))) Seq.empty
+    else d.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(GenPrefix)
+        && d.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(st => (st.getPath.getName.stripPrefix(GenPrefix).toLong,
+        st.getPath.toString))
+      .sortBy(_._1)
   }
 
-  /** Create/replace the base snapshot and drop any existing deltas.
+  /** The store's current base: the newest COMPLETE generation, else the
+    * gen-0 `base` [[init]] wrote. The `_SUCCESS` marker is the commit
+    * point — a fold that died mid-write never becomes current, and the
+    * previous generation keeps serving reads. */
+  private def currentBase(spark: SparkSession, dir: String): (Long, String) =
+    genDirs(spark, dir).lastOption.getOrElse {
+      require(fs(spark, dir).exists(new Path(s"$dir/base")),
+        s"no base snapshot in $dir: init the store first")
+      (0L, s"$dir/base")
+    }
+
+  /** Create/replace the base snapshot (generation 0) and drop any
+    * existing deltas, folded markers, and older generations.
     * With `statsCols`, also build the file-skipping manifest over the
     * new base (one column-pruned scan) — [[append]] then maintains it
     * incrementally and [[prunedRead]] consumes it. `bloomCols` adds
@@ -101,8 +136,12 @@ object CorpusStore {
     val spark = df.sparkSession
     val d = fs(spark, dir)
     df.write.mode(SaveMode.Overwrite).parquet(s"$dir/base")
-    deltaPaths(spark, dir).foreach(p => d.delete(new Path(p), true))
-    d.delete(new Path(s"$dir/base_old"), true)
+    if (d.exists(new Path(dir)))
+      d.listStatus(new Path(dir)).toSeq.foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("delta_") || n.startsWith(GenPrefix))
+          require(d.delete(st.getPath, true), s"init: could not clear ${st.getPath}")
+      }
     if (statsCols.nonEmpty || bloomCols.nonEmpty)
       ScanPruning.writeManifest(spark, s"$dir/base", manifestPath(dir),
         statsCols, bloomCols)
@@ -197,7 +236,7 @@ object CorpusStore {
   def read(spark: SparkSession, dir: String, key: String,
       maxBroadcastKeys: Long = DefaultMaxBroadcastKeys,
       evolveSchema: Boolean = false): DataFrame = {
-    val base = spark.read.parquet(ensureBase(spark, dir))
+    val base = spark.read.parquet(currentBase(spark, dir)._2)
     val deltas = deltaPaths(spark, dir)
     if (deltas.isEmpty) return base
     resolve(base, readDeltas(spark, deltas, evolveSchema), key,
@@ -218,7 +257,7 @@ object CorpusStore {
   def readAt(spark: SparkSession, dir: String, key: String, asOfSeq: Long,
       maxBroadcastKeys: Long = DefaultMaxBroadcastKeys,
       evolveSchema: Boolean = false): DataFrame = {
-    val base = spark.read.parquet(ensureBase(spark, dir))
+    val base = spark.read.parquet(currentBase(spark, dir)._2)
     val deltas = deltaPaths(spark, dir).filter(p => deltaSeqOf(p) <= asOfSeq)
     if (deltas.isEmpty) return base
     resolve(base, readDeltas(spark, deltas, evolveSchema), key,
@@ -240,7 +279,7 @@ object CorpusStore {
       sinceSeq: Long): DataFrame = {
     val deltas = deltaPaths(spark, dir).filter(p => deltaSeqOf(p) > sinceSeq)
     if (deltas.isEmpty)
-      return spark.read.parquet(ensureBase(spark, dir)).filter(lit(false))
+      return spark.read.parquet(currentBase(spark, dir)._2).filter(lit(false))
         .withColumn("op", lit("")).withColumn("seq", lit(0L))
     // mergeSchema unconditionally: the feed must carry a widened delta's
     // added columns even when older deltas in the range lack them (an
@@ -261,16 +300,28 @@ object CorpusStore {
     * predicate on the result — `keep` prunes, it never answers.
     * Requires a manifest (init/append with `statsCols`). `evolveSchema`
     * as in [[read]] — the escape hatch for reading widened deltas'
-    * added columns before the widening compact has folded them. */
+    * added columns before the widening compact has folded them.
+    * Self-heal: a compact that died between committing its new base
+    * generation and rebuilding the manifest leaves the manifest pointing
+    * at the PREVIOUS generation — detected here as zero manifest entries
+    * under the current base dir, repaired by one rebuild (the crash
+    * window costs one extra O(corpus-files) stat pass, once). */
   def prunedRead(spark: SparkSession, dir: String, key: String, keep: Column,
       maxBroadcastKeys: Long = DefaultMaxBroadcastKeys,
       evolveSchema: Boolean = false): DataFrame = {
-    val baseDir = ensureBase(spark, dir)
+    val baseDir = currentBase(spark, dir)._2
     require(hasManifest(spark, dir),
       s"prunedRead needs a manifest: init the store with statsCols, got none in $dir")
     val basePrefix = new Path(baseDir).toUri.getPath
-    val m = spark.read.parquet(manifestPath(dir))
-    val baseSlice = m.filter(col("file").startsWith(basePrefix))
+    var m = spark.read.parquet(manifestPath(dir))
+    var baseSlice = m.filter(col("file").startsWith(basePrefix))
+    if (baseSlice.limit(1).count() == 0L) {
+      // stale manifest (compact crash state 5): no entry covers the
+      // current generation — silent empty pruning would LOSE base rows
+      ScanPruning.rebuildManifest(spark, baseDir, manifestPath(dir))
+      m = spark.read.parquet(manifestPath(dir))
+      baseSlice = m.filter(col("file").startsWith(basePrefix))
+    }
     val prunedBase = ScanPruning.prunedScan(spark, baseDir, baseSlice, keep)
     val deltas = deltaPaths(spark, dir)
     if (deltas.isEmpty) return prunedBase
@@ -344,10 +395,12 @@ object CorpusStore {
     *     WRITER failures is at-least-once per seq; idempotent consumers
     *     key their apply on `seq` (e.g. foreachBatch into a second
     *     store, which the seq-overwrite contract makes exactly-once).
-    *   - [[compact]] deletes the deltas it folds; run it only past the
-    *     consumers' sync horizon (the retention contract every log
+    *   - [[compact]] retires the deltas it folds from new plans and
+    *     PURGES their files at the next compact; run compacts only past
+    *     the consumers' sync horizon (the retention contract every log
     *     store has — cadence is the caller's checked knob via
-    *     [[compactIfNeeded]]).
+    *     [[compactIfNeeded]]; the one-cycle grace window covers a
+    *     consumer already mid-batch, not one that lags a full cycle).
     *   - The stream's schema is pinned at STREAM START: base ∪ columns
     *     of the deltas present at that moment (merged parquet footers —
     *     O(deltas) metadata, the same merge [[changesSince]] does). A
@@ -361,7 +414,7 @@ object CorpusStore {
     * catch-up doesn't become a single giant microbatch). */
   def changesStream(spark: SparkSession, dir: String,
       options: Map[String, String] = Map.empty): DataFrame = {
-    val baseSchema = spark.read.parquet(ensureBase(spark, dir)).schema
+    val baseSchema = spark.read.parquet(currentBase(spark, dir)._2).schema
     val deltas = deltaPaths(spark, dir)
     val dataSchema =
       if (deltas.isEmpty) baseSchema
@@ -458,49 +511,62 @@ object CorpusStore {
     }
   }
 
-  /** Fold the deltas into a new base and remove them. O(corpus) — run at
+  /** Fold the live deltas into a NEW base generation. O(corpus) — run at
     * compaction cadence ([[compactIfNeeded]]), not per batch.
-    * Single-writer contract: the swap below is not a transactional
-    * commit, but every crash point leaves a readable (or
-    * [[ensureBase]]-recoverable) store:
+    * Single-writer contract for compact itself; concurrent READERS get a
+    * one-compact-cycle snapshot grace window (below).
     *
-    *   1. after writing `base_compacting`: base + deltas untouched.
-    *   2. after `base -> base_old`: [[ensureBase]] rolls the rename back
-    *      on the next read/compact; deltas are still intact.
-    *   3. after `base_compacting -> base`: the new base already FOLDS
-    *      every delta, so re-resolving any subset of still-present
+    * Nothing the previous snapshot's readers hold is renamed or deleted:
+    * the fold lands in `base_gen_<g+1>` (its `_SUCCESS` is the commit
+    * point), each folded delta gets a [[FoldedMarker]] making it
+    * invisible to NEW plans while its files stay on disk, and the
+    * PREVIOUS generation + previously-folded deltas are purged only at
+    * the START of the NEXT compact. A plan that listed its files before
+    * this compact therefore keeps reading the pre-compact snapshot and
+    * completes — the retention window is one full compaction cycle (the
+    * same VACUUM-retention statement every table format makes), not
+    * zero. Readers must still complete within ONE cycle: a plan that
+    * overlaps TWO compacts loses its files to the purge
+    * (FileNotFoundException; safe to re-run — both are spec-locked in
+    * CorpusStoreSpec).
+    *
+    * Every crash point leaves a readable store:
+    *   1. purge of expired artifacts is idempotent (re-runs next time).
+    *   2. die mid-fold-write: the new generation has no `_SUCCESS`, so
+    *      [[currentBase]] never selects it; reads are exactly
+    *      pre-compact, and the next compact deletes the debris.
+    *   3. die after `_SUCCESS`, before marking: the new generation
+    *      already FOLDS every delta, so re-resolving the still-live
     *      deltas over it is idempotent — for each delta key the
     *      latest-per-key value equals the folded one.
-    *   4. delta deletion runs in ASCENDING seq order, so a crash leaves
-    *      the NEWEST suffix — exactly the subset whose latest-per-key
-    *      values the folded base already carries (deleting descending
-    *      would leave an older delta to wrongly win resolution).
-    *
-    * READER-vs-COMPACT contract (stated, not mitigated): compact RENAMES
-    * `base` and DELETES the folded deltas, so a concurrent reader whose
-    * plan listed its files before the compact fails with a
-    * FileNotFoundException when it reaches them — plain parquet has no
-    * snapshot pinning, so the reader retention window across a compact
-    * boundary is ZERO. Operationally: in-flight reads must complete
-    * between compacts (the compaction cadence — [[compactIfNeeded]]'s
-    * ratio — IS the reader SLA, the same horizon [[changesStream]]
-    * consumers already own), long-lived snapshots should be materialized
-    * before compacting, and a failed reader is safe to re-run (it
-    * re-lists and sees the folded, equivalent state). A production
-    * deployment wraps these exact plan shapes in a table format's
-    * snapshot/VACUUM protocol, which is a commit layer — not a different
-    * query plan. Spec-locked in CorpusStoreSpec ("a reader plan that
-    * overlaps a compact ..."). */
+    *   4. marking runs in ASCENDING seq order, so a crash leaves the
+    *      NEWEST suffix live — exactly the subset whose latest-per-key
+    *      values the folded base already carries (descending would
+    *      leave an OLDER delta live to wrongly win resolution).
+    *   5. die before the manifest rebuild: the manifest still points at
+    *      the previous generation's files — [[prunedRead]] detects that
+    *      no entry matches the current base and self-heals by
+    *      rebuilding (see its doc).
+    */
   def compact(spark: SparkSession, dir: String, key: String,
       evolveSchema: Boolean = false, clusterBy: Seq[String] = Nil,
       clusterFiles: Int = 0): Unit = {
     val d = fs(spark, dir)
-    val base = new Path(ensureBase(spark, dir))
-    val old = new Path(s"$dir/base_old")
-    // a stale base_old next to a live base is a prior compact that died
-    // after its swap (state 3/4) — finish its cleanup first
-    if (d.exists(old)) require(d.delete(old, true),
-      s"compact: could not remove stale $old")
+    val (gen, baseDir) = currentBase(spark, dir)
+    // purge the grace window left by the PREVIOUS compact: generations
+    // other than the current one (including incomplete fold debris), the
+    // gen-0 base once a newer generation committed, and folded deltas.
+    // Hadoop FileSystem delete reports failure by RETURNING false, not
+    // throwing — abort while the store is still readable.
+    d.listStatus(new Path(dir)).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      val expired =
+        (n.startsWith(GenPrefix) && st.getPath.toString != baseDir) ||
+        (n == "base" && gen > 0L) ||
+        (n.startsWith("delta_") && isFolded(d, st.getPath))
+      if (expired) require(d.delete(st.getPath, true),
+        s"compact: could not purge expired ${st.getPath}")
+    }
     val deltas = deltaPaths(spark, dir)
     if (deltas.isEmpty) return
     // evolveSchema folds widened deltas into a WIDENED base — the one
@@ -508,6 +574,7 @@ object CorpusStore {
     // same cadence as any compact; plain reads carry the new columns
     // from then on
     val folded = read(spark, dir, key, evolveSchema = evolveSchema)
+    val newDir = f"$dir/$GenPrefix${gen + 1}%019d"
     // clusterBy: compaction is already the O(corpus) rewrite, so it is
     // the natural (free-shuffle) moment to LAY OUT the new base — range
     // for one column, z-order for several — making every file's min/max
@@ -520,29 +587,22 @@ object CorpusStore {
     // bytes-per-partition target IS the row-group sizing policy.
     clusterBy match {
       case Nil =>
-        folded.write.mode(SaveMode.Overwrite).parquet(s"$dir/base_compacting")
+        folded.write.mode(SaveMode.Overwrite).parquet(newDir)
       case Seq(c) =>
         val ranged = if (clusterFiles > 0)
           folded.repartitionByRange(clusterFiles, col(c))
         else folded.repartitionByRange(col(c))
         ranged.sortWithinPartitions(col(c))
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/base_compacting")
+          .write.mode(SaveMode.Overwrite).parquet(newDir)
       case cs =>
-        graft.sources.Layout.zorderWrite(folded, s"$dir/base_compacting", cs,
+        graft.sources.Layout.zorderWrite(folded, newDir, cs,
           files = clusterFiles)
     }
-    // Hadoop FileSystem delete/rename report failure by RETURNING false,
-    // not throwing — abort while the store is still readable
-    require(d.rename(base, old),
-      s"compact: rename base -> base_old failed in $dir; store untouched")
-    require(d.rename(new Path(s"$dir/base_compacting"), base),
-      s"compact: rename base_compacting -> base failed in $dir; " +
-        "read() will roll base_old back into place")
-    require(d.delete(old, true), s"compact: could not remove $old")
-    deltas.foreach(p => require(d.delete(new Path(p), true),
-      s"compact: could not remove folded delta $p"))
+    // the write's _SUCCESS committed the new generation; retire the
+    // folded deltas from NEW plans (ascending — see crash state 4)
+    deltas.foreach(p => d.create(new Path(p, FoldedMarker)).close())
     if (hasManifest(spark, dir))
-      ScanPruning.rebuildManifest(spark, s"$dir/base", manifestPath(dir))
+      ScanPruning.rebuildManifest(spark, newDir, manifestPath(dir))
   }
 
   /** Checked compaction cadence: fold when the delta row mass exceeds
@@ -557,7 +617,7 @@ object CorpusStore {
     val deltas = deltaPaths(spark, dir)
     if (deltas.isEmpty) return false
     val deltaRows = spark.read.parquet(deltas: _*).count()
-    val baseRows = spark.read.parquet(ensureBase(spark, dir)).count()
+    val baseRows = spark.read.parquet(currentBase(spark, dir)._2).count()
     if (deltaRows > maxDeltaToBaseRatio * math.max(baseRows, 1L)) {
       compact(spark, dir, key, evolveSchema, clusterBy); true
     } else false

@@ -141,45 +141,54 @@ class CorpusStoreSpec extends SparkTestBase {
     assert(a.toSeq === b.toSeq && a.toSeq === Seq((1L, "a"), (2L, "B"), (4L, "d")))
   }
 
-  test("a compact crash between the two renames leaves a store read() auto-recovers") {
+  test("a fold that died mid-write (no _SUCCESS) is invisible; reads stay pre-compact; next compact purges the debris") {
     val dir = freshDir("crashmid")
     CorpusStore.init(Seq((1L, "a"), (2L, "b")).toDF("id", "fp"), dir)
     CorpusStore.append(spark, dir, 1L, "id", Seq((2L, "B")).toDF("id", "fp"))
-    // simulate compact dying after `base -> base_old` (its new base still
-    // at base_compacting): base_old intact, deltas intact
-    val p = new org.apache.hadoop.fs.Path(s"$dir/base")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.read.parquet(s"$dir/base").write.parquet(s"$dir/base_compacting")
-    assert(fs.rename(p, new org.apache.hadoop.fs.Path(s"$dir/base_old")))
+    // simulate compact dying mid-fold-write: a base_gen_1 dir exists but
+    // its write never committed (_SUCCESS absent)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val debris = f"$dir/base_gen_${1L}%019d"
+    spark.read.parquet(s"$dir/base").write.parquet(debris)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$debris/_SUCCESS"), false))
     val got = CorpusStore.read(spark, dir, "id")
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(got.toSeq === Seq((1L, "a"), (2L, "B")),
-      "read must roll base_old back into place and resolve deltas as before")
-    assert(fs.exists(p) && !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/base_old")))
+      "an uncommitted generation must never be selected")
+    // the next compact clears the debris and commits a real generation
+    CorpusStore.compact(spark, dir, "id")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      f"$dir/base_gen_${1L}%019d/_SUCCESS")),
+      "the retry reuses the generation number with a committed write")
+    val after = CorpusStore.read(spark, dir, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(after.toSeq === got.toSeq)
   }
 
-  test("a compact crash after the swap (stale base_old + unfolded deltas) still reads; next compact cleans up") {
+  test("a fold committed before marking its deltas re-resolves them idempotently; next compact purges") {
     val dir = freshDir("crashpost")
     CorpusStore.init(Seq((1L, "a"), (2L, "b")).toDF("id", "fp"), dir)
     CorpusStore.append(spark, dir, 3L, "id", Seq((2L, "B"), (9L, "z")).toDF("id", "fp"),
       deleteKeys = Some(Seq(Tuple1(1L)).toDF("id")))
     val expect = CorpusStore.read(spark, dir, "id").collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    // simulate dying right after `base_compacting -> base`: new base holds
-    // the folded state, base_old is the stale pre-compact base, and every
-    // delta is still present — re-resolving them must be idempotent
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    CorpusStore.read(spark, dir, "id").write.parquet(s"$dir/base_new")
-    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/base"),
-      new org.apache.hadoop.fs.Path(s"$dir/base_old")))
-    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/base_new"),
-      new org.apache.hadoop.fs.Path(s"$dir/base")))
+    // simulate dying right after the new generation's _SUCCESS: the fold
+    // is committed (written with _SUCCESS by the spark write below) but
+    // every delta is still LIVE — re-resolving them must be idempotent
+    CorpusStore.read(spark, dir, "id").write
+      .parquet(f"$dir/base_gen_${1L}%019d")
     val got = CorpusStore.read(spark, dir, "id").collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    assert(got.toSeq === expect.toSeq)
+    assert(got.toSeq === expect.toSeq,
+      "live deltas over the folded generation must resolve to the same state")
+    // gen-0 base and the stale delta survive until the NEXT compact (the
+    // grace window), which purges them and folds whatever is live
     CorpusStore.compact(spark, dir, "id")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/base_old")))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/base")),
+      "the expired gen-0 base is purged by the next compact")
     val after = CorpusStore.read(spark, dir, "id").collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(after.toSeq === expect.toSeq)
@@ -197,8 +206,15 @@ class CorpusStoreSpec extends SparkTestBase {
     assert(CorpusStore.compactIfNeeded(spark, dir, "id", maxDeltaToBaseRatio = 0.2))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .count(_.getPath.getName.startsWith("delta_")) === 0)
+    // folded deltas are retired from plans (marked) but retained on disk
+    // for the grace window; the cadence math must count LIVE deltas only
+    val deltaDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.startsWith("delta_"))
+    assert(deltaDirs.forall(st => fs.exists(
+      new org.apache.hadoop.fs.Path(st.getPath, "_folded"))),
+      "every folded delta must carry the marker")
+    assert(!CorpusStore.compactIfNeeded(spark, dir, "id", maxDeltaToBaseRatio = 0.2),
+      "retained folded deltas must not re-trigger the cadence")
     assert(CorpusStore.read(spark, dir, "id").count() === before)
   }
 
@@ -255,13 +271,28 @@ class CorpusStoreSpec extends SparkTestBase {
       assert(new java.io.File(f).exists(), s"manifest points at a deleted file: $f")
     }
     // compact folds deltas and rebuilds the manifest over the new base
+    // GENERATION — no stale entries for deltas or the old base remain
     CorpusStore.compact(spark, dir, "id")
     val m2 = spark.read.parquet(s"$dir/manifest")
-    assert(m2.filter(!col("file").contains("/base/")).count() === 0)
+    assert(m2.filter(!col("file").contains("/base_gen_")).count() === 0)
     val prunedAfter = CorpusStore.prunedRead(spark, dir, "id", keep)
       .filter(col("id").between(1L, 50L))
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(prunedAfter.toSeq === full.toSeq)
+    // compact crash state 5: manifest still points at the PREVIOUS
+    // generation. prunedRead must detect the stale manifest (zero entries
+    // under the current base) and self-heal by rebuilding — silent empty
+    // pruning would LOSE the whole base
+    graft.sources.ScanPruning.writeManifest(spark, s"$dir/base",
+      s"$dir/manifest", Seq("id")) // the retained gen-0 dir = stale target
+    val healed = CorpusStore.prunedRead(spark, dir, "id", keep)
+      .filter(col("id").between(1L, 50L))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(healed.toSeq === full.toSeq,
+      "stale-manifest detection must rebuild, not prune to empty")
+    assert(spark.read.parquet(s"$dir/manifest")
+      .filter(!col("file").contains("/base_gen_")).count() === 0,
+      "the self-heal leaves a manifest over the current generation")
   }
 
   test("readAt time-travels to every seq boundary; compact truncates history to the fold") {
@@ -498,14 +529,28 @@ class CorpusStoreSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("a reader plan that overlaps a compact fails loudly and re-runs to the folded state (zero-retention contract)") {
+  test("a reader plan overlapping ONE compact completes on its snapshot; overlapping TWO loses to the purge") {
     val dir = freshDir("readerrace")
     CorpusStore.init((1L to 100L).map(i => (i, s"v$i")).toDF("id", "fp"), dir)
     CorpusStore.append(spark, dir, 1L, "id", Seq((2L, "B")).toDF("id", "fp"))
     // the reader lists its files at plan time (read() builds the file
-    // index eagerly), then the compact renames base and deletes deltas
-    // underneath it — plain parquet pins no snapshot
+    // index eagerly); the compact then commits a NEW generation and only
+    // MARKS the folded deltas — nothing this plan holds is touched
     val overlapping = CorpusStore.read(spark, dir, "id")
+    CorpusStore.compact(spark, dir, "id")
+    val got = overlapping.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === 100 && got.exists(_ == (2L, "B")),
+      "a plan listed before the compact must complete on its snapshot")
+    // a post-compact plan reads the same content from the new generation
+    val fresh = CorpusStore.read(spark, dir, "id").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(fresh.toSeq === got.toSeq)
+    assert(CorpusStore.read(spark, dir, "id").inputFiles
+      .forall(_.contains("base_gen_")), "new plans read the new generation only")
+    // the grace window is ONE cycle: a plan still holding the PRE-compact
+    // snapshot across a SECOND compact loses its files to the purge
+    CorpusStore.append(spark, dir, 2L, "id", Seq((1000L, "C")).toDF("id", "fp"))
     CorpusStore.compact(spark, dir, "id")
     val e = intercept[Exception] { overlapping.count() }
     def chain(t: Throwable): Seq[Throwable] =
@@ -513,12 +558,11 @@ class CorpusStoreSpec extends SparkTestBase {
     assert(chain(e).exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
       String.valueOf(c.getMessage).contains("does not exist") ||
       String.valueOf(c.getMessage).contains("FileNotFound")),
-      s"overlap must surface as a missing-file failure, got: $e")
-    // the documented recovery: re-run — the fresh plan lists the folded
-    // store and reads the equivalent state
+      s"a two-cycle-old plan must fail loudly on the purge, got: $e")
+    // the documented recovery: re-run — the fresh plan reads the current state
     val rerun = CorpusStore.read(spark, dir, "id").orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    assert(rerun.length === 100 && rerun.exists(_ == (2L, "B")))
+    assert(rerun.length === 101 && rerun.exists(_ == (1000L, "C")))
   }
 
   test("replicateTo keeps a replica read-equivalent through upserts, tombstones, and netted batches") {
