@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BloomFilterAgg, BloomMightContain, ColumnBridge, MinHashSignature, SimHash64, WinnowingFingerprints}
+import org.apache.spark.sql.graft.{BloomFilterAgg, BloomMightContain, BloomMightContainAny, ColumnBridge, MinHashSignature, SimHash64, WinnowingFingerprints}
 
 /** Hash-sketch primitives for near-duplicate detection, backed by native
   * codegen'd expressions (org.apache.spark.sql.graft). Both run inside
@@ -48,4 +48,13 @@ object HashFunctions {
   def bloomMightContain(bloom: Column, hash: Column, numHashes: Int): Column =
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(bloom),
       ColumnBridge.expression(hash), numHashes))
+
+  /** Any-of-set probe of a [[bloomAgg]] filter: true when ANY of the
+    * pre-hashed keys in the array<long> column may be contained. One
+    * expression regardless of key count — the codegen-safe probe for a
+    * lookup-join's collected key set (an OR-chain of [[bloomMightContain]]
+    * grows the expression tree per key). Empty set probes false. */
+  def bloomMightContainAny(bloom: Column, hashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(BloomMightContainAny(ColumnBridge.expression(bloom),
+      ColumnBridge.expression(hashes), numHashes))
 }

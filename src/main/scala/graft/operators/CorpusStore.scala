@@ -347,6 +347,50 @@ object CorpusStore {
       .filter(col(key).isin(keys: _*))
   }
 
+  /** Bound on the distinct probe-side keys [[lookupJoin]] will collect to
+    * the driver to drive bloom file pruning: 100k longs/strings is a few
+    * MB on the driver and one array-literal probe expression
+    * ([[graft.sources.ScanPruning.keyLookupPredicate]]'s big-set form) —
+    * past it the join falls back to a full [[read]] with no file
+    * skipping, never an unbounded collect. */
+  val DefaultMaxPruneKeys = 100000L
+
+  /** Semi-join the store against an arbitrary KEYS FRAME with
+    * bloom-driven base-file skipping — the runtime-file-pruning form of
+    * [[lookup]] (whose keys are caller literals): the dynamic-partition-
+    * pruning idea applied to the store's manifest. When the probe side's
+    * distinct keys fit `maxPruneKeys` (checked with one count over the
+    * probe side — the SMALL side by contract), they are collected and
+    * probed against the per-file key blooms, so the base opens
+    * ~(files holding a key + fpp·files) files regardless of layout; the
+    * keys frame is then broadcast for the row-level semi-join. Past the
+    * bound (or with no bloom manifest for `key`) the semi-join still
+    * returns the identical answer over a full [[read]] — pruning is an
+    * optimization, never a semantics change. Delta resolution is as in
+    * [[read]]: an overridden key returns its delta version, a tombstoned
+    * key is absent even if the probe side names it. */
+  def lookupJoin(spark: SparkSession, dir: String, key: String,
+      keysDf: DataFrame, maxPruneKeys: Long = DefaultMaxPruneKeys,
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys,
+      evolveSchema: Boolean = false): DataFrame = {
+    val ks = keysDf.select(col(key)).distinct()
+    val bloomed = hasManifest(spark, dir) &&
+      ScanPruning.manifestBloomCols(spark, manifestPath(dir)).contains(key)
+    val n = if (bloomed) ks.count() else Long.MaxValue
+    if (bloomed && n == 0L)
+      return read(spark, dir, key, maxBroadcastKeys, evolveSchema)
+        .filter(lit(false))
+    if (bloomed && n <= maxPruneKeys) {
+      val keyVals = ks.collect().toIndexedSeq.map(_.get(0))
+      val pred = ScanPruning.keyLookupPredicate(spark, manifestPath(dir),
+        key, keyVals)
+      prunedRead(spark, dir, key, pred, maxBroadcastKeys, evolveSchema)
+        .join(broadcast(ks), Seq(key), "left_semi")
+    } else
+      read(spark, dir, key, maxBroadcastKeys, evolveSchema)
+        .join(ks, Seq(key), "left_semi")
+  }
+
   /** Continuous ingestion: apply a streaming frame of upserts to the
     * store, one delta per microbatch, keyed by the stream's batchId.
     * Exactly-once falls out of the seq contract: after a failure,

@@ -572,6 +572,44 @@ object VersioningQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- lookup JOIN (CorpusStore.lookupJoin): the probe keys come from a
+  // FRAME (documents with doc_id % 17 = 3 — ~n/17 keys, deliberately past
+  // ScanPruning.OrChainMaxKeys so the gate exercises the array-literal
+  // bloom probe), are collected under the count guard, prune base files
+  // via the per-file blooms, and the store rows semi-join against the
+  // broadcast key set. Runs over the SAME prebuilt hash-laid-out store as
+  // store_ro_key_lookup (blooms are the only pruning signal). The oracle
+  // reconstructs the final state and applies the same key predicate — a
+  // probe false negative (missing rows) or a leaked non-probe key fails
+  // rows+hash.
+  private def storeJoinLookup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusStore
+    val store = ensureRoStore(s, dir, "kv")(st => buildSnapStore(s, dir, st,
+      _.repartition(8, col("doc_id")), Seq("doc_id"), Seq("doc_id")))
+    val keys = Tables.documents(s, dir)
+      .filter(col("doc_id") % 17 === 3).select(col("doc_id"))
+    CorpusStore.lookupJoin(s, store, "doc_id", keys)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(fpChk(col("fp"))).as("fp_chk"))
+      .orderBy(col("source"))
+  }
+
+  private val storeJoinLookupSql =
+    s"""WITH $snapSql, batch AS (
+       |  SELECT * FROM new WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+       |), final AS (
+       |  SELECT * FROM batch WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT * FROM old WHERE doc_id % 13 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM batch)
+       |)
+       |SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk
+       |FROM final
+       |WHERE doc_id IN (SELECT doc_id FROM documents WHERE doc_id % 17 = 3)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def storeRoTimeTravel(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.CorpusStore
     val store = ensureRoStore(s, dir, "tt")(st => buildSnapStore(s, dir, st,
@@ -619,6 +657,7 @@ object VersioningQueries {
     // read-only budgets of record (prebuilt store, shared oracle SQL)
     QueryDef("store_ro_pruned_read", Some(storePrunedReadSql), storeRoPrunedRead),
     QueryDef("store_ro_key_lookup", Some(storeKeyLookupSql), storeRoKeyLookup),
+    QueryDef("store_join_lookup", Some(storeJoinLookupSql), storeJoinLookup),
     QueryDef("store_ro_time_travel", Some(storeTimeTravelSql), storeRoTimeTravel),
     QueryDef("store_ro_changes_feed", Some(storeChangesFeedSql), storeRoChangesFeed),
   )

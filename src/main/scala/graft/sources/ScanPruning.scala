@@ -302,20 +302,38 @@ object ScanPruning {
     * the no-false-negatives contract. A key that cannot be represented
     * in the column's type (cast fails or yields null) cannot match any
     * row, so it prunes everything (None). */
-  private def typedKeyLiteral(v: Any, dt: DataType): Option[Column] = {
+  private def typedKeyLiteral(v: Any, dt: DataType)
+      : Option[org.apache.spark.sql.catalyst.expressions.Literal] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
-    import org.apache.spark.sql.graft.ColumnBridge
     val l = Literal(v)
-    if (l.dataType == dt) Some(ColumnBridge.column(l))
+    if (l.dataType == dt) Some(l)
     else if (!Cast.canCast(l.dataType, dt)) None
-    else try Option(Cast(l, dt, Some("UTC")).eval(null))
-      .map(x => ColumnBridge.column(Literal(x, dt)))
+    else try Option(Cast(l, dt, Some("UTC")).eval(null)).map(x => Literal(x, dt))
     catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Key sets up to this size probe as an OR-chain of per-key
+    * [[graft.functions.HashFunctions.bloomMightContain]] expressions
+    * (readable plans, constant-folded hashes); larger sets switch to ONE
+    * [[graft.functions.HashFunctions.bloomMightContainAny]] over an
+    * array<long> literal of driver-hashed keys — the expression tree
+    * stays O(1) in the key count, so a 100k-key lookup-join probe cannot
+    * blow up codegen. */
+  val OrChainMaxKeys: Int = 64
+
+  /** Driver-side xxhash64 of a typed literal — the SAME expression the
+    * manifest build applies per row ([[buildManifest]]'s
+    * `xxhash64(col(c))`), so probe hashes match build hashes exactly. */
+  private def xxhashOf(l: org.apache.spark.sql.catalyst.expressions.Literal): Long =
+    new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(l))
+      .eval(null).asInstanceOf[Long]
+
   /** Key-equality predicate over a manifest with a `<c>_bloom` column:
     * keep files whose filter MAY contain any of `keys` (bounded,
-    * driver-side literals — a point/small-IN lookup, not a join). No
+    * driver-side literals — a point/IN lookup or a collected lookup-join
+    * key set; past [[OrChainMaxKeys]] the probe switches to one
+    * array-literal [[graft.functions.HashFunctions.bloomMightContainAny]]
+    * so the expression tree stays O(1) in the key count). No
     * false negatives, so pruning stays answer-transparent; expected
     * survivors ≈ (files holding a key) + fpp·files. The probe hash count
     * AND the key column's data type are read back from the manifest
@@ -337,16 +355,30 @@ object ScanPruning {
     sel.limit(1).collect().headOption match {
       case None => lit(false) // empty manifest: nothing to keep
       case Some(r) =>
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.graft.ColumnBridge
         val k = r.getInt(0)
-        val lits: Seq[Column] =
+        val lits: Seq[Literal] =
           if (hasDt) {
             val dt = DataType.fromDDL(r.getString(1))
             keys.flatMap(typedKeyLiteral(_, dt))
-          } else keys.map(lit) // pre-dt manifest: caller-typed literals
+          } else keys.map(Literal(_)) // pre-dt manifest: caller-typed literals
         if (lits.isEmpty) lit(false) // no key representable in the column
-        else lits.map(v => graft.functions.HashFunctions
-            .bloomMightContain(col(s"${c}_bloom"), xxhash64(v), k))
-          .reduce(_ || _)
+        else if (lits.size <= OrChainMaxKeys)
+          lits.map(v => graft.functions.HashFunctions
+              .bloomMightContain(col(s"${c}_bloom"),
+                xxhash64(ColumnBridge.column(v)), k))
+            .reduce(_ || _)
+        else {
+          // big set: one array-literal probe per manifest row — hashes
+          // computed driver-side with the build's own XxHash64
+          val hashes = lits.map(xxhashOf)
+          graft.functions.HashFunctions.bloomMightContainAny(
+            col(s"${c}_bloom"),
+            ColumnBridge.column(Literal.create(hashes,
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.LongType))), k)
+        }
     }
   }
 

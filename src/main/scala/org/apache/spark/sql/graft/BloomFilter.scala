@@ -25,6 +25,23 @@ object BloomUtil {
     }
   }
 
+  /** [[mightContain]] over a SET of pre-hashed keys: true when ANY may be
+    * in the filter. One call per (filter, key set) instead of a key-count
+    * OR-chain of probe expressions — the codegen-safe shape for a
+    * 100k-key runtime file-pruning probe ([[BloomMightContainAny]]). */
+  def mightContainAny(bytes: Array[Byte],
+      hashes: org.apache.spark.sql.catalyst.util.ArrayData,
+      numHashes: Int): Boolean = {
+    var i = 0
+    val n = hashes.numElements()
+    while (i < n) {
+      if (!hashes.isNullAt(i) &&
+          mightContain(bytes, hashes.getLong(i), numHashes)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Probe directly on the serialized little-endian bytes — no
     * deserialization per row (byte b of an LE word holds bits b*8..b*8+7,
     * so global bit idx lives at bytes[idx >> 3] bit (idx & 7)). */
@@ -131,4 +148,37 @@ case class BloomMightContain(bloom: Expression, hash: Expression, numHashes: Int
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(bloom = l, hash = r)
+}
+
+/** Codegen'd any-of-set bloom probe: true when ANY hash of an
+  * array<long> key set may be in the filter. The runtime-file-pruning
+  * probe shape: a lookup-join's collected key hashes travel as ONE array
+  * literal evaluated once per manifest row, where the equivalent
+  * per-key OR-chain would hand codegen a key-count-sized expression tree
+  * (10k+ keys = method-size blowup or compile failure). Same
+  * no-false-negatives contract as [[BloomMightContain]]; null hash
+  * entries are skipped; an empty set is contained nowhere (false).
+  */
+case class BloomMightContainAny(bloom: Expression, hashes: Expression, numHashes: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  require(numHashes >= 1, "numHashes >= 1")
+
+  override def left: Expression = bloom
+  override def right: Expression = hashes
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, ArrayType(LongType))
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_any"
+
+  override def nullSafeEval(b: Any, hs: Any): Any =
+    BloomUtil.mightContainAny(b.asInstanceOf[Array[Byte]],
+      hs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, hs) =>
+      s"${ev.value} = org.apache.spark.sql.graft.BloomUtil.mightContainAny($b, $hs, $numHashes);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(bloom = l, hashes = r)
 }

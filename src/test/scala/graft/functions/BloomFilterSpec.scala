@@ -53,6 +53,33 @@ class BloomFilterSpec extends SparkTestBase {
     assert(probed.forall(!_.getBoolean(0)))
   }
 
+  test("bloomMightContainAny equals the OR of per-key probes; empty set probes false") {
+    import spark.implicits._
+    val members = (1L to 1000L).map(_ * 2654435761L)
+    val bloom = bloomOf(members.toDF("h"))
+    // mixed probe sets: members, non-members, and blends
+    val sets: Seq[Seq[Long]] = Seq(
+      members.take(3),
+      Seq(5L, 17L, 23L), // almost surely absent
+      members.slice(500, 505) ++ Seq(999999999L),
+      Seq(members.head))
+    sets.foreach { ks =>
+      val any = spark.range(1)
+        .select(HashFunctions.bloomMightContainAny(
+          lit(bloom), lit(ks.toArray), numHashes).as("m"))
+        .head().getBoolean(0)
+      val orChain = ks.map(k => spark.range(1)
+        .select(HashFunctions.bloomMightContain(lit(bloom), lit(k), numHashes))
+        .head().getBoolean(0)).reduce(_ || _)
+      assert(any === orChain, s"set $ks: any-probe diverged from OR-chain")
+    }
+    val empty = spark.range(1)
+      .select(HashFunctions.bloomMightContainAny(
+        lit(bloom), lit(Array.empty[Long]), numHashes).as("m"))
+      .head().getBoolean(0)
+    assert(!empty, "an empty key set is contained nowhere")
+  }
+
   test("incrementalDups equals the plain semi-join answer") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .withColumn("fp",

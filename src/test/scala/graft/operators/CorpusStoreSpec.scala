@@ -407,6 +407,55 @@ class CorpusStoreSpec extends SparkTestBase {
     assert(after.toSeq === got.toSeq)
   }
 
+  test("lookupJoin: a keys FRAME prunes base files via blooms; fallback past the bound is identical") {
+    val dir = freshDir("lookupjoin")
+    val base = (1L to 400L).map(i => (i, s"v$i")).toDF("id", "fp")
+      .repartition(8, col("id")) // hash layout: only blooms can prune
+    CorpusStore.init(base, dir, statsCols = Seq("id"), bloomCols = Seq("id"))
+    CorpusStore.append(spark, dir, 1L, "id",
+      Seq((2L, "V2"), (1000L, "new")).toDF("id", "fp"),
+      deleteKeys = Some(Seq(Tuple1(3L)).toDF("id")))
+    // probe side: duplicates and misses included — semi-join semantics
+    val keys = Seq(1L, 2L, 2L, 3L, 1000L, 9999L).toDF("id")
+    val want = CorpusStore.read(spark, dir, "id")
+      .join(keys.distinct(), Seq("id"), "left_semi")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val pruned = CorpusStore.lookupJoin(spark, dir, "id", keys)
+    assert(pruned.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === want)
+    assert(want === Seq((1L, "v1"), (2L, "V2"), (1000L, "new")),
+      "override visible, tombstone gone, absent key absent")
+    // structural: the pruned plan lists FEWER base files than a full read
+    val fullBaseFiles = CorpusStore.read(spark, dir, "id").inputFiles
+      .count(_.contains("/base/"))
+    val prunedBaseFiles = pruned.inputFiles.count(_.contains("/base/"))
+    assert(prunedBaseFiles < fullBaseFiles,
+      s"blooms must skip base files: $prunedBaseFiles/$fullBaseFiles opened")
+    // big probe side (> OrChainMaxKeys distinct keys): array-probe path,
+    // same answer contract
+    val bigKeys = (1L to 120L).toDF("id")
+    val bigWant = CorpusStore.read(spark, dir, "id")
+      .join(bigKeys, Seq("id"), "left_semi")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(CorpusStore.lookupJoin(spark, dir, "id", bigKeys).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq === bigWant)
+    // past maxPruneKeys: full-read fallback, identical answer
+    assert(CorpusStore.lookupJoin(spark, dir, "id", keys, maxPruneKeys = 1L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === want)
+    // empty probe side: empty result, store schema
+    val none = CorpusStore.lookupJoin(spark, dir, "id",
+      Seq.empty[Long].toDF("id"))
+    assert(none.count() === 0L && none.columns.toSeq === Seq("id", "fp"))
+    // no bloom manifest for the key: fallback still answers
+    val plainDir = freshDir("lookupjoin-plain")
+    CorpusStore.init((1L to 50L).map(i => (i, s"v$i")).toDF("id", "fp"), plainDir)
+    assert(CorpusStore.lookupJoin(spark, plainDir, "id", Seq(7L, 8L).toDF("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((7L, "v7"), (8L, "v8")))
+  }
+
   test("schema evolution: widened deltas read/feed their new column; compact folds a widened base") {
     val dir = freshDir("evolve")
     CorpusStore.init(Seq((1L, "a"), (2L, "b")).toDF("id", "fp"), dir)

@@ -166,6 +166,40 @@ class ScanPruningSpec extends SparkTestBase {
     assert(sGot === li.filter(col("l_orderkey") === present.head).count())
   }
 
+  test("a big key set (> OrChainMaxKeys) probes as ONE array literal with no false negatives") {
+    val hDir = s"$tmp/graft-test-prune-bigset"
+    li.repartition(16, col("l_orderkey"))
+      .write.mode("overwrite").parquet(hDir)
+    val mPath = s"$tmp/graft-test-prune-bigset-manifest"
+    ScanPruning.writeManifest(spark, hDir, mPath,
+      cols = Nil, bloomCols = Seq("l_orderkey"))
+    val present = li.select("l_orderkey").distinct().orderBy("l_orderkey")
+      .limit(ScanPruning.OrChainMaxKeys + 40)
+      .collect().map(_.getLong(0)).toIndexedSeq
+    assert(present.size > ScanPruning.OrChainMaxKeys,
+      "fixture too small to exercise the array-probe path")
+    val keys: Seq[Any] = present :+ -1L
+    val pred = ScanPruning.keyLookupPredicate(spark, mPath, "l_orderkey", keys)
+    // the probe is ONE expression regardless of key count
+    val predExpr = org.apache.spark.sql.graft.ColumnBridge.expression(pred)
+    assert(predExpr.collectLeaves().size <= 4,
+      s"big-set probe must not be an OR-chain: ${predExpr.treeString.take(200)}")
+    val rowFilter = col("l_orderkey").isin(keys: _*)
+    val got = ScanPruning.prunedScan(spark, hDir, spark.read.parquet(mPath), pred)
+      .filter(rowFilter).agg(count(lit(1)), sum("l_quantity")).head()
+    val want = spark.read.parquet(hDir).filter(rowFilter)
+      .agg(count(lit(1)), sum("l_quantity")).head()
+    assert(got === want, "array-literal probe changed the answer")
+    assert(got.getLong(0) > 0, "present keys must be found (no false negatives)")
+    // small sets keep the OR-chain (readable plans, constant-folded hashes)
+    val small = ScanPruning.keyLookupPredicate(spark, mPath, "l_orderkey",
+      present.take(3))
+    val smallExpr =
+      org.apache.spark.sql.graft.ColumnBridge.expression(small).toString
+    assert(smallExpr.contains("bloom_might_contain") &&
+      !smallExpr.contains("bloom_might_contain_any"))
+  }
+
   test("auto-sized blooms keep pruning at a million-key file; a fixed 8 KB filter saturates") {
     val dir = s"$tmp/graft-test-prune-bigbloom"
     // 2 files x 1M distinct keys each, disjoint ranges but HASH layout
