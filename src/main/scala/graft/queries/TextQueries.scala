@@ -846,7 +846,128 @@ object TextQueries {
       |FROM bc JOIN uc ON uc.w = split_part(bg, ' ', 1)
       |ORDER BY n_pair DESC, w1, w2 LIMIT 20""".stripMargin
 
+  // ---- sub-document curation (operators.Subdoc): CCNet-style frequent-
+  // chunk removal and Lee-et-al-style first-occurrence chunk dedup. The
+  // synthetic corpus has no natural boilerplate, so both queries PLANT a
+  // deterministic, chunk-aligned prefix (exactly 8/16 whitespace tokens,
+  // so chunk 0 [and 1] of a planted doc is the plant and the original
+  // content stays window-aligned) — replayed identically in the DuckDB
+  // oracle, the dedup_semantic non-vacuity discipline. Both results pin
+  // the REBUILT text per doc via an md5 checksum: a removal that strips
+  // the wrong chunk, reorders chunks, or leaks a boilerplate copy fails
+  // the hash, not just a count.
+  private def txtChk(t: org.apache.spark.sql.Column) =
+    pmod(conv(substring(md5(t), 1, 15), 16, 10).cast(LongType), lit(1000000007L))
+  private val txtChkSql =
+    "(CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) % 1000000007)"
+
+  // one chunk (8 tokens): boilerplate header planted in ~2/3 of each
+  // source's docs — past the 0.5 doc-frac cut
+  private val BoilerPlant = "terms of service all rights reserved by"
+
+  private def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Subdoc
+    val planted = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      when(col("doc_id") % 3 =!= 1,
+          concat(lit(BoilerPlant + " "), col("source"), lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+    // NOTE: the plant is 7 fixed tokens + the source name = 8 = one chunk
+    Subdoc.dropBoilerplate(planted, "doc_id", "source", "text",
+        chunkWords = 8, maxDocFrac = 0.5, minDocs = 2L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Subdoc.tokenCount(col("text")).cast(LongType)).as("sum_toks"),
+        sum(txtChk(col("text"))).as("txt_chk"))
+      .orderBy(col("source"))
+  }
+
+  private val subdocChunksSql =
+    """toked AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM planted
+      |), chunks AS (
+      |  SELECT doc_id, source,
+      |    unnest(range((len(tk) + 7) // 8)) AS pos,
+      |    unnest(list_transform(range((len(tk) + 7) // 8),
+      |      i -> array_to_string(list_slice(tk, i*8 + 1, i*8 + 8), ' '))) AS chunk
+      |  FROM toked WHERE len(tk) > 0
+      |)""".stripMargin
+
+  private val textBoilerplateSql =
+    s"""WITH planted AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 3 <> 1
+       |      THEN '$BoilerPlant ' || source || ' ' || text
+       |      ELSE text END AS text
+       |  FROM documents
+       |), $subdocChunksSql, gd AS (
+       |  SELECT source, COUNT(DISTINCT doc_id) AS gdocs FROM planted GROUP BY 1
+       |), boiler AS (
+       |  SELECT source, chunk FROM (
+       |    SELECT source, chunk, COUNT(DISTINCT doc_id) AS df
+       |    FROM chunks GROUP BY 1, 2) d
+       |  JOIN gd USING (source)
+       |  WHERE df >= 2 AND df > 0.5 * gdocs
+       |), kept AS (
+       |  SELECT c.* FROM chunks c
+       |  WHERE NOT EXISTS (SELECT 1 FROM boiler b
+       |    WHERE b.source = c.source AND b.chunk = c.chunk)
+       |), rebuilt AS (
+       |  SELECT doc_id, source, string_agg(chunk, ' ' ORDER BY pos) AS text
+       |  FROM kept GROUP BY 1, 2
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS sum_toks,
+       |  CAST(SUM($txtChkSql) AS BIGINT) AS txt_chk
+       |FROM rebuilt GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // two chunks (16 tokens): shared prefix planted in ~1/6 of docs — the
+  // smallest planted doc_id keeps it, every other occurrence is dropped
+  private val ParaPlant = "the quick brown fox jumps over the lazy " +
+    "dog while the sly red hen naps quietly"
+
+  private def dedupParagraphs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Subdoc
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 6 === 2, concat(lit(ParaPlant + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+    Subdoc.dedupChunks(planted, "doc_id", "text", chunkWords = 8)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Subdoc.tokenCount(col("text")).cast(LongType)).as("sum_toks"),
+        sum(txtChk(col("text"))).as("txt_chk"))
+      .orderBy(col("source"))
+  }
+
+  private val dedupParagraphsSql =
+    s"""WITH planted AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 6 = 2 THEN '$ParaPlant ' || text
+       |      ELSE text END AS text
+       |  FROM documents
+       |), $subdocChunksSql, kept AS (
+       |  SELECT doc_id, pos, chunk FROM (
+       |    SELECT doc_id, pos, chunk,
+       |      ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+       |    FROM chunks) w
+       |  WHERE rn = 1
+       |), rebuilt AS (
+       |  SELECT k.doc_id, d.source,
+       |    string_agg(k.chunk, ' ' ORDER BY k.pos) AS text
+       |  FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS sum_toks,
+       |  CAST(SUM($txtChkSql) AS BIGINT) AS txt_chk
+       |FROM rebuilt GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("text_boilerplate", Some(textBoilerplateSql), textBoilerplate),
+    QueryDef("dedup_paragraphs", Some(dedupParagraphsSql), dedupParagraphs),
     QueryDef("text_clean", Some(textCleanSql), textClean),
     QueryDef("text_bigram_lm", Some(textBigramLmSql), textBigramLm),
     QueryDef("text_collocations", Some(textCollocationsSql), textCollocations),

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Sub-document chunk operators: chunk alignment, CCNet-style frequent-
+  * chunk (boilerplate) removal, and corpus-wide first-occurrence chunk
+  * dedup — all against hand-computed fixtures.
+  */
+class SubdocSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("chunkExplode: aligned fixed-width windows, short tail, empty docs dropped") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, ""),
+      (3L, "  "),
+      (4L, "x y")).toDF("id", "text")
+    val got = Subdoc.chunkExplode(docs, "text", 2, Seq("id"))
+      .orderBy("id", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq === Seq(
+      (1L, 0, "a b"), (1L, 1, "c d"), (1L, 2, "e"),
+      (4L, 0, "x y")))
+  }
+
+  test("dropBoilerplate strips frequent chunks per group, keeps rare ones, drops emptied docs") {
+    // group g: 4 docs, header "ad ad" in 3 of 4 (0.75 > 0.5); doc 40 is
+    // ONLY the header -> disappears. group h: 2 docs sharing a chunk but
+    // minDocs=3 suppresses the removal there.
+    val docs = Seq(
+      (10L, "g", "ad ad body one"),
+      (20L, "g", "ad ad body two"),
+      (30L, "g", "fresh text here ok"),
+      (40L, "g", "ad ad"),
+      (50L, "h", "same same tail a"),
+      (60L, "h", "same same tail b")).toDF("id", "grp", "text")
+    val got = Subdoc.dropBoilerplate(docs, "id", "grp", "text",
+        chunkWords = 2, maxDocFrac = 0.5, minDocs = 2L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(got.toSeq === Seq(
+      (10L, "body one"), (20L, "body two"), (30L, "fresh text here ok"),
+      // "same same" and "tail a"/"tail b": df(same same)=2 = 1.0 of h's
+      // docs -> boilerplate at minDocs=2; tails differ, kept
+      (50L, "tail a"), (60L, "tail b")))
+    val strict = Subdoc.dropBoilerplate(docs, "id", "grp", "text",
+        chunkWords = 2, maxDocFrac = 0.5, minDocs = 3L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(strict.count(_._1 >= 50L) === 2 &&
+      strict.filter(_._1 >= 50L).forall(_._2.startsWith("same same")),
+      "minDocs must suppress boilerplate calls in tiny groups")
+  }
+
+  test("dedupChunks keeps the first (key, pos) occurrence corpus-wide, drops repeats everywhere") {
+    val docs = Seq(
+      (1L, "p q r s own one"),
+      (2L, "p q r s own two"), // shares chunks 0,1 with doc 1
+      (3L, "p q p q"), // within-corpus repeat + within-doc repeat: all seen
+      (4L, "zz ww p q")).toDF("id", "text")
+    val got = Subdoc.dedupChunks(docs, "id", "text", chunkWords = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq(
+      (1L, "p q r s own one"),
+      (2L, "own two"),
+      (4L, "zz ww")), "doc 3 is entirely already-seen chunks and disappears")
+  }
+}
