@@ -305,10 +305,15 @@ object CorpusStore {
     * generation and rebuilding the manifest leaves the manifest pointing
     * at the PREVIOUS generation — detected here as zero manifest entries
     * under the current base dir, repaired by one rebuild (the crash
-    * window costs one extra O(corpus-files) stat pass, once). */
+    * window costs one extra O(corpus-files) stat pass, once).
+    * `asOfSeq` time-travels the DELTA side exactly as [[readAt]] does
+    * (deltas selected by dir name; same compaction-bounded history
+    * contract) — the manifest pruning is unaffected, it only ever
+    * covers the base. */
   def prunedRead(spark: SparkSession, dir: String, key: String, keep: Column,
       maxBroadcastKeys: Long = DefaultMaxBroadcastKeys,
-      evolveSchema: Boolean = false): DataFrame = {
+      evolveSchema: Boolean = false,
+      asOfSeq: Option[Long] = None): DataFrame = {
     val baseDir = currentBase(spark, dir)._2
     require(hasManifest(spark, dir),
       s"prunedRead needs a manifest: init the store with statsCols, got none in $dir")
@@ -323,7 +328,8 @@ object CorpusStore {
       baseSlice = m.filter(col("file").startsWith(basePrefix))
     }
     val prunedBase = ScanPruning.prunedScan(spark, baseDir, baseSlice, keep)
-    val deltas = deltaPaths(spark, dir)
+    val deltas = asOfSeq.fold(deltaPaths(spark, dir))(a =>
+      deltaPaths(spark, dir).filter(p => deltaSeqOf(p) <= a))
     if (deltas.isEmpty) return prunedBase
     resolve(prunedBase, readDeltas(spark, deltas, evolveSchema), key,
       maxBroadcastKeys, evolveSchema)
@@ -368,27 +374,32 @@ object CorpusStore {
     * returns the identical answer over a full [[read]] — pruning is an
     * optimization, never a semantics change. Delta resolution is as in
     * [[read]]: an overridden key returns its delta version, a tombstoned
-    * key is absent even if the probe side names it. */
+    * key is absent even if the probe side names it. `asOfSeq` makes it a
+    * time-travel lookup ([[readAt]]'s delta selection; the blooms cover
+    * the base, so pruning is snapshot-independent) — the primitive that
+    * lets an incremental consumer fetch the PRE-batch version of just
+    * the changed keys at O(changed keys) file opens. */
   def lookupJoin(spark: SparkSession, dir: String, key: String,
       keysDf: DataFrame, maxPruneKeys: Long = DefaultMaxPruneKeys,
       maxBroadcastKeys: Long = DefaultMaxBroadcastKeys,
-      evolveSchema: Boolean = false): DataFrame = {
+      evolveSchema: Boolean = false,
+      asOfSeq: Option[Long] = None): DataFrame = {
+    def full = asOfSeq.fold(
+      read(spark, dir, key, maxBroadcastKeys, evolveSchema))(a =>
+      readAt(spark, dir, key, a, maxBroadcastKeys, evolveSchema))
     val ks = keysDf.select(col(key)).distinct()
     val bloomed = hasManifest(spark, dir) &&
       ScanPruning.manifestBloomCols(spark, manifestPath(dir)).contains(key)
     val n = if (bloomed) ks.count() else Long.MaxValue
-    if (bloomed && n == 0L)
-      return read(spark, dir, key, maxBroadcastKeys, evolveSchema)
-        .filter(lit(false))
+    if (bloomed && n == 0L) return full.filter(lit(false))
     if (bloomed && n <= maxPruneKeys) {
       val keyVals = ks.collect().toIndexedSeq.map(_.get(0))
       val pred = ScanPruning.keyLookupPredicate(spark, manifestPath(dir),
         key, keyVals)
-      prunedRead(spark, dir, key, pred, maxBroadcastKeys, evolveSchema)
+      prunedRead(spark, dir, key, pred, maxBroadcastKeys, evolveSchema,
+          asOfSeq)
         .join(broadcast(ks), Seq(key), "left_semi")
-    } else
-      read(spark, dir, key, maxBroadcastKeys, evolveSchema)
-        .join(ks, Seq(key), "left_semi")
+    } else full.join(ks, Seq(key), "left_semi")
   }
 
   /** Continuous ingestion: apply a streaming frame of upserts to the

@@ -326,6 +326,72 @@ object VersioningQueries {
        |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk
        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- incremental aggregate maintenance (the materialized-view
+  // refresh): a per-source aggregate table (n docs, id mass, fp
+  // checksum) is maintained from the store's CDC feed at O(changes)
+  // instead of recomputed at O(corpus). The composition:
+  //   1. agg0 — the aggregate as of seq 0 (computed once at init);
+  //   2. changesSince(0) — the NET per-key ops of the refresh (O(changes),
+  //      base never opened);
+  //   3. lookupJoin(changed keys, asOfSeq = 0) — the PRE-batch versions
+  //      of exactly the changed keys, fetched through the per-file key
+  //      blooms (~O(changed keys) file opens, not a corpus scan);
+  //   4. maintained = agg0 + new-version contributions - old-version
+  //      contributions, one tiny |sources|-row fold.
+  // The oracle RECOMPUTES the final state relationally and aggregates
+  // it — so the maintained table must equal the ground-truth recompute
+  // bit-for-bit (an incremental update that double-counts, misses a
+  // tombstone, or adjusts the wrong group fails rows+hash). Inserted
+  // keys have no old version (lookupJoin returns nothing), deleted keys
+  // have no new one, and a group migration subtracts from the old
+  // source and adds to the new — all falling out of the +/- algebra.
+  private def pipelineIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CorpusStore, IvfModelStore}
+    val store =
+      s"${System.getProperty("java.io.tmpdir")}/graft_incr_${IvfModelStore.dirKey(dir)}"
+    CorpusStore.init(oldSnap(s, dir).repartition(8, col("doc_id")), store,
+      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    val agg0 = oldSnap(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(fpChk(col("fp"))).as("fp_chk"))
+    CorpusStore.append(s, store, 1L, "doc_id",
+      newSnap(s, dir).filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0))
+    CorpusStore.append(s, store, 2L, "doc_id",
+      oldSnap(s, dir).limit(0),
+      deleteKeys = Some(Tables.documents(s, dir)
+        .filter(col("doc_id") % 13 === 0).select(col("doc_id"))))
+    val changes = CorpusStore.changesSince(s, store, "doc_id", 0L)
+    val oldRows = CorpusStore.lookupJoin(s, store, "doc_id",
+      changes.select(col("doc_id")), asOfSeq = Some(0L))
+    val plus = changes.filter(col("op") === "u").groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(fpChk(col("fp"))).as("fp_chk"))
+    val minus = oldRows.groupBy(col("source"))
+      .agg((-count(lit(1))).as("n"), (-sum(col("doc_id"))).as("id_sum"),
+        (-sum(fpChk(col("fp")))).as("fp_chk"))
+    agg0.unionByName(plus).unionByName(minus)
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n"), sum(col("id_sum")).as("id_sum"),
+        sum(col("fp_chk")).as("fp_chk"))
+      .filter(col("n") > 0)
+      .orderBy(col("source"))
+  }
+
+  // ground truth: aggregate the RECOMPUTED final state — identical to
+  // corpus_store_read's reconstruction
+  private val pipelineIncrementalAggSql =
+    s"""WITH $snapSql, batch AS (
+       |  SELECT * FROM new WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+       |), final AS (
+       |  SELECT * FROM batch WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT * FROM old WHERE doc_id % 13 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM batch)
+       |)
+       |SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk
+       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- time travel (CorpusStore.readAt): the SAME store read at two
   // asOf points in one result — as of seq 1 the refresh batch is applied
   // but the seq-2 tombstones are not yet visible; as of seq 2 they are.
@@ -654,6 +720,8 @@ object VersioningQueries {
       storeClusterCompact),
     QueryDef("pipeline_refresh_store", Some(pipelineRefreshStoreSql),
       pipelineRefreshStore),
+    QueryDef("pipeline_incremental_agg", Some(pipelineIncrementalAggSql),
+      pipelineIncrementalAgg),
     // read-only budgets of record (prebuilt store, shared oracle SQL)
     QueryDef("store_ro_pruned_read", Some(storePrunedReadSql), storeRoPrunedRead),
     QueryDef("store_ro_key_lookup", Some(storeKeyLookupSql), storeRoKeyLookup),

@@ -447,6 +447,14 @@ class CorpusStoreSpec extends SparkTestBase {
     val none = CorpusStore.lookupJoin(spark, dir, "id",
       Seq.empty[Long].toDF("id"))
     assert(none.count() === 0L && none.columns.toSeq === Seq("id", "fp"))
+    // as-of lookup: at seq 0 the delta is invisible — pre-batch versions
+    // return for changed keys, the tombstoned key is still alive, the
+    // inserted key does not exist yet
+    val at0 = CorpusStore.lookupJoin(spark, dir, "id",
+      Seq(2L, 3L, 1000L).toDF("id"), asOfSeq = Some(0L))
+    assert(at0.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((2L, "v2"), (3L, "v3")))
     // no bloom manifest for the key: fallback still answers
     val plainDir = freshDir("lookupjoin-plain")
     CorpusStore.init((1L to 50L).map(i => (i, s"v$i")).toDF("id", "fp"), plainDir)
