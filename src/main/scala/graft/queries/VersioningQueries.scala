@@ -335,7 +335,11 @@ object VersioningQueries {
   //      base never opened);
   //   3. lookupJoin(changed keys, asOfSeq = 0) — the PRE-batch versions
   //      of exactly the changed keys, fetched through the per-file key
-  //      blooms (~O(changed keys) file opens, not a corpus scan);
+  //      blooms (~O(changed keys) file opens, not a corpus scan; when
+  //      the changed-key count exceeds maxPruneKeys — this fixture's
+  //      refresh touches ~25% of keys at gen1000x — the count guard
+  //      falls back to a full as-of read, the right plan when nearly
+  //      every file holds a changed key anyway);
   //   4. maintained = agg0 + new-version contributions - old-version
   //      contributions, one tiny |sources|-row fold.
   // The oracle RECOMPUTES the final state relationally and aggregates
@@ -639,11 +643,16 @@ object VersioningQueries {
   }
 
   // ---- lookup JOIN (CorpusStore.lookupJoin): the probe keys come from a
-  // FRAME (documents with doc_id % 17 = 3 — ~n/17 keys, deliberately past
-  // ScanPruning.OrChainMaxKeys so the gate exercises the array-literal
-  // bloom probe), are collected under the count guard, prune base files
-  // via the per-file blooms, and the store rows semi-join against the
-  // broadcast key set. Runs over the SAME prebuilt hash-laid-out store as
+  // FRAME (documents with doc_id % 17 = 3 — ~n/17 keys), are collected
+  // under the count guard, prune base files via the per-file blooms, and
+  // the store rows semi-join against the broadcast key set. The ~n/17
+  // sizing deliberately walks the operator through ALL THREE probe
+  // regimes across the gate scales: 30 keys at sf0.01 (the OR-chain
+  // form), 294 / 2,942 at sf0.1 / sf~1 (the array-literal
+  // bloom_might_contain_any form past OrChainMaxKeys=64), and 294k at
+  // gen1000x (past maxPruneKeys=100k — the count-guarded full-read
+  // fallback that protects the driver), with the SAME oracle judging
+  // every regime. Runs over the SAME prebuilt hash-laid-out store as
   // store_ro_key_lookup (blooms are the only pruning signal). The oracle
   // reconstructs the final state and applies the same key predicate — a
   // probe false negative (missing rows) or a leaked non-probe key fails
