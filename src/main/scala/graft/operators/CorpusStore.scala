@@ -607,21 +607,14 @@ object CorpusStore {
       evolveSchema: Boolean = false, clusterBy: Seq[String] = Nil,
       clusterFiles: Int = 0): Unit = {
     val d = fs(spark, dir)
-    val (gen, baseDir) = currentBase(spark, dir)
-    // purge the grace window left by the PREVIOUS compact: generations
-    // other than the current one (including incomplete fold debris), the
-    // gen-0 base once a newer generation committed, and folded deltas.
-    // Hadoop FileSystem delete reports failure by RETURNING false, not
-    // throwing — abort while the store is still readable.
-    d.listStatus(new Path(dir)).toSeq.foreach { st =>
-      val n = st.getPath.getName
-      val expired =
-        (n.startsWith(GenPrefix) && st.getPath.toString != baseDir) ||
-        (n == "base" && gen > 0L) ||
-        (n.startsWith("delta_") && isFolded(d, st.getPath))
-      if (expired) require(d.delete(st.getPath, true),
-        s"compact: could not purge expired ${st.getPath}")
-    }
+    // purge the grace window left by the PREVIOUS compact ([[vacuum]]):
+    // generations other than the current one (including incomplete fold
+    // debris), the gen-0 base once a newer generation committed, and
+    // folded deltas. Hadoop FileSystem delete reports failure by
+    // RETURNING false, not throwing — vacuum aborts via require while
+    // the store is still readable.
+    vacuum(spark, dir)
+    val gen = currentBase(spark, dir)._1
     val deltas = deltaPaths(spark, dir)
     if (deltas.isEmpty) return
     // evolveSchema folds widened deltas into a WIDENED base — the one
@@ -658,6 +651,75 @@ object CorpusStore {
     deltas.foreach(p => d.create(new Path(p, FoldedMarker)).close())
     if (hasManifest(spark, dir))
       ScanPruning.rebuildManifest(spark, newDir, manifestPath(dir))
+  }
+
+  /** Purge the snapshot grace window NOW instead of at the next
+    * [[compact]]: previous base generations (and fold debris without a
+    * `_SUCCESS`), the gen-0 `base` once a newer generation committed,
+    * and retired (`_folded`) delta dirs. The explicit VACUUM verb of the
+    * table formats — same single-writer contract and the same reader
+    * consequence as compact's built-in purge: a plan that listed the
+    * purged files before this call loses them (FileNotFoundException;
+    * safe to re-run). Running it is never REQUIRED for correctness —
+    * every compact does this housekeeping first — it exists for storage
+    * pressure between compacts. Returns the number of dirs purged. */
+  def vacuum(spark: SparkSession, dir: String): Int = {
+    val d = fs(spark, dir)
+    if (!d.exists(new Path(dir))) return 0
+    val (gen, baseDir) = currentBase(spark, dir)
+    val expired = d.listStatus(new Path(dir)).toSeq.filter { st =>
+      val n = st.getPath.getName
+      (n.startsWith(GenPrefix) && st.getPath.toString != baseDir) ||
+        (n == "base" && gen > 0L) ||
+        (n.startsWith("delta_") && isFolded(d, st.getPath))
+    }
+    expired.foreach(st => require(d.delete(st.getPath, true),
+      s"vacuum: could not purge expired ${st.getPath}"))
+    expired.size
+  }
+
+  /** Operational snapshot of a store's on-disk state, one row per
+    * artifact dir: `kind` (base | delta | folded_delta | expired_gen |
+    * incomplete_gen), `name`, `seq` (delta seq or generation number,
+    * null for gen-0 base), `n_rows` (parquet footer count — a metadata
+    * read, null for incomplete debris), `live` (participates in the
+    * current snapshot's reads). O(dirs) driver work + one footer read
+    * per live dir; nothing is scanned. The monitoring surface for
+    * cadence decisions ([[compactIfNeeded]]'s inputs, the grace-window
+    * mass [[vacuum]] would free, manifest presence). */
+  def describe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = fs(spark, dir)
+    val gen = currentBase(spark, dir)._1
+    def rowsOf(p: String): Option[Long] =
+      try Some(spark.read.parquet(p).count()) catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+    val rows = d.listStatus(new Path(dir)).toSeq
+      .filter(_.isDirectory).sortBy(_.getPath.getName).flatMap { st =>
+        val p = st.getPath
+        val n = p.getName
+        if (n.startsWith("delta_")) {
+          val folded = isFolded(d, p)
+          Some((if (folded) "folded_delta" else "delta", n,
+            Some(n.stripPrefix("delta_").toLong), rowsOf(p.toString), !folded))
+        } else if (n == "base" || n.startsWith(GenPrefix)) {
+          val complete = n == "base" || d.exists(new Path(p, "_SUCCESS"))
+          val thisGen = if (n == "base") 0L else n.stripPrefix(GenPrefix).toLong
+          val seq = if (n == "base") None else Some(thisGen)
+          // compare by generation NUMBER, not path string: listed paths
+          // carry the filesystem scheme, currentBase's gen-0 form doesn't
+          val current = complete && thisGen == gen
+          val kind =
+            if (current) "base"
+            else if (!complete) "incomplete_gen"
+            else "expired_gen"
+          Some((kind, n, seq, if (complete) rowsOf(p.toString) else None, current))
+        } else if (n == "manifest") {
+          Some(("manifest", n, None, rowsOf(p.toString), true))
+        } else None
+      }
+    rows.toDF("kind", "name", "seq", "n_rows", "live")
   }
 
   /** Checked compaction cadence: fold when the delta row mass exceeds

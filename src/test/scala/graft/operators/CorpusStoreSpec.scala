@@ -407,6 +407,33 @@ class CorpusStoreSpec extends SparkTestBase {
     assert(after.toSeq === got.toSeq)
   }
 
+  test("vacuum purges the grace window early; describe reports the store's state") {
+    val dir = freshDir("vacuum")
+    CorpusStore.init(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "fp"), dir)
+    CorpusStore.append(spark, dir, 1L, "id", Seq((2L, "B")).toDF("id", "fp"))
+    CorpusStore.append(spark, dir, 2L, "id", Seq((4L, "d")).toDF("id", "fp"))
+    // nothing expired yet: vacuum is a no-op on a pre-compact store
+    assert(CorpusStore.vacuum(spark, dir) === 0)
+    val before = CorpusStore.describe(spark, dir)
+      .collect().map(r => (r.getString(0), r.getBoolean(4))).toSeq
+    assert(before.count(_._1 == "delta") === 2 && before.contains(("base", true)))
+    CorpusStore.compact(spark, dir, "id")
+    // grace window: the gen-0 base + 2 folded deltas survive the compact
+    val mid = CorpusStore.describe(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(mid.count(_._1 == "folded_delta") === 2 &&
+      mid.count(_._1 == "expired_gen") === 1 && mid.count(_._1 == "base") === 1)
+    // early purge frees exactly those 3 dirs; reads are unchanged
+    assert(CorpusStore.vacuum(spark, dir) === 3)
+    assert(CorpusStore.vacuum(spark, dir) === 0, "vacuum is idempotent")
+    val after = CorpusStore.describe(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSeq
+    assert(after === Seq(("base", 4L)))
+    assert(CorpusStore.read(spark, dir, "id").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+  }
+
   test("lookupJoin: a keys FRAME prunes base files via blooms; fallback past the bound is identical") {
     val dir = freshDir("lookupjoin")
     val base = (1L to 400L).map(i => (i, s"v$i")).toDF("id", "fp")
