@@ -12,21 +12,49 @@ import org.apache.spark.sql.functions._
   * removal, and the exact-substring dedup of "Deduplicating Training
   * Data Makes Language Models Better", Lee et al. 2021, approximated at
   * chunk granularity) is: explode documents into small aligned chunks,
-  * decide per CHUNK, and reassemble the survivors in order.
+  * decide per CHUNK, and rebuild each document from its survivors.
   *
   * Scale shape, at 100 TB:
   *   - Chunks are bounded (`chunkWords` tokens, ~tens of bytes), so the
   *     chunk CONTENT is the shuffle key — the same order of bytes as the
   *     md5 fingerprints the whole-doc dedups shuffle, with exact
   *     (collision-free) equality semantics for free.
-  *   - Both decisions are one partial-aggregable groupBy over the
-  *     exploded chunks (document frequency / first occurrence) plus one
-  *     shuffle join back — no window over the corpus, no driver state.
-  *   - Reassembly is a groupBy per document collecting its own surviving
-  *     chunks: the collect_list is bounded by the document's own size,
-  *     the same per-key bound every tokenize step already has.
+  *   - The DECISION is one partial-aggregable groupBy over the exploded
+  *     chunks — the one unavoidable content shuffle (global duplicate /
+  *     frequency discovery is a global question).
+  *   - The REMOVAL is map-side whenever the decision set is small, which
+  *     both operators make the common case: the boilerplate set is
+  *     bounded BY CONSTRUCTION (df > maxDocFrac caps it at
+  *     chunks-per-doc / maxDocFrac distinct chunks per group), and
+  *     repeated chunks are a small fraction of a deduplicated crawl at
+  *     any realistic duplicate rate. The small side broadcasts back onto
+  *     the ORIGINAL docs frame and each document's text is rebuilt with
+  *     a higher-order array filter in place — no join-back shuffle of
+  *     the exploded corpus, no per-doc collect_list reassembly shuffle.
+  *     Both reductions are COUNT-GUARDED (the repo-wide preflight
+  *     pattern): past the bound the operator degrades to the explode →
+  *     shuffle-join → reassemble plan with the identical answer,
+  *     spec-locked output-equal both ways.
   */
 object Subdoc {
+
+  /** Bound on the rows the map-side removal paths will broadcast
+    * (repeated-chunk winners / per-doc drop lists) — same order as the
+    * other operators' broadcast-candidate bounds: ~2M short rows is tens
+    * of MB on the wire, under the 64 MB session threshold. */
+  val DefaultMaxBroadcastRows = 2000000L
+
+  /** Non-empty whitespace tokens of `textCol`. */
+  private def toks(textCol: String): Column =
+    filter(split(col(textCol), " "), t => t =!= "")
+
+  /** The chunk array of a token array column: aligned `chunkWords`-token
+    * windows, space-rejoined (the last chunk may be shorter). */
+  private def chunkArr(tokCol: Column, chunkWords: Int): Column = {
+    val lastIdx = floor((size(tokCol) - 1) / chunkWords).cast("int")
+    transform(sequence(lit(0), lastIdx), i =>
+      array_join(slice(tokCol, i * chunkWords + 1, lit(chunkWords)), " "))
+  }
 
   /** Explode `textCol` into fixed-width token chunks: one row per
     * (document, chunk position), `pos` 0-based, `chunk` the
@@ -36,17 +64,24 @@ object Subdoc {
   def chunkExplode(docs: DataFrame, textCol: String, chunkWords: Int,
       carryCols: Seq[String]): DataFrame = {
     require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
-    val toks = filter(split(col(textCol), " "), t => t =!= "")
-    // last chunk index: (n_toks - 1) div chunkWords — n_toks >= 1 here
-    val lastIdx = floor((size(col("__toks")) - 1) / chunkWords).cast("int")
-    docs.select(carryCols.map(col) :+ toks.as("__toks"): _*)
+    docs.select(carryCols.map(col) :+ toks(textCol).as("__toks"): _*)
       .filter(size(col("__toks")) > 0)
-      .select(carryCols.map(col) :+ posexplode(
-        transform(sequence(lit(0), lastIdx), i =>
-          array_join(slice(col("__toks"), i * chunkWords + 1, lit(chunkWords)), " ")))
-        .as(Seq("pos", "chunk")): _*)
+      .select(carryCols.map(col) :+
+        posexplode(chunkArr(col("__toks"), chunkWords))
+          .as(Seq("pos", "chunk")): _*)
   }
 
+  /** The docs frame reduced to (carryCols..., `__chunks` array) — the
+    * map-side rebuild input shared by both fast paths. */
+  private def withChunkArr(docs: DataFrame, textCol: String, chunkWords: Int,
+      carryCols: Seq[String]): DataFrame =
+    docs.select(carryCols.map(col) :+ toks(textCol).as("__toks"): _*)
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__chunks", chunkArr(col("__toks"), chunkWords))
+      .drop("__toks")
+
+  /** Fallback reassembly: per-document collect of surviving exploded
+    * chunks, restitched in order. */
   private def reassemble(kept: DataFrame, keyCols: Seq[String],
       textCol: String): DataFrame =
     kept.groupBy(keyCols.map(col): _*)
@@ -62,14 +97,21 @@ object Subdoc {
     * its surviving chunks in order; a document whose every chunk was
     * boilerplate disappears. Deciding on the chunk's CONTENT within a
     * group (not its position) is what catches the shared header pasted
-    * at different offsets. The boilerplate set is small by construction
-    * (frequency > maxDocFrac bounds it to < chunks/doc / maxDocFrac
-    * distinct values), but the removal is expressed as a plain anti-join
-    * keyed by (group, chunk) — the planner broadcasts it when small
-    * without a collected driver set. */
+    * at different offsets.
+    *
+    * Plan: ONE content shuffle (the per-(group, chunk) document-frequency
+    * aggregate). The boilerplate set is bounded by construction
+    * (< chunks-per-doc / maxDocFrac chunks per group), so it folds to one
+    * array per group and broadcasts back onto the original docs, where a
+    * higher-order filter rebuilds each text in place — map-side removal,
+    * no join-back or reassembly shuffle. Only when the folded set
+    * exceeds `maxBroadcastRows` groups×chunks (pathological group
+    * cardinality) does the operator fall back to the exploded
+    * anti-join + reassemble plan, output-identical. */
   def dropBoilerplate(docs: DataFrame, keyCol: String, groupCol: String,
       textCol: String, chunkWords: Int = 8, maxDocFrac: Double = 0.5,
-      minDocs: Long = 2L): DataFrame = {
+      minDocs: Long = 2L,
+      maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
     require(maxDocFrac > 0 && maxDocFrac <= 1,
       s"maxDocFrac must be in (0, 1], got $maxDocFrac")
     val chunks = chunkExplode(docs, textCol, chunkWords, Seq(keyCol, groupCol))
@@ -81,8 +123,26 @@ object Subdoc {
       .filter(col("__df") >= minDocs &&
         col("__df") > lit(maxDocFrac) * col("__gdocs"))
       .select(col(groupCol), col("chunk"))
-    val kept = chunks.join(boiler, Seq(groupCol, "chunk"), "left_anti")
-    reassemble(kept, Seq(keyCol, groupCol), textCol)
+    // pin the (small by construction) boilerplate set once: the guard
+    // count and the removal must see the SAME set, and the fold is the
+    // expensive chunk aggregate we won't run twice
+    val boilerSets = boiler.groupBy(col(groupCol))
+      .agg(collect_list(col("chunk")).as("__boiler"))
+      .localCheckpoint(true)
+    if (boilerSets.count() <= maxBroadcastRows) {
+      withChunkArr(docs, textCol, chunkWords, Seq(keyCol, groupCol))
+        .join(broadcast(boilerSets), Seq(groupCol), "left")
+        .withColumn("__kept", filter(col("__chunks"), c =>
+          !coalesce(array_contains(col("__boiler"), c), lit(false))))
+        .filter(size(col("__kept")) > 0)
+        .select(col(keyCol), col(groupCol),
+          array_join(col("__kept"), " ").as(textCol))
+    } else {
+      val kept = chunks.join(
+        boilerSets.select(col(groupCol), explode(col("__boiler")).as("chunk")),
+        Seq(groupCol, "chunk"), "left_anti")
+      reassemble(kept, Seq(keyCol, groupCol), textCol)
+    }
   }
 
   /** Corpus-wide exact chunk dedup, first occurrence wins (the
@@ -93,16 +153,52 @@ object Subdoc {
     * is rebuilt from its surviving chunks in order. Returns one row per
     * surviving document (`keyCol`, rebuilt `textCol`); a document made
     * entirely of already-seen chunks disappears. Deterministic: the
-    * winner is a total order over (key, pos), not arrival order. */
+    * winner is a total order over (key, pos), not arrival order.
+    *
+    * Plan: ONE content shuffle (the per-chunk occurrence aggregate).
+    * Chunks occurring once — the overwhelming mass of any realistic
+    * corpus — never travel again: only REPEATED chunks' winners
+    * broadcast back onto the exploded frame (a map-side join) to derive
+    * each document's drop-position list, which is itself small (loser
+    * occurrences only) and broadcasts onto the original docs for an
+    * in-place indexed array filter. Both broadcasts are count-guarded
+    * (`maxBroadcastRows`); past either bound the operator falls back to
+    * the full shuffle-join + reassemble plan, output-identical. The
+    * groupBy+join shape (rather than a per-chunk window) is what keeps a
+    * million-fold repeated chunk from landing in one task. */
   def dedupChunks(docs: DataFrame, keyCol: String, textCol: String,
-      chunkWords: Int = 8): DataFrame = {
+      chunkWords: Int = 8,
+      maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
     val chunks = chunkExplode(docs, textCol, chunkWords, Seq(keyCol))
-    val winners = chunks.groupBy(col("chunk"))
-      .agg(min(struct(col(keyCol), col("pos"))).as("__w"))
-    val kept = chunks.join(winners, Seq("chunk"))
-      .filter(struct(col(keyCol), col("pos")) === col("__w"))
+    val stats = chunks.groupBy(col("chunk"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(keyCol), col("pos"))).as("__w"))
+    // repeated chunks only — small at any realistic duplicate rate;
+    // pinned so the guard count and the probe see the same set without
+    // re-running the corpus aggregate
+    val rep = stats.filter(col("__n") > 1).select(col("chunk"), col("__w"))
+      .localCheckpoint(true)
+    lazy val fallbackKept = chunks.join(rep, Seq("chunk"), "left")
+      .filter(col("__w").isNull ||
+        struct(col(keyCol), col("pos")) === col("__w"))
       .drop("__w")
-    reassemble(kept, Seq(keyCol), textCol)
+    if (rep.count() <= maxBroadcastRows) {
+      // loser occurrences: map-side broadcast probe of the repeated set
+      val losers = chunks.join(broadcast(rep), Seq("chunk"))
+        .filter(struct(col(keyCol), col("pos")) =!= col("__w"))
+        .select(col(keyCol), col("pos"))
+      val dropPos = losers.groupBy(col(keyCol))
+        .agg(collect_list(col("pos")).as("__drop"))
+        .localCheckpoint(true)
+      if (dropPos.count() <= maxBroadcastRows) {
+        withChunkArr(docs, textCol, chunkWords, Seq(keyCol))
+          .join(broadcast(dropPos), Seq(keyCol), "left")
+          .withColumn("__kept", filter(col("__chunks"), (c, i) =>
+            !coalesce(array_contains(col("__drop"), i), lit(false))))
+          .filter(size(col("__kept")) > 0)
+          .select(col(keyCol), array_join(col("__kept"), " ").as(textCol))
+      } else reassemble(fallbackKept, Seq(keyCol), textCol)
+    } else reassemble(fallbackKept, Seq(keyCol), textCol)
   }
 
   /** Surviving whitespace-token count of a rebuilt text column — the

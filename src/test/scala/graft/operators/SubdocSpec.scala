@@ -51,6 +51,35 @@ class SubdocSpec extends SparkTestBase {
       "minDocs must suppress boilerplate calls in tiny groups")
   }
 
+  test("map-side removal and the shuffle-join fallback are output-identical") {
+    // fixtures with NON-empty decision sets so forcing the fallback
+    // (bound 0 < set size) actually exercises the other plan
+    val bDocs = Seq(
+      (10L, "g", "ad ad body one"),
+      (20L, "g", "ad ad body two"),
+      (30L, "g", "fresh text here ok"),
+      (40L, "g", "ad ad")).toDF("id", "grp", "text")
+    def collectB(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    val bFast = collectB(Subdoc.dropBoilerplate(bDocs, "id", "grp", "text",
+      chunkWords = 2, maxDocFrac = 0.5, minDocs = 2L))
+    val bFall = collectB(Subdoc.dropBoilerplate(bDocs, "id", "grp", "text",
+      chunkWords = 2, maxDocFrac = 0.5, minDocs = 2L, maxBroadcastRows = 0L))
+    assert(bFast === bFall && bFast.nonEmpty)
+
+    val dDocs = Seq(
+      (1L, "p q r s own one"),
+      (2L, "p q r s own two"),
+      (3L, "p q p q"),
+      (4L, "zz ww p q")).toDF("id", "text")
+    def collectD(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val dFast = collectD(Subdoc.dedupChunks(dDocs, "id", "text", chunkWords = 2))
+    val dFall = collectD(Subdoc.dedupChunks(dDocs, "id", "text", chunkWords = 2,
+      maxBroadcastRows = 0L))
+    assert(dFast === dFall && dFast.nonEmpty)
+  }
+
   test("dedupChunks keeps the first (key, pos) occurrence corpus-wide, drops repeats everywhere") {
     val docs = Seq(
       (1L, "p q r s own one"),
