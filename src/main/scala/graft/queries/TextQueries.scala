@@ -965,9 +965,91 @@ object TextQueries {
        |  CAST(SUM($txtChkSql) AS BIGINT) AS txt_chk
        |FROM rebuilt GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- curation pipeline e2e: the real pre-training shape — strip
+  // boilerplate FIRST (so a shared header can't chain-link unrelated
+  // docs in the dedup), then corpus-wide exact chunk dedup over the
+  // REBUILT texts (chunk boundaries re-derived from the post-strip
+  // token stream — both engines re-chunk identically), then a minimum-
+  // token quality floor (25: between the corpus p5 and p25, so the gate
+  // drops a real slice at every sf). Three operator stages composed as
+  // one lazy plan; the oracle replays the identical three-stage chain
+  // relationally, so a stage-interaction bug (dedup seeing pre-strip
+  // chunks, the gate measuring pre-dedup mass, a doc resurrected
+  // between stages) fails rows+schema+hash — the per-doc md5 checksum
+  // pins the exact post-pipeline text.
+  private def pipelineCurateCorpus(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Subdoc
+    val planted = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      when(col("doc_id") % 3 =!= 1,
+          concat(lit(BoilerPlant + " "), col("source"), lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val clean = Subdoc.dropBoilerplate(planted, "doc_id", "source", "text",
+      chunkWords = 8, maxDocFrac = 0.5, minDocs = 2L)
+    val deduped = Subdoc.dedupChunks(clean, "doc_id", "text", chunkWords = 8)
+    deduped
+      .join(clean.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .filter(Subdoc.tokenCount(col("text")) >= 25)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Subdoc.tokenCount(col("text")).cast(LongType)).as("sum_toks"),
+        sum(txtChk(col("text"))).as("txt_chk"))
+      .orderBy(col("source"))
+  }
+
+  private val pipelineCurateCorpusSql =
+    s"""WITH planted AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 3 <> 1
+       |      THEN '$BoilerPlant ' || source || ' ' || text
+       |      ELSE text END AS text
+       |  FROM documents
+       |), $subdocChunksSql, gd AS (
+       |  SELECT source, COUNT(DISTINCT doc_id) AS gdocs FROM planted GROUP BY 1
+       |), boiler AS (
+       |  SELECT source, chunk FROM (
+       |    SELECT source, chunk, COUNT(DISTINCT doc_id) AS df
+       |    FROM chunks GROUP BY 1, 2) d
+       |  JOIN gd USING (source)
+       |  WHERE df >= 2 AND df > 0.5 * gdocs
+       |), kept AS (
+       |  SELECT c.* FROM chunks c
+       |  WHERE NOT EXISTS (SELECT 1 FROM boiler b
+       |    WHERE b.source = c.source AND b.chunk = c.chunk)
+       |), rebuilt AS (
+       |  SELECT doc_id, source, string_agg(chunk, ' ' ORDER BY pos) AS text
+       |  FROM kept GROUP BY 1, 2
+       |), toked2 AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |  FROM rebuilt
+       |), chunks2 AS (
+       |  SELECT doc_id, source,
+       |    unnest(range((len(tk) + 7) // 8)) AS pos,
+       |    unnest(list_transform(range((len(tk) + 7) // 8),
+       |      i -> array_to_string(list_slice(tk, i*8 + 1, i*8 + 8), ' '))) AS chunk
+       |  FROM toked2 WHERE len(tk) > 0
+       |), kept2 AS (
+       |  SELECT doc_id, source, pos, chunk FROM (
+       |    SELECT doc_id, source, pos, chunk,
+       |      ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+       |    FROM chunks2) w
+       |  WHERE rn = 1
+       |), rebuilt2 AS (
+       |  SELECT doc_id, source, string_agg(chunk, ' ' ORDER BY pos) AS text
+       |  FROM kept2 GROUP BY 1, 2
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS sum_toks,
+       |  CAST(SUM($txtChkSql) AS BIGINT) AS txt_chk
+       |FROM rebuilt2
+       |WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) >= 25
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_boilerplate", Some(textBoilerplateSql), textBoilerplate),
     QueryDef("dedup_paragraphs", Some(dedupParagraphsSql), dedupParagraphs),
+    QueryDef("pipeline_curate_corpus", Some(pipelineCurateCorpusSql),
+      pipelineCurateCorpus),
     QueryDef("text_clean", Some(textCleanSql), textClean),
     QueryDef("text_bigram_lm", Some(textBigramLmSql), textBigramLm),
     QueryDef("text_collocations", Some(textCollocationsSql), textCollocations),
