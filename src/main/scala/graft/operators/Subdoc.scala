@@ -99,6 +99,14 @@ object Subdoc {
     * group (not its position) is what catches the shared header pasted
     * at different offsets.
     *
+    * ONE pass at landing is the contract (matching the published
+    * recipes), and the operator is deliberately NOT idempotent: removal
+    * shifts chunk boundaries on rebuild, so a re-run re-chunks a
+    * different window stream and may cross the frequency cut on windows
+    * the first pass never saw (property-locked the other way round in
+    * SubdocPropertySpec: token conservation holds exactly; a fixed-point
+    * law does not).
+    *
     * Plan: ONE content shuffle (the per-(group, chunk) document-frequency
     * aggregate). The boilerplate set is bounded by construction
     * (< chunks-per-doc / maxDocFrac chunks per group), so it folds to one
