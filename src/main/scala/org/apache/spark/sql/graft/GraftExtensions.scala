@@ -102,6 +102,14 @@ object GraftFunctionRegistry {
           "of a bloom_filter_build filter."),
       (args: Seq[Expression]) =>
         BloomMightContain(args.head, args(1), intArg(args(2), "bloom_might_contain"))),
+    (FunctionIdentifier("bloom_might_contain_any"),
+      info(classOf[BloomMightContainAny], "bloom_might_contain_any",
+        "bloom_might_contain_any(bloom, hashes, numHashes) - true when ANY " +
+          "hash of an array<long> key set may be in the filter; one " +
+          "expression regardless of key count (empty set probes false)."),
+      (args: Seq[Expression]) =>
+        BloomMightContainAny(args.head, args(1),
+          intArg(args(2), "bloom_might_contain_any"))),
   )
 
   /** Imperative registration on an already-built session (tests, REPL). */

@@ -69,5 +69,20 @@ class GraftSqlSpec extends SparkTestBase {
         |FROM b""".stripMargin).head()
     assert(probe.getBoolean(0) === true)
     assert(probe.getBoolean(1) === false)
+
+    val anyProbe = spark.sql(
+      """WITH b AS (
+        |  SELECT bloom_filter_build(xxhash64(t), 4096, 3) AS bl
+        |  FROM (SELECT explode(array('in1','in2')) AS t)
+        |)
+        |SELECT bloom_might_contain_any(bl,
+        |         array(xxhash64('nope'), xxhash64('in2')), 3) AS hit,
+        |       bloom_might_contain_any(bl,
+        |         array(xxhash64('no1'), xxhash64('no2')), 3) AS miss,
+        |       bloom_might_contain_any(bl, array(), 3) AS empty
+        |FROM b""".stripMargin).head()
+    assert(anyProbe.getBoolean(0) === true)
+    assert(anyProbe.getBoolean(1) === false)
+    assert(anyProbe.getBoolean(2) === false, "an empty key set probes false")
   }
 }
