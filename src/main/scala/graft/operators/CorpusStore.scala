@@ -364,9 +364,14 @@ object CorpusStore {
   /** Semi-join the store against an arbitrary KEYS FRAME with
     * bloom-driven base-file skipping — the runtime-file-pruning form of
     * [[lookup]] (whose keys are caller literals): the dynamic-partition-
-    * pruning idea applied to the store's manifest. When the probe side's
-    * distinct keys fit `maxPruneKeys` (checked with one count over the
-    * probe side — the SMALL side by contract), they are collected and
+    * pruning idea applied to the store's manifest. The distinct probe
+    * keys are PINNED first (localCheckpoint — the probe side is the
+    * SMALL side by contract), so the guard count, the collected bloom
+    * probe, and the semi-join all see the SAME key set even when the
+    * caller's frame is nondeterministic (a sample, a limit): a key set
+    * that re-sampled differently between pruning and joining would
+    * silently drop rows. When the pinned distinct keys fit
+    * `maxPruneKeys`, they are collected and
     * probed against the per-file key blooms, so the base opens
     * ~(files holding a key + fpp·files) files regardless of layout; the
     * keys frame is then broadcast for the row-level semi-join. Past the
@@ -387,9 +392,11 @@ object CorpusStore {
     def full = asOfSeq.fold(
       read(spark, dir, key, maxBroadcastKeys, evolveSchema))(a =>
       readAt(spark, dir, key, a, maxBroadcastKeys, evolveSchema))
-    val ks = keysDf.select(col(key)).distinct()
     val bloomed = hasManifest(spark, dir) &&
       ScanPruning.manifestBloomCols(spark, manifestPath(dir)).contains(key)
+    // pinned (eager, lineage-free) so guard/probe/join share one key set
+    val ks0 = keysDf.select(col(key)).distinct()
+    val ks = if (bloomed) ks0.localCheckpoint(true) else ks0
     val n = if (bloomed) ks.count() else Long.MaxValue
     if (bloomed && n == 0L) return full.filter(lit(false))
     if (bloomed && n <= maxPruneKeys) {
@@ -680,13 +687,16 @@ object CorpusStore {
 
   /** Operational snapshot of a store's on-disk state, one row per
     * artifact dir: `kind` (base | delta | folded_delta | expired_gen |
-    * incomplete_gen), `name`, `seq` (delta seq or generation number,
-    * null for gen-0 base), `n_rows` (parquet footer count — a metadata
-    * read, null for incomplete debris), `live` (participates in the
-    * current snapshot's reads). O(dirs) driver work + one footer read
-    * per live dir; nothing is scanned. The monitoring surface for
-    * cadence decisions ([[compactIfNeeded]]'s inputs, the grace-window
-    * mass [[vacuum]] would free, manifest presence). */
+    * incomplete_gen | manifest), `name`, `seq` (delta seq or generation
+    * number, null for gen-0 base and the manifest), `n_rows` (parquet
+    * footer count — a metadata read; null for incomplete debris, and
+    * for a dir a concurrent [[vacuum]]/[[compact]] deleted mid-census),
+    * `live` (participates in the current snapshot's reads). O(dirs)
+    * driver work + one footer read per COMPLETE dir, live or not (the
+    * grace-window mass is exactly what a vacuum decision needs);
+    * nothing is scanned. The monitoring surface for cadence decisions
+    * ([[compactIfNeeded]]'s inputs, the grace-window mass [[vacuum]]
+    * would free, manifest presence). */
   def describe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = fs(spark, dir)

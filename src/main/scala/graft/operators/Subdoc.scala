@@ -137,7 +137,13 @@ object Subdoc {
     val boilerSets = boiler.groupBy(col(groupCol))
       .agg(collect_list(col("chunk")).as("__boiler"))
       .localCheckpoint(true)
-    if (boilerSets.count() <= maxBroadcastRows) {
+    // guard on the TOTAL chunk mass (groups x chunks-per-group), not the
+    // group-row count — one row can carry an arbitrarily long array and
+    // the bound exists to cap broadcast BYTES
+    val boilerChunks = boilerSets
+      .agg(coalesce(sum(size(col("__boiler"))), lit(0)).cast("long"))
+      .head().getLong(0)
+    if (boilerChunks <= maxBroadcastRows) {
       withChunkArr(docs, textCol, chunkWords, Seq(keyCol, groupCol))
         .join(broadcast(boilerSets), Seq(groupCol), "left")
         .withColumn("__kept", filter(col("__chunks"), c =>
@@ -198,7 +204,12 @@ object Subdoc {
       val dropPos = losers.groupBy(col(keyCol))
         .agg(collect_list(col("pos")).as("__drop"))
         .localCheckpoint(true)
-      if (dropPos.count() <= maxBroadcastRows) {
+      // guard on the TOTAL dropped-position mass, not the doc-row count:
+      // one heavy-template doc can carry thousands of positions per row
+      val dropMass = dropPos
+        .agg(coalesce(sum(size(col("__drop"))), lit(0)).cast("long"))
+        .head().getLong(0)
+      if (dropMass <= maxBroadcastRows) {
         withChunkArr(docs, textCol, chunkWords, Seq(keyCol))
           .join(broadcast(dropPos), Seq(keyCol), "left")
           .withColumn("__kept", filter(col("__chunks"), (c, i) =>
