@@ -166,7 +166,7 @@ object CorpusStore {
         allowMissingColumns = true)
       case None => up
     }
-    val deltaDir = f"$dir/delta_$seq%019d"
+    val deltaDir = deltaDirOf(dir, seq)
     all.withColumn(SeqCol, lit(seq))
       .write.mode(SaveMode.Overwrite).parquet(deltaDir)
     if (hasManifest(spark, dir))
@@ -246,6 +246,9 @@ object CorpusStore {
   /** The seq encoded in a delta dir name (`delta_<%019d>`). */
   private def deltaSeqOf(p: String): Long =
     new Path(p).getName.stripPrefix("delta_").toLong
+
+  private def deltaDirOf(dir: String, seq: Long): String =
+    f"$dir/delta_$seq%019d"
 
   /** Time travel: the corpus as of `asOfSeq` — base plus only the deltas
     * with seq <= asOfSeq (selected by DIR NAME, so newer deltas are
@@ -409,6 +412,96 @@ object CorpusStore {
     } else full.join(ks, Seq(key), "left_semi")
   }
 
+  /** The snapshot a DML verb at `seq` mutates: the store as of `seq - 1`,
+    * optionally through the manifest (`prune` skips base files like
+    * [[prunedRead]]'s `keep` — an optimization with the same answer-
+    * transparency contract: the verb re-applies its row predicate).
+    * Guarded against misuse: a DML seq OLDER than a live delta would
+    * silently mutate a historical snapshot while claiming current-state
+    * semantics — fail loudly instead. Equality is allowed: that is the
+    * verb's own crashed delta being replayed. */
+  private def dmlSnapshot(spark: SparkSession, dir: String, key: String,
+      seq: Long, prune: Option[Column], maxBroadcastKeys: Long): DataFrame = {
+    val newestLive = deltaPaths(spark, dir).map(deltaSeqOf).maxOption
+    newestLive.foreach(m => require(seq >= m,
+      s"DML at seq $seq is older than live delta seq $m: row-level " +
+        "DELETE/UPDATE has current-state semantics, so its seq must be " +
+        "the newest (same-seq replay of the verb itself is allowed)"))
+    prune match {
+      case Some(keep) => prunedRead(spark, dir, key, keep, maxBroadcastKeys,
+        asOfSeq = Some(seq - 1))
+      case None => readAt(spark, dir, key, seq - 1, maxBroadcastKeys)
+    }
+  }
+
+  /** Rows written to `delta_<seq>` — a parquet footer count, no scan. */
+  private def deltaRowCount(spark: SparkSession, dir: String, seq: Long): Long =
+    spark.read.parquet(deltaDirOf(dir, seq)).count()
+
+  /** Row-level DELETE by predicate — `DELETE FROM store WHERE cond`, the
+    * DML verb of the table formats, expressed in the merge-on-read log:
+    * resolve the corpus AS OF `seq - 1` ([[readAt]]'s snapshot), filter
+    * to `cond`, and append the matching keys as `delta_<seq>`
+    * tombstones. The corpus is never rewritten — O(scan) read +
+    * O(matches) write, folded away at the next [[compact]] like any
+    * other change (and the tombstone delta extends a manifest with the
+    * same O(batch) part [[append]] always writes).
+    *
+    * Matching against the PRE-`seq` snapshot rather than the current
+    * read is what makes a same-seq replay IDEMPOTENT BY CONSTRUCTION: a
+    * delete that crashed mid-write and re-runs under the same seq
+    * recomputes the identical key set and overwrites its own partial
+    * delta — where a current-state match would see its own surviving
+    * tombstones, shrink the set, and silently resurrect rows. It also
+    * means the matching plan never lists `delta_<seq>` while [[append]]
+    * overwrites it (no read-own-write hazard, no pinning needed).
+    *
+    * `seq` must be newer than every live delta for current-state DELETE
+    * semantics (the normal append contract); a zero-match delete still
+    * writes an (empty) delta, so the seq is consumed either way.
+    * `prune` optionally file-skips the base via the manifest; like
+    * every [[ScanPruning]] `keep`, it must be implied by `cond` (it
+    * prunes, it never answers). Single-writer, like every store
+    * mutation. Returns the number of keys tombstoned. */
+  def deleteWhere(spark: SparkSession, dir: String, key: String, seq: Long,
+      cond: Column, prune: Option[Column] = None,
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): Long = {
+    val snap = dmlSnapshot(spark, dir, key, seq, prune, maxBroadcastKeys)
+    append(spark, dir, seq, key,
+      upserts = snap.limit(0),
+      deleteKeys = Some(snap.filter(cond).select(col(key))))
+    deltaRowCount(spark, dir, seq)
+  }
+
+  /** Row-level UPDATE by predicate — `UPDATE store SET c = expr WHERE
+    * cond`: resolve the corpus as of `seq - 1`, filter to `cond`, apply
+    * `set`, and append the rewritten rows as `delta_<seq>` upserts.
+    * O(scan) read + O(matches) write; same pre-`seq` snapshot contract
+    * as [[deleteWhere]] (same-seq replay recomputes the identical
+    * update, so crash-and-replay is idempotent and the plan never reads
+    * the delta it writes).
+    *
+    * ALL `set` expressions see the PRE-update row (one projection, not
+    * a `withColumn` chain) — `Map("a" -> col("b"), "b" -> col("a"))`
+    * swaps, exactly like SQL UPDATE. The key column cannot be set (an
+    * upsert replaces the row WITH its key; rekeying is a delete+insert,
+    * not an update). A `set` column outside the current schema is a
+    * schema-WIDENING update: only the matched rows carry it, and it
+    * rides the store's evolveSchema read/compact contract. Returns the
+    * number of rows updated. */
+  def updateWhere(spark: SparkSession, dir: String, key: String, seq: Long,
+      cond: Column, set: Map[String, Column],
+      prune: Option[Column] = None,
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): Long = {
+    require(set.nonEmpty, "updateWhere: empty SET")
+    require(!set.contains(key),
+      s"updateWhere cannot set the key column '$key': rekeying is a " +
+        "delete + insert, not an update")
+    val snap = dmlSnapshot(spark, dir, key, seq, prune, maxBroadcastKeys)
+    append(spark, dir, seq, key, snap.filter(cond).withColumns(set))
+    deltaRowCount(spark, dir, seq)
+  }
+
   /** Continuous ingestion: apply a streaming frame of upserts to the
     * store, one delta per microbatch, keyed by the stream's batchId.
     * Exactly-once falls out of the seq contract: after a failure,
@@ -553,7 +646,7 @@ object CorpusStore {
       .map(_.getLong(0)).sorted
     seqs.foreach { s =>
       val incoming = batch.filter(col("seq") === s).drop("seq")
-      val deltaDir = f"$replicaDir/delta_$s%019d"
+      val deltaDir = deltaDirOf(replicaDir, s)
       val exists = fs(spark, replicaDir).exists(new Path(deltaDir))
       val merged = if (!exists) incoming
         else spark.read.parquet(deltaDir)

@@ -568,6 +568,56 @@ object VersioningQueries {
        |FROM final WHERE doc_id IN (${lookupIds.mkString(", ")})
        |ORDER BY doc_id""".stripMargin
 
+  // ---- row-level DML (CorpusStore.deleteWhere / updateWhere): UPDATE
+  // then DELETE as ordinary merge-on-read deltas — zero corpus rewrite.
+  // The update rewrites fp for doc_id % 3 == 0 against the post-batch
+  // state (seq 2 sees as-of-1); the delete tombstones doc_id % 13 == 0
+  // against the post-update state (seq 3 sees as-of-2). The verbs'
+  // RETURN counts are pinned as columns (the oracle recomputes them
+  // relationally), and the fp checksum pins that exactly the matched
+  // rows — and only they — carry the rewritten fingerprint afterwards.
+  private def storeDmlWhere(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CorpusStore, IvfModelStore}
+    val store =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dml_${IvfModelStore.dirKey(dir)}"
+    CorpusStore.init(oldSnap(s, dir), store)
+    CorpusStore.append(s, store, 1L, "doc_id",
+      newSnap(s, dir).filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0))
+    val nUpd = CorpusStore.updateWhere(s, store, "doc_id", 2L,
+      col("doc_id") % 3 === 0,
+      Map("fp" -> md5(concat(col("fp"), lit("upd")))))
+    val nDel = CorpusStore.deleteWhere(s, store, "doc_id", 3L,
+      col("doc_id") % 13 === 0)
+    CorpusStore.read(s, store, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(fpChk(col("fp"))).as("fp_chk"))
+      .withColumn("n_updated", lit(nUpd))
+      .withColumn("n_deleted", lit(nDel))
+      .orderBy(col("source"))
+  }
+
+  private val storeDmlWhereSql =
+    s"""WITH $snapSql, batch AS (
+       |  SELECT * FROM new WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+       |), s1 AS (
+       |  SELECT * FROM batch
+       |  UNION ALL
+       |  SELECT * FROM old WHERE doc_id NOT IN (SELECT doc_id FROM batch)
+       |), s2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN md5(fp || 'upd') ELSE fp END AS fp,
+       |    source
+       |  FROM s1
+       |), final AS (
+       |  SELECT * FROM s2 WHERE doc_id % 13 <> 0
+       |)
+       |SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk,
+       |  CAST((SELECT COUNT(*) FROM s1 WHERE doc_id % 3 = 0) AS BIGINT) AS n_updated,
+       |  CAST((SELECT COUNT(*) FROM s2 WHERE doc_id % 13 = 0) AS BIGINT) AS n_deleted
+       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- READ-ONLY store variants: the e2e store queries above rebuild
   // their store (init + 2 appends + manifest) INSIDE the measured run, so
   // their bench budgets are setup-dominated and a regression in the READ
@@ -725,6 +775,7 @@ object VersioningQueries {
     QueryDef("store_key_lookup", Some(storeKeyLookupSql), storeKeyLookup),
     QueryDef("store_schema_evolution", Some(storeSchemaEvolutionSql),
       storeSchemaEvolution),
+    QueryDef("store_dml_where", Some(storeDmlWhereSql), storeDmlWhere),
     QueryDef("store_cluster_compact", Some(storeClusterCompactSql),
       storeClusterCompact),
     QueryDef("pipeline_refresh_store", Some(pipelineRefreshStoreSql),

@@ -728,4 +728,82 @@ class CorpusStoreSpec extends SparkTestBase {
       Seq.empty[(Long, String)].toDF("id", "fp"))
     assert(CorpusStore.read(spark, dir, "id").count() === 1)
   }
+
+  test("deleteWhere tombstones exactly the matching keys and returns the count") {
+    val dir = freshDir("dml-del")
+    CorpusStore.init(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "fp"), dir)
+    CorpusStore.append(spark, dir, 1L, "id", Seq((5L, "e")).toDF("id", "fp"))
+    val n = CorpusStore.deleteWhere(spark, dir, "id", 2L, col("id") % 2 === 0)
+    assert(n === 2L) // ids 2, 4
+    assert(CorpusStore.read(spark, dir, "id").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (3L, "c"), (5L, "e")))
+    // the matched set saw the delta-1 upsert (state as of seq 1)
+    val n2 = CorpusStore.deleteWhere(spark, dir, "id", 3L, col("fp") === "e")
+    assert(n2 === 1L)
+    assert(CorpusStore.read(spark, dir, "id").count() === 2)
+  }
+
+  test("deleteWhere same-seq replay recomputes the identical tombstone set (idempotent)") {
+    val dir = freshDir("dml-del-replay")
+    CorpusStore.init((1L to 10L).map(i => (i, s"v$i")).toDF("id", "fp"), dir)
+    val n1 = CorpusStore.deleteWhere(spark, dir, "id", 1L, col("id") <= 4)
+    // replay under the SAME seq: a current-state match would see its own
+    // tombstones, shrink to 0 matches, and overwrite the delta with an
+    // empty one — resurrecting ids 1-4. The pre-seq snapshot contract
+    // must recompute the identical set instead.
+    val n2 = CorpusStore.deleteWhere(spark, dir, "id", 1L, col("id") <= 4)
+    assert(n1 === 4L && n2 === 4L)
+    assert(CorpusStore.read(spark, dir, "id").count() === 6)
+    // a DML seq OLDER than a live delta is misuse, not time travel
+    CorpusStore.append(spark, dir, 5L, "id", Seq((20L, "x")).toDF("id", "fp"))
+    intercept[IllegalArgumentException] {
+      CorpusStore.deleteWhere(spark, dir, "id", 3L, col("id") === 20L)
+    }
+  }
+
+  test("updateWhere rewrites only matching rows; all SET exprs see the pre-update row") {
+    val dir = freshDir("dml-upd")
+    CorpusStore.init(Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("id", "fp", "tag"), dir)
+    // swap fp and tag on matched rows: a withColumn CHAIN would make
+    // both columns equal; one projection must swap
+    val n = CorpusStore.updateWhere(spark, dir, "id", 1L, col("id") <= 2,
+      Map("fp" -> col("tag"), "tag" -> col("fp")))
+    assert(n === 2L)
+    assert(CorpusStore.read(spark, dir, "id").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((1L, "x", "a"), (2L, "y", "b"), (3L, "c", "z")))
+    // same-seq replay: recomputes from the pre-seq snapshot, so the swap
+    // does NOT swap back
+    CorpusStore.updateWhere(spark, dir, "id", 1L, col("id") <= 2,
+      Map("fp" -> col("tag"), "tag" -> col("fp")))
+    assert(CorpusStore.read(spark, dir, "id").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((1L, "x", "a"), (2L, "y", "b"), (3L, "c", "z")))
+  }
+
+  test("updateWhere rejects setting the key; DML composes with compact and manifest") {
+    val dir = freshDir("dml-compose")
+    CorpusStore.init((1L to 100L).map(i => (i, s"v$i")).toDF("id", "fp"),
+      dir, statsCols = Seq("id"))
+    intercept[IllegalArgumentException] {
+      CorpusStore.updateWhere(spark, dir, "id", 1L, lit(true),
+        Map("id" -> (col("id") + 1000L)))
+    }
+    CorpusStore.updateWhere(spark, dir, "id", 1L, col("id") <= 10,
+      Map("fp" -> concat(col("fp"), lit("-u"))))
+    CorpusStore.deleteWhere(spark, dir, "id", 2L, col("id") > 90,
+      prune = Some(graft.sources.ScanPruning.boxPredicate(
+        Seq(("id", 91L, Long.MaxValue)))))
+    CorpusStore.compact(spark, dir, "id")
+    val got = CorpusStore.read(spark, dir, "id")
+    assert(got.count() === 90)
+    assert(got.filter(col("fp").endsWith("-u")).count() === 10)
+    // post-compact prunedRead still works (manifest rebuilt over new base)
+    assert(CorpusStore.prunedRead(spark, dir, "id",
+        graft.sources.ScanPruning.boxPredicate(Seq(("id", 1L, 5L))))
+      .filter(col("id") <= 5).count() === 5)
+  }
 }
