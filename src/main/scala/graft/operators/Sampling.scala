@@ -82,4 +82,75 @@ object Sampling {
       .filter(col("__rn") <= cap)
       .drop("__rn")
   }
+
+  /** DSIR-style importance weighting (the shape of Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", 2023 —
+    * hashed-n-gram importance weights between a target and a raw
+    * distribution): score each document by how much likelier its tokens
+    * are under the TARGET token distribution than under the RAW corpus
+    * distribution, both estimated over `buckets` hashed unigram buckets.
+    * The returned frame is `docs` plus two columns —
+    * `dsir_millinats`: Σ_tokens round(1000·ln(p̂_target(b)/p̂_raw(b)))
+    * over the document's token buckets (Laplace-smoothed, integer
+    * milli-nats), and `dsir_n_toks`: its token count — so callers
+    * threshold on the sum or on the per-token mean, or resample with
+    * weight exp(millinats/1000) (a null `textCol` yields a null weight).
+    *
+    * EXECUTION SHAPE, sized for a 100 TB corpus:
+    *   - Pass 1 estimates BOTH distributions in ONE aggregate: tokens
+    *     explode map-side into ≤ `buckets` keys (count + conditional
+    *     count), so the shuffle carries at most buckets×partitions
+    *     combiner rows — model estimation never moves the corpus.
+    *   - The model collected to the driver is `buckets` longs (bounded
+    *     by the argument, the IVF-centroid pattern: a MODEL is the one
+    *     thing an operator may collect), folded into an integer
+    *     log-ratio array literal.
+    *   - Pass 2 scores map-side only: a codegen'd HOF sums each
+    *     document's bucket ratios against the broadcast literal in
+    *     array order — integer adds, deterministic on any engine, and a
+    *     document never leaves its partition.
+    *
+    * PORTABILITY: buckets come from the [[Sampling]] md5 contract
+    * (`md5("dsir|" + token)`, first 15 hex digits, mod `buckets`), so
+    * any engine recomputes membership exactly; the per-bucket ratio is
+    * quantized to milli-nat INTEGERS before any cross-row sum (the
+    * text_surprisal discipline — all downstream arithmetic is exact,
+    * with the documented 1-ulp libm-`ln` rounding caveat confined to
+    * the `buckets` per-bucket constants). */
+  def importanceWeights(docs: DataFrame, textCol: String, isTarget: Column,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20] (the model is collected), got $buckets")
+    import graft.functions.TextFunctions.tokens
+    def tokBucket(t: Column): Column = pmod(
+      conv(substring(md5(concat(lit("dsir|"), t)), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+    val model = docs
+      .select(isTarget.as("__tgt"), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(tokBucket(col("__t")).as("__b"))
+      .agg(count(lit(1)).as("__raw"),
+        count(when(col("__tgt"), lit(1))).as("__tgtn"))
+      .collect()
+    val raw = new Array[Long](buckets)
+    val tgt = new Array[Long](buckets)
+    model.foreach { r =>
+      val b = r.getLong(0).toInt
+      raw(b) = r.getLong(1)
+      tgt(b) = r.getLong(2)
+    }
+    val totalRaw = raw.sum.toDouble
+    val totalTgt = tgt.sum.toDouble
+    val mn: Seq[Long] = (0 until buckets).map { b =>
+      math.round(1000.0 *
+        (math.log(tgt(b) + 1.0) - math.log(totalTgt + buckets)
+          - math.log(raw(b) + 1.0) + math.log(totalRaw + buckets)))
+    }
+    val mnLit = typedlit(mn)
+    docs.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("dsir_millinats",
+        aggregate(transform(col("__toks"),
+          t => get(mnLit, tokBucket(t).cast("int"))), lit(0L), _ + _))
+      .withColumn("dsir_n_toks", size(col("__toks")).cast("long"))
+      .drop("__toks")
+  }
 }

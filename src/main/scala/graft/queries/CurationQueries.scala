@@ -344,8 +344,77 @@ object CurationQueries {
       |WHERE r.rnk <= 200
       |ORDER BY position LIMIT 200""".stripMargin
 
+  // ---- DSIR importance selection (Sampling.importanceWeights) --------
+  //
+  // Target = lang 'en'. The synthetic texts share one vocabulary across
+  // langs, so a real separation signal is PLANTED (the dedup_semantic
+  // lesson: an oracle over a population with no signal is vacuous):
+  // en docs get a deterministic ' wikitok wikitok factbox' suffix,
+  // replayed identically in the oracle — the learned hashed-unigram
+  // log-ratio model must then give (nearly) every en doc a positive
+  // weight and the rest (noise-level) negative ones, and n_kept pins
+  // that separation per lang. sum_mn is the exact integer milli-nat
+  // mass (quantized per bucket BEFORE any cross-row sum — the
+  // text_surprisal portability discipline; the 1-ulp libm-ln caveat
+  // documented there applies to the 512 per-bucket constants here too).
+  // The oracle left-joins docs back so a zero-token doc still counts in
+  // n_docs with weight 0, matching the operator's HOF sum over an empty
+  // token array.
+  private val DsirPlant = " wikitok wikitok wikitok factbox factbox infobox"
+
+  private def docsDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val planted = Tables.documents(s, dir)
+      .withColumn("text2", when(col("lang") === "en",
+        concat(col("text"), lit(DsirPlant))).otherwise(col("text")))
+    Sampling.importanceWeights(planted, "text2", col("lang") === "en",
+        buckets = 512)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("dsir_millinats") > 0, lit(1))).as("n_kept"),
+        sum(col("dsir_millinats")).as("sum_mn"),
+        sum(col("dsir_n_toks")).as("sum_toks"))
+      .orderBy(col("lang"))
+  }
+
+  private val docsDsirSelectSql =
+    s"""WITH planted AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN lang = 'en' THEN text || '$DsirPlant' ELSE text END AS text2
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, lang,
+       |    CAST('0x' || substring(md5('dsir|' ||
+       |      unnest(list_filter(string_split(text2, ' '), x -> x <> ''))), 1, 15)
+       |      AS BIGINT) % 512 AS b
+       |  FROM planted
+       |), model AS (
+       |  SELECT b, COUNT(*) AS raw_n,
+       |    COUNT(*) FILTER (WHERE lang = 'en') AS tgt_n
+       |  FROM tok GROUP BY 1
+       |), tot AS (
+       |  SELECT SUM(raw_n) AS r_tot, SUM(tgt_n) AS t_tot FROM model
+       |), lr AS (
+       |  SELECT b, CAST(round(1000 * (ln(tgt_n + 1.0) - ln(t_tot + 512.0)
+       |    - ln(raw_n + 1.0) + ln(r_tot + 512.0))) AS BIGINT) AS mn
+       |  FROM model CROSS JOIN tot
+       |), scored AS (
+       |  SELECT t.doc_id, SUM(lr.mn) AS s_mn, COUNT(*) AS n_toks
+       |  FROM tok t JOIN lr USING (b) GROUP BY 1
+       |), final AS (
+       |  SELECT p.lang, COALESCE(s.s_mn, 0) AS s_mn,
+       |    COALESCE(s.n_toks, 0) AS n_toks
+       |  FROM planted p LEFT JOIN scored s ON p.doc_id = s.doc_id
+       |)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  COUNT(*) FILTER (WHERE s_mn > 0) AS n_kept,
+       |  CAST(SUM(s_mn) AS BIGINT) AS sum_mn,
+       |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks
+       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("text_pii", Some(textPiiSql), textPii),
+    QueryDef("docs_dsir_select", Some(docsDsirSelectSql), docsDsirSelect),
     QueryDef("docs_split_hash", Some(docsSplitHashSql), docsSplitHash),
     QueryDef("docs_interleave", Some(docsInterleaveSql), docsInterleave),
     QueryDef("sample_hash_topk", Some(sampleHashTopkSql), sampleHashTopk),

@@ -63,4 +63,43 @@ class SamplingSpec extends SparkTestBase {
       cap = 1000000, seed = 7L).count()
     assert(got === docs.count())
   }
+
+  test("importance weights separate a planted target vocabulary") {
+    import spark.implicits._
+    // target docs carry a marker token the raw-only docs never do, plus
+    // the shared vocabulary; the learned log-ratio must score every
+    // target doc positive and every raw-only doc non-positive
+    val rows = (0L until 40L).map { i =>
+      val base = s"alpha beta gamma delta tok$i"
+      if (i % 4 == 0) (i, s"$base wiki wiki wiki", true)
+      else (i, base, false)
+    }
+    val df = rows.toDF("id", "text", "is_tgt")
+    val w = Sampling.importanceWeights(df, "text", col("is_tgt"), buckets = 64)
+    val got = w.select(col("id"), col("is_tgt"), col("dsir_millinats"),
+      col("dsir_n_toks")).collect()
+    assert(got.length === 40)
+    got.foreach { r =>
+      val (tgtRow, mn, n) = (r.getBoolean(1), r.getLong(2), r.getLong(3))
+      if (tgtRow) {
+        assert(mn > 0, s"target doc ${r.getLong(0)} scored $mn")
+        assert(n === 8L)
+      } else assert(mn <= 0, s"raw doc ${r.getLong(0)} scored $mn")
+    }
+  }
+
+  test("importance weights are partitioning-invariant and handle empty docs") {
+    import spark.implicits._
+    val df = Seq((1L, "a b wiki", true), (2L, "a b", false), (3L, "", false))
+      .toDF("id", "text", "is_tgt")
+    def run(parts: Int) =
+      Sampling.importanceWeights(df.repartition(parts), "text",
+          col("is_tgt"), buckets = 32)
+        .select("id", "dsir_millinats", "dsir_n_toks")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = run(1)
+    assert(a === run(5), "weights must not depend on partitioning")
+    // the empty doc gets weight 0 over 0 tokens, not null/missing
+    assert(a.exists { case (id, mn, n) => id == 3L && mn == 0L && n == 0L })
+  }
 }
