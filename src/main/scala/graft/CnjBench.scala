@@ -48,11 +48,14 @@ object CnjBench {
       val t0 = System.nanoTime()
       val r = f
       val sec = (System.nanoTime() - t0) / 1e9
-      phases(name) = sec
+      phases.synchronized { phases(name) = sec } // two sink threads report
       println(f"[cnj-bench] $name: $sec%.1f s")
       r
     }
     new java.io.File(outDir).mkdirs()
+    // default mirrors MetasJob.runAll's concurrent sinks; the
+    // sequential arm exists for A/B measurement of the overlap itself
+    val sequential = sys.env.get("SPARK_GRAFT_CNJ_SEQUENTIAL").contains("1")
     val t0 = System.nanoTime()
     // mirrors MetasJob.runAll step-for-step, with per-phase timing: the
     // raw corpus is NOT cached (the ~1 GB InMemoryRelation costs ~10x
@@ -62,23 +65,39 @@ object CnjBench {
     val data = t("plan_read_headers")(Reader.readDir(spark, inDir))
     val typed = MetasJob.resumoTyped(spark, data).cache()
     try {
-      val res = MetasJob.stringlyOutput(typed)
-      t("resumo_agg_join_write") {
-        MetasJob.writeCsv(res, s"$outDir/ResumoMetas.csv")
-      }
-      t("consolidado_sharded_write") {
+      def consolidadoSink(): Unit = t("consolidado_sharded_write") {
         MetasJob.writeCsv(data, s"$outDir/Consolidado.csv", singleFile = false)
       }
-      t("chart_png") {
-        val chart = MetasJob.chartData(res).collect()
-          .map(r => (r.getString(0), r.getDouble(1)))
-        MetasJob.writeChartPng(chart, s"$outDir/grafico_meta1.png")
+      def resumoChain(): Unit = {
+        val res = MetasJob.stringlyOutput(typed)
+        t("resumo_agg_join_write") {
+          MetasJob.writeCsv(res, s"$outDir/ResumoMetas.csv")
+        }
+        t("chart_png") {
+          val chart = MetasJob.chartData(res).collect()
+            .map(r => (r.getString(0), r.getDouble(1)))
+          MetasJob.writeChartPng(chart, s"$outDir/grafico_meta1.png")
+        }
+      }
+      if (sequential) {
+        resumoChain()
+        consolidadoSink()
+      } else {
+        // the concurrent phases are wall-clock SPANS that overlap: their
+        // sum exceeds the total by construction — read the total
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val consolidado = Future(consolidadoSink())
+        resumoChain()
+        Await.result(consolidado, Duration.Inf)
       }
     } finally typed.unpersist()
     val total = (System.nanoTime() - t0) / 1e9
     val phaseJson = phases.map { case (k, v) => f""""$k":$v%.2f""" }.mkString(",")
+    val mode = if (sequential) "sequential" else "concurrent"
     println(
-      f"""{"metric":"cnj_bench_total_sec","value":$total%.2f,"unit":"sec","phases":{$phaseJson},"corpus_bytes":$corpusBytes,"n_files":$nFiles,"loadavg_1m":$load%.2f,"loadavg_5m":$load5%.2f}""")
+      f"""{"metric":"cnj_bench_total_sec","value":$total%.2f,"unit":"sec","sinks":"$mode","phases":{$phaseJson},"corpus_bytes":$corpusBytes,"n_files":$nFiles,"loadavg_1m":$load%.2f,"loadavg_5m":$load5%.2f}""")
     spark.stop()
   }
 }

@@ -232,8 +232,19 @@ object MetasJob {
     ImageIO.write(img, "png", new java.io.File(path))
   }
 
-  /** Full run: ResumoMetas.csv + Consolidado.csv + grafico_meta1.png. */
-  def runAll(spark: SparkSession, inDir: String, outDir: String): Unit = {
+  /** Full run: ResumoMetas.csv + Consolidado.csv + grafico_meta1.png.
+    *
+    * The two sinks are INDEPENDENT plans over the same corpus scan, so
+    * they are submitted from two threads and Spark's scheduler
+    * interleaves their stages — ordinary multi-job scheduling on any
+    * cluster. The overlap exists because each job has core-idle serial
+    * sections the other's scan/parse tasks can fill: driver planning,
+    * the broadcast-dimension build, the single-task coalesce(1) summary
+    * write, and the driver-side chart/warning collects. Outputs are
+    * byte-identical to the sequential order (golden-locked);
+    * `concurrentSinks = false` restores it for A/B measurement. */
+  def runAll(spark: SparkSession, inDir: String, outDir: String,
+      concurrentSinks: Boolean = true): Unit = {
     new java.io.File(outDir).mkdirs()
     // The raw corpus is NOT cached: building the InMemoryRelation for
     // ~1 GB of expanded rows costs ~10x the one extra CSV scan it would
@@ -244,22 +255,37 @@ object MetasJob {
     val data = Reader.readDir(spark, inDir)
     val typed = resumoTyped(spark, data).cache()
     try {
-      val res = stringlyOutput(typed)
-      writeCsv(res, s"$outDir/ResumoMetas.csv")
-      // mirror the reference's once-per-branch fallback warning
-      // (Versao_Np.py:29,168-169) — off the cached per-court summary
-      val log = org.slf4j.LoggerFactory.getLogger(getClass)
-      unmappedBranches(typed).collect().foreach { r =>
-        val siglas = r.getSeq[String](1).mkString(", ")
-        log.warn(s"branch '${r.getString(0)}' (courts: $siglas) has no specific " +
-          "factors; falling back to Justiça Estadual")
-      }
       // sharded: a coalesce(1) write of the full corpus funnels every byte
       // through one task (measured 187 s vs 19 s for ~1 GB); the
-      // single-file contract is kept only for the tiny summary above
-      writeCsv(data, s"$outDir/Consolidado.csv", singleFile = false)
-      val chart = chartData(res).collect().map(r => (r.getString(0), r.getDouble(1)))
-      writeChartPng(chart, s"$outDir/grafico_meta1.png")
+      // single-file contract is kept only for the tiny summary
+      def consolidadoSink(): Unit =
+        writeCsv(data, s"$outDir/Consolidado.csv", singleFile = false)
+      def resumoChain(): Unit = {
+        val res = stringlyOutput(typed)
+        writeCsv(res, s"$outDir/ResumoMetas.csv")
+        // mirror the reference's once-per-branch fallback warning
+        // (Versao_Np.py:29,168-169) — off the cached per-court summary
+        val log = org.slf4j.LoggerFactory.getLogger(getClass)
+        unmappedBranches(typed).collect().foreach { r =>
+          val siglas = r.getSeq[String](1).mkString(", ")
+          log.warn(s"branch '${r.getString(0)}' (courts: $siglas) has no specific " +
+            "factors; falling back to Justiça Estadual")
+        }
+        val chart = chartData(res).collect().map(r => (r.getString(0), r.getDouble(1)))
+        writeChartPng(chart, s"$outDir/grafico_meta1.png")
+      }
+      if (concurrentSinks) {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val consolidado = Future(consolidadoSink())
+        resumoChain()
+        // rethrows a consolidado failure on the caller thread
+        Await.result(consolidado, Duration.Inf)
+      } else {
+        resumoChain()
+        consolidadoSink()
+      }
     } finally typed.unpersist()
   }
 }

@@ -93,4 +93,35 @@ class CnjMetasSpec extends SparkTestBase {
     // TJBB's meta1 is NA -> excluded
     assert(!chart.map(_.getString(0)).contains("TJBB"))
   }
+
+  test("runAll with concurrent sinks writes the same three outputs as sequential") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    def run(tag: String, concurrent: Boolean): String = {
+      val out = s"$tmp/graft-cnj-runall-$tag"
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      MetasJob.runAll(spark, resourcePath("cnj/dados"), out,
+        concurrentSinks = concurrent)
+      out
+    }
+    val conc = run("conc", concurrent = true)
+    val seqn = run("seq", concurrent = false)
+    def resumoLines(dir: String): Seq[String] = {
+      val part = new java.io.File(s"$dir/ResumoMetas.csv").listFiles()
+        .find(_.getName.endsWith(".csv")).get
+      val src = scala.io.Source.fromFile(part, "UTF-8")
+      try src.getLines().toIndexedSeq finally src.close()
+    }
+    assert(resumoLines(conc) === resumoLines(seqn))
+    def consolidadoRows(dir: String): Set[String] =
+      spark.read.option("sep", ";").option("header", "true")
+        .csv(s"$dir/Consolidado.csv")
+        .collect().map(_.mkString("|")).toSet
+    assert(consolidadoRows(conc) === consolidadoRows(seqn))
+    assert(consolidadoRows(conc).nonEmpty)
+    Seq(conc, seqn).foreach { d =>
+      assert(new java.io.File(s"$d/grafico_meta1.png").length() > 0)
+    }
+  }
 }
