@@ -89,7 +89,8 @@ object CnjBench {
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
         val consolidado = Future(consolidadoSink())
-        resumoChain()
+        try resumoChain()
+        finally Await.ready(consolidado, Duration.Inf)
         Await.result(consolidado, Duration.Inf)
       }
     } finally typed.unpersist()

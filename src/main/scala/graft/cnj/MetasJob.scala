@@ -279,8 +279,11 @@ object MetasJob {
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
         val consolidado = Future(consolidadoSink())
-        resumoChain()
-        // rethrows a consolidado failure on the caller thread
+        // a resumo failure must still WAIT for the in-flight consolidado
+        // job (never unwind under a running detached write); a consolidado
+        // failure then rethrows on the caller thread
+        try resumoChain()
+        finally Await.ready(consolidado, Duration.Inf)
         Await.result(consolidado, Duration.Inf)
       } else {
         resumoChain()
