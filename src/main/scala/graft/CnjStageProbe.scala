@@ -10,14 +10,14 @@ import graft.cnj.{MetasJob, Reader}
   * single-parse alternatives worth re-measuring against the concurrent
   * two-parse baseline:
   *
-  *  - MODE=stage: land the parsed frame once as a parquet staging dir,
+  *  - SPARK_GRAFT_STAGE_MODE=stage: land the parsed frame once as a parquet staging dir,
   *    then run both sinks (concurrently) from the columnar stage — the
   *    "land once, consume columnar" pattern the Reader scaladoc calls
   *    the 100 TB path, paid inside this one job.
-  *  - MODE=persist: `persist(MEMORY_AND_DISK)` on the parsed frame —
+  *  - SPARK_GRAFT_STAGE_MODE=persist: `persist(MEMORY_AND_DISK)` on the parsed frame —
   *    Spark's columnar cache, re-measured on the current parser.
   *
-  * Usage: MODE=stage|persist runMain graft.CnjStageProbe <inDir> <outDir>
+  * Usage: SPARK_GRAFT_STAGE_MODE=stage|persist runMain graft.CnjStageProbe <inDir> <outDir>
   *
   * MEASURED OUTCOME (r13 continuation, 0.93 GB corpus, 32-partition arm,
   * alternating with the shipped bench): both single-parse forms LOSE —
@@ -32,7 +32,7 @@ object CnjStageProbe {
   def main(args: Array[String]): Unit = {
     val inDir = args(0)
     val outDir = if (args.length > 1) args(1) else "/tmp/cnj_stage_out"
-    val mode = sys.env.getOrElse("MODE", "stage")
+    val mode = sys.env.getOrElse("SPARK_GRAFT_STAGE_MODE", "stage")
     val spark = GraftSession.harnessBuilder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
@@ -55,7 +55,7 @@ object CnjStageProbe {
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         t("persist_materialize")(d.count())
         d
-      case other => sys.error(s"unknown MODE $other")
+      case other => sys.error(s"unknown SPARK_GRAFT_STAGE_MODE $other")
     }
     val typed = MetasJob.resumoTyped(spark, data).cache()
     import scala.concurrent.{Await, Future}
