@@ -218,4 +218,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("*("), p)
     assert(p.contains("simhash64"), p)
   }
+
+  test("importance-weight SCORING is map-side only: no exchange, no explode") {
+    import org.apache.spark.sql.functions._
+    // the model pass (one bucket-keyed aggregate) runs eagerly inside the
+    // operator; the RETURNED frame is the scoring pass — its plan must be
+    // scan + project only (the whole point of the collected array-literal
+    // model: a document never leaves its partition to be scored)
+    val docs = graft.Tables.documents(spark, sf)
+    val w = graft.operators.Sampling.importanceWeights(
+      docs, "text", col("lang") === "en", buckets = 64)
+    val p = w.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"scoring must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"scoring must not explode tokens:\n$p")
+  }
 }
