@@ -118,16 +118,30 @@ object Sampling {
     * with the documented 1-ulp libm-`ln` rounding caveat confined to
     * the `buckets` per-bucket constants). */
   def importanceWeights(docs: DataFrame, textCol: String, isTarget: Column,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024): DataFrame =
+    scoreImportance(docs, textCol,
+      trainImportanceModel(docs, textCol, isTarget, buckets))
+
+  private def tokBucket(t: Column, buckets: Int): Column = pmod(
+    conv(substring(md5(concat(lit("dsir|"), t)), 1, 15), 16, 10).cast("long"),
+    lit(buckets.toLong))
+
+  /** [[importanceWeights]]' TRAINING half alone: the per-bucket integer
+    * milli-nat log-ratio array (index = `md5("dsir|" + token)` mod its
+    * length). One map-side-combinable aggregate estimates both
+    * distributions; the collect is O(buckets) — a MODEL, the one thing an
+    * operator may collect. Train once at landing, then [[scoreImportance]]
+    * any frame with it — including a STREAM, which cannot run the training
+    * aggregate itself (two-pass over unbounded input): the train-batch /
+    * score-anywhere split every deployed quality scorer has. */
+  def trainImportanceModel(docs: DataFrame, textCol: String,
+      isTarget: Column, buckets: Int = 1024): Array[Long] = {
     require(buckets >= 2 && buckets <= (1 << 20),
       s"buckets must be in [2, 2^20] (the model is collected), got $buckets")
     import graft.functions.TextFunctions.tokens
-    def tokBucket(t: Column): Column = pmod(
-      conv(substring(md5(concat(lit("dsir|"), t)), 1, 15), 16, 10).cast("long"),
-      lit(buckets.toLong))
     val model = docs
       .select(isTarget.as("__tgt"), explode(tokens(col(textCol))).as("__t"))
-      .groupBy(tokBucket(col("__t")).as("__b"))
+      .groupBy(tokBucket(col("__t"), buckets).as("__b"))
       .agg(count(lit(1)).as("__raw"),
         count(when(col("__tgt"), lit(1))).as("__tgtn"))
       .collect()
@@ -140,16 +154,29 @@ object Sampling {
     }
     val totalRaw = raw.sum.toDouble
     val totalTgt = tgt.sum.toDouble
-    val mn: Seq[Long] = (0 until buckets).map { b =>
+    (0 until buckets).map { b =>
       math.round(1000.0 *
         (math.log(tgt(b) + 1.0) - math.log(totalTgt + buckets)
           - math.log(raw(b) + 1.0) + math.log(totalRaw + buckets)))
-    }
-    val mnLit = typedlit(mn)
-    docs.withColumn("__toks", tokens(col(textCol)))
+    }.toArray
+  }
+
+  /** Score ANY frame — batch or streaming — with a pinned importance
+    * model: adds `dsir_millinats` (Σ per-token bucket ratios, exact
+    * integer) and `dsir_n_toks`. Pure map-side projection (codegen'd HOF
+    * against the broadcast model literal; plan-asserted exchange-free in
+    * PlanShapeSpec), so it drops into a `readStream` pipeline unchanged —
+    * no state, no watermark, per-row cost independent of stream history. */
+  def scoreImportance(df: DataFrame, textCol: String,
+      model: Array[Long]): DataFrame = {
+    require(model.length >= 2, s"model must have >= 2 buckets, got ${model.length}")
+    import graft.functions.TextFunctions.tokens
+    val mnLit = typedlit(model.toSeq)
+    df.withColumn("__toks", tokens(col(textCol)))
       .withColumn("dsir_millinats",
         aggregate(transform(col("__toks"),
-          t => get(mnLit, tokBucket(t).cast("int"))), lit(0L), _ + _))
+          t => get(mnLit, tokBucket(t, model.length).cast("int"))),
+          lit(0L), _ + _))
       .withColumn("dsir_n_toks", size(col("__toks")).cast("long"))
       .drop("__toks")
   }
