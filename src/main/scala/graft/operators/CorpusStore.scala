@@ -40,8 +40,17 @@ import graft.sources.ScanPruning
   *
   * Sequence numbers are CALLER-supplied (a stream's batchId, a crawl
   * drop id): re-appending the same seq OVERWRITES that delta, so replays
-  * after a failure are idempotent. Contracts: keys unique within base
-  * and within each delta; single writer for [[compact]].
+  * after a failure are idempotent — and seqs must land NONDECREASING
+  * across the store's life (checked: a seq at or below the fold horizon
+  * fails loudly, see the guard in the append path). Contracts: keys
+  * unique within base and within each delta. Single-writer is ENFORCED,
+  * not promised: every mutation ([[append]], [[compact]],
+  * [[compactDeltas]], [[vacuum]], DML) takes a create-exclusive lease
+  * file (`_writer_lock`) and a second concurrent writer fails loudly
+  * instead of corrupting silently; a lease abandoned by a crashed
+  * writer is taken over after [[DefaultStaleLockMs]] (or immediately
+  * via [[breakLock]] — the operator-intervention verb every table
+  * format's lock story has).
   *
   * SNAPSHOT ISOLATION for readers: a compact never renames or deletes
   * what the current snapshot's readers hold — it writes the fold as a
@@ -68,6 +77,129 @@ object CorpusStore {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ---- writer lease -------------------------------------------------
+
+  /** Lease file every store MUTATION holds for its duration: created
+    * create-exclusive (the atomic primitive plain filesystems offer), so
+    * a second concurrent writer fails loudly instead of silently
+    * interleaving with a compact — the optimistic-commit/lock-file
+    * discipline of the table formats, in its simplest sound form. */
+  private val LockFile = "_writer_lock"
+
+  /** Age past which an existing lease is presumed abandoned (its writer
+    * crashed without the release running) and may be taken over. Ten
+    * minutes bounds how long a crash can wedge the store; a LIVE writer
+    * legitimately holding the lock longer (a multi-hour 100 TB compact)
+    * should re-touch the lease or raise the bound via `staleLockMs`. */
+  val DefaultStaleLockMs: Long = 600000L
+
+  /** Run `body` holding the store's writer lease. Acquisition order:
+    * create-exclusive; on conflict, take over a lease older than
+    * `staleLockMs` (one delete + one retry — two racers both seeing a
+    * stale lease still serialize on the exclusive create); otherwise
+    * fail loudly with the holder's age. Released on every exit path;
+    * a crashed JVM leaks the lease until staleness or [[breakLock]]. */
+  private def withWriterLock[T](spark: SparkSession, dir: String,
+      staleLockMs: Long = DefaultStaleLockMs)(body: => T): T = {
+    val d = fs(spark, dir)
+    d.mkdirs(new Path(dir))
+    val p = new Path(dir, LockFile)
+    def tryAcquire(): Boolean = {
+      val content =
+        s"${java.util.UUID.randomUUID()} ${System.currentTimeMillis()}"
+      val uri = p.toUri
+      if (uri.getScheme == null || uri.getScheme == "file") {
+        // Hadoop's LOCAL create(overwrite = false) is exists-then-create
+        // (a TOCTOU race two same-box writers can both win — observed as
+        // doubled rows when two compacts' committers merged one
+        // generation dir); O_EXCL via CREATE_NEW is the atomic form
+        try {
+          java.nio.file.Files.write(java.nio.file.Paths.get(uri.getPath),
+            content.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          true
+        } catch { case _: java.io.IOException => false }
+      } else try {
+        // HDFS/object-store create(overwrite = false) is atomic server-side
+        val out = d.create(p, false)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+    if (!tryAcquire()) {
+      val ageMs =
+        try System.currentTimeMillis() - d.getFileStatus(p).getModificationTime
+        catch { case _: java.io.IOException => Long.MaxValue } // vanished: retry
+      if (ageMs > staleLockMs) d.delete(p, false)
+      if (ageMs <= staleLockMs || !tryAcquire())
+        throw new IllegalStateException(
+          s"another writer holds $p (age ${ageMs / 1000}s <= stale bound " +
+            s"${staleLockMs / 1000}s): the store is single-writer — wait, " +
+            "or breakLock() if the holder is known dead")
+    }
+    try body finally d.delete(p, false)
+  }
+
+  /** Remove an abandoned writer lease NOW (a crashed [[appendStream]]
+    * writer's restart, a killed compact) instead of waiting out
+    * [[DefaultStaleLockMs]]. Caller asserts the holder is dead — breaking
+    * a LIVE writer's lease reintroduces exactly the double-writer
+    * corruption the lease exists to prevent. Returns whether a lease
+    * file was removed. */
+  def breakLock(spark: SparkSession, dir: String): Boolean = {
+    val d = fs(spark, dir)
+    val p = new Path(dir, LockFile)
+    d.exists(p) && d.delete(p, false)
+  }
+
+  // ---- fold horizon -------------------------------------------------
+
+  /** Store-root file recording the newest FOLDED seq (major or minor
+    * compaction) — the replay fence: an append or DML at a seq at or
+    * below it would overwrite a retired delta dir (destroying
+    * grace-window files concurrent readers may hold) or silently give a
+    * "current-state" verb a post-fold snapshot, so the write path
+    * rejects it loudly. Monotonic; absent on a never-compacted store. */
+  private val HorizonFile = "_horizon"
+
+  /** The newest folded seq: the `_horizon` file when present and
+    * parseable, else the max seq among still-on-disk retired delta dirs
+    * (pre-horizon stores / a crash between marking and the horizon
+    * write), else -1 (nothing folded — every seq >= 0 is appendable). */
+  private def foldHorizon(spark: SparkSession, dir: String): Long = {
+    val d = fs(spark, dir)
+    val p = new Path(dir, HorizonFile)
+    val recorded: Option[Long] =
+      if (!d.exists(p)) None
+      else try {
+        val in = d.open(p)
+        try {
+          val buf = new Array[Byte](32) // a decimal Long is <= 20 bytes
+          val n = in.read(buf)
+          Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None } // torn write
+    def foldedMax: Long =
+      if (!d.exists(new Path(dir))) -1L
+      else d.listStatus(new Path(dir)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta_")
+          && isFolded(d, st.getPath))
+        .map(st => deltaSeqOf(st.getPath.toString)).maxOption.getOrElse(-1L)
+    math.max(recorded.getOrElse(-1L), foldedMax)
+  }
+
+  /** Advance the horizon to `seq` (never backwards — a re-run compact
+    * must not lower the fence). Torn writes parse as absent and fall
+    * back to the folded-dir listing. */
+  private def writeHorizon(spark: SparkSession, dir: String, seq: Long): Unit = {
+    val d = fs(spark, dir)
+    val cur = foldHorizon(spark, dir)
+    if (seq > cur) {
+      val out = d.create(new Path(dir, HorizonFile), true)
+      try out.write(seq.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Marker file a [[compact]] drops inside each delta it folded: the
     * delta's content now lives in the new base generation, so every NEW
     * plan skips the dir, while its FILES stay on disk until the next
@@ -79,13 +211,31 @@ object CorpusStore {
   private def isFolded(d: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
     d.exists(new Path(p, FoldedMarker))
 
+  /** Suffix of a MINOR-compaction delta dir (`delta_<seq>.m`): the
+    * level-0 → level-1 fold of [[compactDeltas]] — many small live
+    * deltas netted into ONE delta, base untouched. The suffix keeps the
+    * fold's name distinct from the plain `delta_<seq>` it supersedes
+    * (which stays on disk, retired, for the grace window) while parsing
+    * and string-sorting to the same seq position. */
+  private val MinorSuffix = ".m"
+
+  private def isMinorName(name: String): Boolean = name.endsWith(MinorSuffix)
+
+  /** A minor-fold dir is reader-visible only once its write COMMITTED
+    * (`_SUCCESS`): unlike a plain append — whose torn write is covered
+    * by the caller's same-seq replay contract — a crashed fold has no
+    * replaying writer, so the commit marker is the liveness gate and
+    * uncommitted fold debris is invisible until purged. */
+  private def minorCommitted(d: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
+    !isMinorName(p.getName) || d.exists(new Path(p, "_SUCCESS"))
+
   /** Live (unfolded) delta dirs — what every read resolves against. */
   private def deltaPaths(spark: SparkSession, dir: String): Seq[String] = {
     val d = fs(spark, dir)
     if (!d.exists(new Path(dir))) Seq.empty
     else d.listStatus(new Path(dir)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta_")
-        && !isFolded(d, st.getPath))
+        && !isFolded(d, st.getPath) && minorCommitted(d, st.getPath))
       .map(_.getPath.toString).sorted
   }
 
@@ -134,18 +284,21 @@ object CorpusStore {
   def init(df: DataFrame, dir: String, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
-    val d = fs(spark, dir)
-    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/base")
-    if (d.exists(new Path(dir)))
-      d.listStatus(new Path(dir)).toSeq.foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("delta_") || n.startsWith(GenPrefix))
-          require(d.delete(st.getPath, true), s"init: could not clear ${st.getPath}")
-      }
-    if (statsCols.nonEmpty || bloomCols.nonEmpty)
-      ScanPruning.writeManifest(spark, s"$dir/base", manifestPath(dir),
-        statsCols, bloomCols)
-    else d.delete(new Path(manifestPath(dir)), true)
+    withWriterLock(spark, dir) {
+      val d = fs(spark, dir)
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/base")
+      if (d.exists(new Path(dir)))
+        d.listStatus(new Path(dir)).toSeq.foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("delta_") || n.startsWith(GenPrefix))
+            require(d.delete(st.getPath, true), s"init: could not clear ${st.getPath}")
+        }
+      d.delete(new Path(dir, HorizonFile), false) // a fresh store has no fold fence
+      if (statsCols.nonEmpty || bloomCols.nonEmpty)
+        ScanPruning.writeManifest(spark, s"$dir/base", manifestPath(dir),
+          statsCols, bloomCols)
+      else d.delete(new Path(manifestPath(dir)), true)
+    }
   }
 
   /** Append one refresh batch as `delta_<seq>`: `upserts` rows replace
@@ -157,8 +310,27 @@ object CorpusStore {
     * resolves deterministically to the tombstone (within a seq, delete
     * wins — see [[read]]'s tie-break). */
   def append(spark: SparkSession, dir: String, seq: Long, key: String,
+      upserts: DataFrame, deleteKeys: Option[DataFrame] = None): Unit =
+    withWriterLock(spark, dir) {
+      doAppend(spark, dir, seq, key, upserts, deleteKeys)
+    }
+
+  /** [[append]] without the lease (callers already hold it). The fold
+    * fence: a seq at or below the horizon names a RETIRED delta — its
+    * overwrite would delete a `_folded` dir's files out from under
+    * grace-window readers and resurrect pre-fold content as live, so it
+    * fails loudly (a stream replaying a batch the store folded mid-crash
+    * hits this; advance the consumer's checkpoint or re-init the store —
+    * compaction past an in-flight writer's uncommitted batch is the
+    * operational error, and this guard is where it surfaces). */
+  private def doAppend(spark: SparkSession, dir: String, seq: Long, key: String,
       upserts: DataFrame, deleteKeys: Option[DataFrame] = None): Unit = {
     require(seq >= 0, s"seq must be >= 0, got $seq")
+    val horizon = foldHorizon(spark, dir)
+    require(seq > horizon,
+      s"append at seq $seq is at or below the fold horizon $horizon: that " +
+        "delta was retired by a compaction and its files may be held by " +
+        "grace-window readers — seqs must be strictly newer than every fold")
     val up = upserts.withColumn(OpCol, lit("u"))
     val all = deleteKeys match {
       case Some(dk) => up.unionByName(
@@ -243,9 +415,12 @@ object CorpusStore {
       maxBroadcastKeys, evolveSchema)
   }
 
-  /** The seq encoded in a delta dir name (`delta_<%019d>`). */
-  private def deltaSeqOf(p: String): Long =
-    new Path(p).getName.stripPrefix("delta_").toLong
+  /** The seq encoded in a delta dir name (`delta_<%019d>`, minor folds
+    * `delta_<%019d>.m`). */
+  private def deltaSeqOf(p: String): Long = {
+    val n = new Path(p).getName.stripPrefix("delta_")
+    (if (isMinorName(n)) n.dropRight(MinorSuffix.length) else n).toLong
+  }
 
   private def deltaDirOf(dir: String, seq: Long): String =
     f"$dir/delta_$seq%019d"
@@ -419,9 +594,18 @@ object CorpusStore {
     * Guarded against misuse: a DML seq OLDER than a live delta would
     * silently mutate a historical snapshot while claiming current-state
     * semantics — fail loudly instead. Equality is allowed: that is the
-    * verb's own crashed delta being replayed. */
+    * verb's own crashed delta being replayed. The guard also checks the
+    * FOLD HORIZON: right after a compact the live set is empty, so a
+    * stale/reused seq would pass the live check alone — but its readAt
+    * snapshot would silently resolve to the post-fold state rather than
+    * a pre-seq one, and its append would clobber a retired delta dir. */
   private def dmlSnapshot(spark: SparkSession, dir: String, key: String,
       seq: Long, prune: Option[Column], maxBroadcastKeys: Long): DataFrame = {
+    val horizon = foldHorizon(spark, dir)
+    require(seq > horizon,
+      s"DML at seq $seq is at or below the fold horizon $horizon: its " +
+        "pre-seq snapshot was folded away by a compaction, so current-state " +
+        "semantics cannot be honored — use a seq newer than every fold")
     val newestLive = deltaPaths(spark, dir).map(deltaSeqOf).maxOption
     newestLive.foreach(m => require(seq >= m,
       s"DML at seq $seq is older than live delta seq $m: row-level " +
@@ -465,13 +649,14 @@ object CorpusStore {
     * mutation. Returns the number of keys tombstoned. */
   def deleteWhere(spark: SparkSession, dir: String, key: String, seq: Long,
       cond: Column, prune: Option[Column] = None,
-      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): Long = {
-    val snap = dmlSnapshot(spark, dir, key, seq, prune, maxBroadcastKeys)
-    append(spark, dir, seq, key,
-      upserts = snap.limit(0),
-      deleteKeys = Some(snap.filter(cond).select(col(key))))
-    deltaRowCount(spark, dir, seq)
-  }
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): Long =
+    withWriterLock(spark, dir) {
+      val snap = dmlSnapshot(spark, dir, key, seq, prune, maxBroadcastKeys)
+      doAppend(spark, dir, seq, key,
+        upserts = snap.limit(0),
+        deleteKeys = Some(snap.filter(cond).select(col(key))))
+      deltaRowCount(spark, dir, seq)
+    }
 
   /** Row-level UPDATE by predicate — `UPDATE store SET c = expr WHERE
     * cond`: resolve the corpus as of `seq - 1`, filter to `cond`, apply
@@ -497,9 +682,11 @@ object CorpusStore {
     require(!set.contains(key),
       s"updateWhere cannot set the key column '$key': rekeying is a " +
         "delete + insert, not an update")
-    val snap = dmlSnapshot(spark, dir, key, seq, prune, maxBroadcastKeys)
-    append(spark, dir, seq, key, snap.filter(cond).withColumns(set))
-    deltaRowCount(spark, dir, seq)
+    withWriterLock(spark, dir) {
+      val snap = dmlSnapshot(spark, dir, key, seq, prune, maxBroadcastKeys)
+      doAppend(spark, dir, seq, key, snap.filter(cond).withColumns(set))
+      deltaRowCount(spark, dir, seq)
+    }
   }
 
   /** Continuous ingestion: apply a streaming frame of upserts to the
@@ -515,8 +702,10 @@ object CorpusStore {
     * clobber delta_0, delta_1, ... written by the previous incarnation.
     * Manual [[append]]s sharing a streamed store must use seqs from a
     * disjoint range (e.g. reserve seqs >= 2^40 for manual drops); the
-    * stream owns the low batchId range. Caller starts/stops the
-    * returned query. */
+    * stream owns the low batchId range. A writer JVM killed mid-append
+    * leaves its lease behind — call [[breakLock]] before restarting the
+    * stream (or wait out [[DefaultStaleLockMs]]). Caller starts/stops
+    * the returned query. */
   def appendStream(stream: DataFrame, dir: String, key: String,
       checkpointLocation: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
@@ -554,8 +743,17 @@ object CorpusStore {
     *     PURGES their files at the next compact; run compacts only past
     *     the consumers' sync horizon (the retention contract every log
     *     store has — cadence is the caller's checked knob via
-    *     [[compactIfNeeded]]; the one-cycle grace window covers a
-    *     consumer already mid-batch, not one that lags a full cycle).
+    *     [[compactIfNeeded]]; the grace window covers a consumer
+    *     already mid-batch, not one that lags a full cycle).
+    *   - LIVENESS IS EVALUATED AT ATTACH: the stream's source covers
+    *     exactly the deltas LIVE when it starts plus every later seq
+    *     (the monotone-seq contract) — a delta already retired by a
+    *     compact (major or minor) at attach time is excluded, so a
+    *     fresh consumer attaching during the grace window neither
+    *     re-ingests the folded history (O(folded mass) wasted IO) nor
+    *     races the next compact's purge of those files mid-backfill.
+    *     A RUNNING stream that already listed a delta keeps its
+    *     snapshot, exactly like a batch reader.
     *   - The stream's schema is pinned at STREAM START: base ∪ columns
     *     of the deltas present at that moment (merged parquet footers —
     *     O(deltas) metadata, the same merge [[changesSince]] does). A
@@ -582,9 +780,42 @@ object CorpusStore {
     val schema = dataSchema
       .add(OpCol, org.apache.spark.sql.types.StringType)
       .add(SeqCol, org.apache.spark.sql.types.LongType)
-    spark.readStream.schema(schema).options(options).parquet(s"$dir/delta_*")
+    // attach-time liveness: name the live dirs explicitly and cover every
+    // FUTURE seq with strictly-greater digit patterns — a bare `delta_*`
+    // would also match already-retired (`_folded`) dirs, re-ingesting the
+    // whole folded history on a fresh attach and racing the next
+    // compact's purge of exactly those files
+    val d = fs(spark, dir)
+    val maxSeen =
+      if (!d.exists(new Path(dir))) -1L
+      else d.listStatus(new Path(dir)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta_"))
+        .map(st => deltaSeqOf(st.getPath.toString)).maxOption.getOrElse(-1L)
+    val pats = deltas.map(p => new Path(p).getName) ++ seqGtPatterns(maxSeen)
+    val glob = if (pats.size == 1) s"$dir/${pats.head}"
+    else s"$dir/{${pats.mkString(",")}}"
+    spark.readStream.schema(schema).options(options).parquet(glob)
       .withColumnRenamed(OpCol, "op").withColumnRenamed(SeqCol, "seq")
   }
+
+  /** Glob alternatives matching a plain `delta_<19 digits>` dir whose
+    * seq is strictly GREATER than `m`: one fixed-width digit-prefix
+    * pattern per position (the standard way to express ">" in glob
+    * syntax — for each position, pin the prefix and range the next
+    * digit above it). Minor-fold dirs (`.m` suffix) deliberately do NOT
+    * match: a fold created after stream start only restates seqs the
+    * stream already covers via the originals. */
+  private def seqGtPatterns(m: Long): Seq[String] =
+    if (m < 0L) Seq("delta_" + "[0-9]" * 19)
+    else {
+      val pad = f"$m%019d"
+      (0 until 19).flatMap { i =>
+        val digit = pad(i)
+        if (digit == '9') None
+        else Some("delta_" + pad.take(i) + s"[${(digit + 1).toChar}-9]" +
+          "[0-9]" * (18 - i))
+      }
+    }
 
   /** Continuous replication: [[changesStream]] composed with
     * [[append]] — apply one store's change feed to a second store, the
@@ -641,7 +872,7 @@ object CorpusStore {
     * into an existing same-seq delta. Driver work is O(distinct seqs in
     * the batch) — bounded by the batch's file count. */
   private[graft] def applyChangeSlice(spark: SparkSession, replicaDir: String,
-      key: String, batch: DataFrame): Unit = {
+      key: String, batch: DataFrame): Unit = withWriterLock(spark, replicaDir) {
     val seqs = batch.select(col("seq")).distinct().collect()
       .map(_.getLong(0)).sorted
     seqs.foreach { s =>
@@ -660,7 +891,7 @@ object CorpusStore {
       // own input; a lost block just fails the batch, which the stream
       // replays (the merge makes the replay idempotent)
       val pinned = if (exists) net.localCheckpoint(true) else net
-      append(spark, replicaDir, s, key,
+      doAppend(spark, replicaDir, s, key,
         pinned.filter(col("op") === "u").drop("op"),
         deleteKeys = Some(pinned.filter(col("op") === "d").select(col(key))))
     }
@@ -705,15 +936,23 @@ object CorpusStore {
     */
   def compact(spark: SparkSession, dir: String, key: String,
       evolveSchema: Boolean = false, clusterBy: Seq[String] = Nil,
-      clusterFiles: Int = 0): Unit = {
+      clusterFiles: Int = 0, retainGenerations: Int = 1): Unit =
+    withWriterLock(spark, dir) {
+      doCompact(spark, dir, key, evolveSchema, clusterBy, clusterFiles,
+        retainGenerations)
+    }
+
+  private def doCompact(spark: SparkSession, dir: String, key: String,
+      evolveSchema: Boolean, clusterBy: Seq[String],
+      clusterFiles: Int, retainGenerations: Int): Unit = {
     val d = fs(spark, dir)
-    // purge the grace window left by the PREVIOUS compact ([[vacuum]]):
-    // generations other than the current one (including incomplete fold
-    // debris), the gen-0 base once a newer generation committed, and
-    // folded deltas. Hadoop FileSystem delete reports failure by
-    // RETURNING false, not throwing — vacuum aborts via require while
+    // purge the grace window left by PREVIOUS compacts ([[vacuum]]):
+    // generations older than the retention horizon (including incomplete
+    // fold debris), the gen-0 base once out of retention, and retired
+    // deltas past their cycle. Hadoop FileSystem delete reports failure
+    // by RETURNING false, not throwing — vacuum aborts via require while
     // the store is still readable.
-    vacuum(spark, dir)
+    doVacuum(spark, dir, retainGenerations)
     val gen = currentBase(spark, dir)._1
     val deltas = deltaPaths(spark, dir)
     if (deltas.isEmpty) return
@@ -747,34 +986,185 @@ object CorpusStore {
           files = clusterFiles)
     }
     // the write's _SUCCESS committed the new generation; retire the
-    // folded deltas from NEW plans (ascending — see crash state 4)
-    deltas.foreach(p => d.create(new Path(p, FoldedMarker)).close())
+    // folded deltas from NEW plans (ascending — see crash state 4). The
+    // marker records the RETIRING generation, so retention-aware vacuum
+    // can age folded deltas by cycle instead of purging them all.
+    deltas.foreach { p =>
+      val out = d.create(new Path(p, FoldedMarker), true)
+      try out.write((gen + 1).toString.getBytes("UTF-8")) finally out.close()
+    }
+    // advance the replay fence: seqs at or below the fold are dead
+    writeHorizon(spark, dir, deltas.map(deltaSeqOf).max)
     if (hasManifest(spark, dir))
       ScanPruning.rebuildManifest(spark, newDir, manifestPath(dir))
   }
 
+  /** MINOR (delta-level) compaction — the LSM level-0 → level-1 fold:
+    * net the live deltas into ONE committed delta dir
+    * (`delta_<maxSeq>.m`, every row re-stamped at the newest folded seq)
+    * and retire the originals, WITHOUT touching the base. [[compact]]
+    * bounds the delta/base ROW ratio; this bounds the delta DIR and
+    * manifest-part COUNT — at streaming cadence (thousands of appends
+    * per major fold) file listing, the latest-per-key window's input
+    * width, and the manifest part union all degrade as O(appends) long
+    * before the row ratio trips [[compactIfNeeded]]. O(delta mass)
+    * compute and IO; the base — the 100 TB side — is never read.
+    *
+    * Answer contracts (spec-locked in MinorCompactSpec):
+    *   - [[read]] / [[readAt]](s >= fold seq) / [[lookup]] /
+    *     [[lookupJoin]] / [[prunedRead]]: identical answers — the
+    *     net-per-key fold IS resolution's own algebra ('d' beats 'u'
+    *     within a seq, newest seq wins).
+    *   - [[changesSince]](s): the same net op per key; the `seq` column
+    *     is RE-ATTRIBUTED to the fold seq (folded history is no longer
+    *     individually replayable — [[compact]]'s truncation contract at
+    *     delta granularity). A consumer synced INSIDE the folded range
+    *     re-receives the whole folded net; net-state ops are idempotent
+    *     to re-apply, so the feed stays correct, just coarser.
+    *   - [[readAt]](s INSIDE the folded range): resolves to the nearest
+    *     retained boundary BELOW (base + deltas older than the fold) —
+    *     where major compaction truncates old seqs UP to the folded
+    *     state, a minor fold truncates interior seqs DOWN to the
+    *     pre-fold boundary. Keep history by folding less often, not by
+    *     expecting folds to preserve it.
+    *
+    * Crash discipline mirrors [[compact]]'s:
+    *   1. an uncommitted fold (no `_SUCCESS`) is invisible to every
+    *      reader ([[deltaPaths]]' commit gate) and purged by the next
+    *      compactDeltas/vacuum.
+    *   2. die after `_SUCCESS`, before marking: the fold RESTATES the
+    *      originals' latest-per-key content at the max seq, so the
+    *      union of fold + still-live originals resolves identically
+    *      (duplicate keys agree in content; the fold's seq wins).
+    *   3. a re-run detects the committed-but-unmarked fold and FINISHES
+    *      the marking instead of re-folding (a refold would overwrite
+    *      the fold dir while reading it).
+    *   4. markers land ascending; the originals' manifest parts drop
+    *      last (stale delta parts are inert — base pruning never
+    *      consults them).
+    * Returns whether a fold ran (needs >= 2 live deltas). */
+  def compactDeltas(spark: SparkSession, dir: String, key: String): Boolean =
+    withWriterLock(spark, dir) { doCompactDeltas(spark, dir, key) }
+
+  private def doCompactDeltas(spark: SparkSession, dir: String,
+      key: String): Boolean = {
+    val d = fs(spark, dir)
+    if (!d.exists(new Path(dir))) return false
+    // crash state 1: purge uncommitted fold debris (reader-invisible)
+    d.listStatus(new Path(dir)).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("delta_") && isMinorName(n) && !isFolded(d, st.getPath)
+          && !d.exists(new Path(st.getPath, "_SUCCESS")))
+        require(d.delete(st.getPath, true),
+          s"compactDeltas: could not clear fold debris ${st.getPath}")
+    }
+    val gen = currentBase(spark, dir)._1
+    def mark(p: String): Unit = {
+      val out = d.create(new Path(p, FoldedMarker), true)
+      try out.write((gen + 1).toString.getBytes("UTF-8")) finally out.close()
+    }
+    // crash state 3: a committed fold whose originals are still live —
+    // finish retiring them (each is a restatement the fold already holds)
+    val pre = deltaPaths(spark, dir)
+    pre.filter(p => isMinorName(new Path(p).getName))
+      .maxByOption(deltaSeqOf).foreach { f =>
+        val fSeq = deltaSeqOf(f)
+        val stale = pre.filter(p => p != f && deltaSeqOf(p) <= fSeq).sorted
+        stale.foreach(mark)
+        if (stale.nonEmpty && hasManifest(spark, dir))
+          ScanPruning.dropParts(spark, manifestPath(dir),
+            stale.map(new Path(_).getName))
+      }
+    val live = deltaPaths(spark, dir)
+    if (live.size < 2) return false
+    val maxSeq = live.map(deltaSeqOf).max
+    // net per key across the live deltas — resolution's own window —
+    // re-stamped at the fold seq (one delta dir = one seq, like an append)
+    val net = spark.read.option("mergeSchema", "true").parquet(live: _*)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(SeqCol).desc, col(OpCol).asc)))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn(SeqCol, lit(maxSeq))
+    val foldDir = deltaDirOf(dir, maxSeq) + MinorSuffix
+    net.write.mode(SaveMode.Overwrite).parquet(foldDir) // _SUCCESS commits
+    live.foreach(mark) // ascending (deltaPaths sorts)
+    writeHorizon(spark, dir, maxSeq)
+    if (hasManifest(spark, dir)) {
+      ScanPruning.appendManifest(spark, manifestPath(dir), foldDir)
+      ScanPruning.dropParts(spark, manifestPath(dir),
+        live.map(new Path(_).getName))
+    }
+    true
+  }
+
+  /** The generation whose creation retired a folded delta (the marker's
+    * recorded content); markers from before the retention feature are
+    * empty and age as generation 0 (always purgeable — the pre-feature
+    * behavior). */
+  private def foldedGenOf(d: org.apache.hadoop.fs.FileSystem, p: Path): Long =
+    try {
+      val in = d.open(new Path(p, FoldedMarker))
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+
   /** Purge the snapshot grace window NOW instead of at the next
-    * [[compact]]: previous base generations (and fold debris without a
-    * `_SUCCESS`), the gen-0 `base` once a newer generation committed,
-    * and retired (`_folded`) delta dirs. The explicit VACUUM verb of the
-    * table formats — same single-writer contract and the same reader
+    * [[compact]]: base generations out of retention (and fold debris
+    * without a `_SUCCESS`), the gen-0 `base` once out of retention,
+    * retired (`_folded`) delta dirs past their cycle, and crashed
+    * minor-fold debris. The explicit VACUUM verb of the table formats —
+    * same single-writer contract (lease-enforced) and the same reader
     * consequence as compact's built-in purge: a plan that listed the
     * purged files before this call loses them (FileNotFoundException;
     * safe to re-run). Running it is never REQUIRED for correctness —
     * every compact does this housekeeping first — it exists for storage
-    * pressure between compacts. Returns the number of dirs purged. */
-  def vacuum(spark: SparkSession, dir: String): Int = {
+    * pressure between compacts.
+    *
+    * `retainGenerations` is the VACUUM-retention knob of the table
+    * formats, in cycles: generation `q` is purged only once the current
+    * generation reaches `q + retainGenerations`, and a delta retired by
+    * generation `f` only once it reaches `f + retainGenerations - 1`.
+    * The default (1) is the classic one-compact-cycle grace window; at
+    * 2+ a reader's plan survives that many compacts before losing its
+    * files — the knob long-running 100 TB readers size to their longest
+    * plan (pass the same value to [[compact]], whose built-in purge
+    * honors it too). Returns the number of dirs purged. */
+  def vacuum(spark: SparkSession, dir: String, retainGenerations: Int = 1): Int =
+    withWriterLock(spark, dir) { doVacuum(spark, dir, retainGenerations) }
+
+  private def doVacuum(spark: SparkSession, dir: String,
+      retainGenerations: Int): Int = {
+    require(retainGenerations >= 1,
+      s"retainGenerations must be >= 1, got $retainGenerations")
     val d = fs(spark, dir)
     if (!d.exists(new Path(dir))) return 0
     val (gen, baseDir) = currentBase(spark, dir)
     val expired = d.listStatus(new Path(dir)).toSeq.filter { st =>
       val n = st.getPath.getName
-      (n.startsWith(GenPrefix) && st.getPath.toString != baseDir) ||
-        (n == "base" && gen > 0L) ||
-        (n.startsWith("delta_") && isFolded(d, st.getPath))
+      if (n.startsWith(GenPrefix) && st.getPath.toString != baseDir) {
+        // uncommitted fold debris purges unconditionally (no reader can
+        // hold it); complete generations age out by the retention window
+        !d.exists(new Path(st.getPath, "_SUCCESS")) ||
+          gen >= n.stripPrefix(GenPrefix).toLong + retainGenerations
+      } else if (n == "base" && gen > 0L) {
+        gen >= retainGenerations // gen-0 ages like any other generation
+      } else if (n.startsWith("delta_")) {
+        if (isFolded(d, st.getPath))
+          gen >= foldedGenOf(d, st.getPath) + retainGenerations - 1
+        else isMinorName(n) && !d.exists(new Path(st.getPath, "_SUCCESS"))
+      } else false
     }
     expired.foreach(st => require(d.delete(st.getPath, true),
       s"vacuum: could not purge expired ${st.getPath}"))
+    // purged delta dirs take their manifest parts with them (delta parts
+    // are never consulted for base pruning, but a part pointing at
+    // deleted files is clutter the multi-part layout can simply drop)
+    val purgedDeltas = expired.map(_.getPath.getName).filter(_.startsWith("delta_"))
+    if (purgedDeltas.nonEmpty && hasManifest(spark, dir))
+      ScanPruning.dropParts(spark, manifestPath(dir), purgedDeltas)
     expired.size
   }
 
@@ -804,8 +1194,13 @@ object CorpusStore {
         val n = p.getName
         if (n.startsWith("delta_")) {
           val folded = isFolded(d, p)
-          Some((if (folded) "folded_delta" else "delta", n,
-            Some(n.stripPrefix("delta_").toLong), rowsOf(p.toString), !folded))
+          val committed = minorCommitted(d, p)
+          val kind =
+            if (!committed) "incomplete_delta" // crashed minor-fold debris
+            else if (folded) "folded_delta"
+            else "delta"
+          Some((kind, n, Some(deltaSeqOf(p.toString)),
+            if (committed) rowsOf(p.toString) else None, !folded && committed))
         } else if (n == "base" || n.startsWith(GenPrefix)) {
           val complete = n == "base" || d.exists(new Path(p, "_SUCCESS"))
           val thisGen = if (n == "base") 0L else n.stripPrefix(GenPrefix).toLong

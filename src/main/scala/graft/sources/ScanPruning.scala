@@ -275,6 +275,23 @@ object ScanPruning {
     writePart(spark, manifestPath, partTag(newDir), rows, schema)
   }
 
+  /** Drop the manifest parts covering the named data-dir tags (their
+    * `<tag>.parquet` part files) — the minor-compaction complement of
+    * [[appendManifest]]: when several delta dirs fold into one, their
+    * per-dir parts are replaced by the fold's single part, so the
+    * manifest read unions O(live dirs) parts instead of O(appends).
+    * Missing parts are skipped (idempotent — a crashed drop re-runs). */
+  def dropParts(spark: SparkSession, manifestPath: String,
+      tags: Seq[String]): Unit = {
+    val dir = new Path(manifestPath)
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tags.foreach { t =>
+      val p = new Path(dir, s"$t.parquet")
+      if (fsys.exists(p))
+        require(fsys.delete(p, false), s"could not drop manifest part $p")
+    }
+  }
+
   /** Rebuild a stored manifest over `dataDir` with the SAME stat/bloom
     * configuration it was built with (recovered before the overwrite),
     * folding all parts back to one — the compaction-time refresh. */
