@@ -18,7 +18,43 @@ object Loadavg {
 }
 
 object Bench {
+
+  /** Entry-load gate: a bench that STARTS under ambient load measures
+    * the neighbors, not the code — two rounds running, the headline
+    * artifact was captured at load and had to be self-flagged noisy.
+    * The discipline now lives here instead of in operator memory:
+    * before anything runs, spin-wait (bounded) until the box is quiet.
+    * If the wait budget expires, proceed — the artifact still carries
+    * `noisy_capture:true`, so a noisy capture can happen only by
+    * exhausting an explicit, logged wait, never by forgetting to look.
+    * `SPARK_GRAFT_LOAD_GATE=off` skips the wait (smoke runs);
+    * `SPARK_GRAFT_LOAD_GATE_WAIT` caps it in seconds (default 1800). */
+  private def awaitQuietEntry(): Unit = {
+    if (sys.env.get("SPARK_GRAFT_LOAD_GATE").contains("off")) return
+    val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_WAIT", "1800").toLong
+    val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+    var (l1, l5) = Loadavg.read()
+    var waited = false
+    // 5m > 2.0 is the artifact's own noisy_capture threshold; the 1m
+    // bound catches a burst the 5m average hasn't absorbed yet
+    while ((l5 > 2.0 || l1 > 2.5) && System.nanoTime() < deadline) {
+      if (!waited) System.err.println(
+        f"load gate: entry loadavg $l1%.2f/$l5%.2f (1m/5m) over threshold " +
+          f"2.5/2.0 — waiting up to ${maxWaitSec}s for the box to go quiet")
+      waited = true
+      Thread.sleep(30000L)
+      val r = Loadavg.read(); l1 = r._1; l5 = r._2
+    }
+    if (waited) System.err.println(
+      f"load gate: proceeding at loadavg $l1%.2f/$l5%.2f" +
+        (if (l5 > 2.0) " — WAIT BUDGET EXHAUSTED, capture will be flagged noisy"
+         else ""))
+  }
+
   def main(args: Array[String]): Unit = {
+    // refuse to start hot: see awaitQuietEntry — makes a quiet-entry
+    // headline the mechanical default rather than a builder discipline
+    awaitQuietEntry()
     // Read the noise regime ON ENTRY, before the warm-up/landing passes:
     // the bench's own 32-thread work drives the 1m average past 2 by the
     // time the queries finish, so an end-of-run reading conflates

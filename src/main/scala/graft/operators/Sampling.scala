@@ -155,9 +155,15 @@ object Sampling {
     val totalRaw = raw.sum.toDouble
     val totalTgt = tgt.sum.toDouble
     (0 until buckets).map { b =>
-      math.round(1000.0 *
+      // quantize as floor(x + 0.5), spelled the SAME way in the DuckDB
+      // oracle: log-ratios can be NEGATIVE, where JVM Math.round
+      // (half-up: -2.5 -> -2) and SQL round() (half-away-from-zero:
+      // -2.5 -> -3) disagree at exact .5 boundaries — one explicit
+      // formula on both sides closes that cross-engine divergence mode
+      // (the Dequantize8 discipline; the 1-ulp libm-ln caveat remains)
+      math.floor(1000.0 *
         (math.log(tgt(b) + 1.0) - math.log(totalTgt + buckets)
-          - math.log(raw(b) + 1.0) + math.log(totalRaw + buckets)))
+          - math.log(raw(b) + 1.0) + math.log(totalRaw + buckets)) + 0.5).toLong
     }.toArray
   }
 

@@ -44,9 +44,15 @@ object Subdoc {
     * of MB on the wire, under the 64 MB session threshold. */
   val DefaultMaxBroadcastRows = 2000000L
 
-  /** Non-empty whitespace tokens of `textCol`. */
+  /** Non-empty tokens of `textCol` — the library's ONE tokenizer
+    * ([[graft.functions.TextFunctions.tokens]], the native codegen'd
+    * single-space split), so chunk boundaries here and the quality/DSIR
+    * token counts elsewhere share a single definition. Semantically
+    * equal to `filter(split(text, " "), _ =!= "")` (both split on a
+    * literal space and drop empties — SubdocSpec pins the equivalence
+    * on tab/newline text), without the interpreted lambda per token. */
   private def toks(textCol: String): Column =
-    filter(split(col(textCol), " "), t => t =!= "")
+    graft.functions.TextFunctions.tokens(col(textCol))
 
   /** The chunk array of a token array column: aligned `chunkWords`-token
     * windows, space-rejoined (the last chunk may be shorter). */
@@ -220,8 +226,9 @@ object Subdoc {
     } else reassemble(fallbackKept, Seq(keyCol), textCol)
   }
 
-  /** Surviving whitespace-token count of a rebuilt text column — the
-    * mass statistic both sub-document operators are judged by. */
+  /** Surviving token count of a rebuilt text column (the shared
+    * [[graft.functions.TextFunctions.tokens]] definition) — the mass
+    * statistic both sub-document operators are judged by. */
   def tokenCount(text: Column): Column =
-    size(filter(split(text, " "), t => t =!= ""))
+    size(graft.functions.TextFunctions.tokens(text))
 }

@@ -362,19 +362,65 @@ object CurationQueries {
   // token array.
   private val DsirPlant = " wikitok wikitok wikitok factbox factbox infobox"
 
-  private def docsDsirSelect(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Sampling
-    val planted = Tables.documents(s, dir)
-      .withColumn("text2", when(col("lang") === "en",
-        concat(col("text"), lit(DsirPlant))).otherwise(col("text")))
-    Sampling.importanceWeights(planted, "text2", col("lang") === "en",
-        buckets = 512)
-      .groupBy(col("lang"))
+  private def plantText(df: DataFrame): DataFrame =
+    df.withColumn("text2", when(col("lang") === "en",
+      concat(col("text"), lit(DsirPlant))).otherwise(col("text")))
+
+  private def dsirAgg(scored: DataFrame): DataFrame =
+    scored.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("dsir_millinats") > 0, lit(1))).as("n_kept"),
         sum(col("dsir_millinats")).as("sum_mn"),
         sum(col("dsir_n_toks")).as("sum_toks"))
       .orderBy(col("lang"))
+
+  private def docsDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val planted = plantText(Tables.documents(s, dir))
+    dsirAgg(Sampling.importanceWeights(planted, "text2",
+      col("lang") === "en", buckets = 512))
+  }
+
+  // ---- DSIR streaming scorer (train batch / score STREAM) ------------
+  //
+  // The deployment shape the train/score split exists for: the model is
+  // trained ONCE over the landed (planted) corpus — one aggregate, an
+  // O(buckets) collect — then PINNED and applied to a readStream of the
+  // same documents as a pure map-side projection into a parquet sink
+  // (Trigger.AvailableNow drains the backlog and stops; a stream cannot
+  // run the two-pass training aggregate itself). The SINK's files — not
+  // an in-memory frame — are what the oracle judges: the aggregate over
+  // them must equal docs_dsir_select's answer bit-for-bit (the oracle
+  // SQL is shared verbatim), proving the streamed scorer emits the same
+  // exact integer milli-nats as the batch one. Stateless: no watermark,
+  // no state store, per-row cost independent of stream history; at
+  // 100 TB the same pipeline just keeps running (each microbatch scores
+  // its files and appends to the sink).
+  private def docsDsirStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IvfModelStore, Sampling}
+    val model = Sampling.trainImportanceModel(
+      plantText(Tables.documents(s, dir)), "text2", col("lang") === "en",
+      buckets = 512)
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_dsirstream_${IvfModelStore.dirKey(dir)}"
+    val wp = new org.apache.hadoop.fs.Path(work)
+    wp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wp, true)
+    // the table may be a SINGLE parquet file (the generated fixtures);
+    // FileStreamSource force-sets basePath to a NON-glob path itself,
+    // which then fails its own must-be-a-directory check — the {} glob
+    // (matching the same literal name) suppresses that override so the
+    // explicit directory basePath survives
+    val docsPath = s"$dir/{documents.parquet}"
+    val stream = plantText(s.readStream
+      .schema(Tables.documents(s, dir).schema)
+      .option("basePath", dir).parquet(docsPath))
+    val q = Sampling.scoreImportance(stream, "text2", model)
+      .select(col("doc_id"), col("lang"), col("dsir_millinats"),
+        col("dsir_n_toks"))
+      .writeStream.option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", s"$work/out").start()
+    q.awaitTermination()
+    dsirAgg(s.read.parquet(s"$work/out"))
   }
 
   private val docsDsirSelectSql =
@@ -395,8 +441,10 @@ object CurationQueries {
        |), tot AS (
        |  SELECT SUM(raw_n) AS r_tot, SUM(tgt_n) AS t_tot FROM model
        |), lr AS (
-       |  SELECT b, CAST(round(1000 * (ln(tgt_n + 1.0) - ln(t_tot + 512.0)
-       |    - ln(raw_n + 1.0) + ln(r_tot + 512.0))) AS BIGINT) AS mn
+       |  -- floor(x + 0.5), matching the Scala model builder exactly:
+       |  -- round() is half-away-from-zero on negatives, Java half-up
+       |  SELECT b, CAST(floor(1000 * (ln(tgt_n + 1.0) - ln(t_tot + 512.0)
+       |    - ln(raw_n + 1.0) + ln(r_tot + 512.0)) + 0.5) AS BIGINT) AS mn
        |  FROM model CROSS JOIN tot
        |), scored AS (
        |  SELECT t.doc_id, SUM(lr.mn) AS s_mn, COUNT(*) AS n_toks
@@ -415,6 +463,8 @@ object CurationQueries {
   def all: Seq[QueryDef] = Seq(
     QueryDef("text_pii", Some(textPiiSql), textPii),
     QueryDef("docs_dsir_select", Some(docsDsirSelectSql), docsDsirSelect),
+    // shared oracle: the streamed scorer must land the batch answer
+    QueryDef("docs_dsir_stream", Some(docsDsirSelectSql), docsDsirStream),
     QueryDef("docs_split_hash", Some(docsSplitHashSql), docsSplitHash),
     QueryDef("docs_interleave", Some(docsInterleaveSql), docsInterleave),
     QueryDef("sample_hash_topk", Some(sampleHashTopkSql), sampleHashTopk),

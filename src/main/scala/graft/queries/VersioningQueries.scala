@@ -282,6 +282,63 @@ object VersioningQueries {
        |  AND (SELECT MAX(doc_id) FROM documents)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- minor (delta-level) compaction (CorpusStore.compactDeltas): the
+  // LSM level-0 fold. THREE separate appends land the refresh in stages —
+  // batch A (mod-7 slice), batch B (mod-11 slice; the mod-77 overlap
+  // re-upserts identical rows, exercising cross-delta last-writer-wins),
+  // then the mod-13 tombstones — and compactDeltas nets them into ONE
+  // delta dir + ONE manifest part WITHOUT touching the base. The final
+  // state equals the classic two-append reconstruction (same relational
+  // oracle as corpus_store_read), and the fold's structural outcome is
+  // pinned INTO the hash: n_live_deltas / n_manifest_parts ride as
+  // columns the oracle states as constants — a fold that silently
+  // no-ops, leaves extra live dirs, or forgets to collapse the manifest
+  // fails the compare, not just a spec.
+  private def storeMinorCompact(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CorpusStore, IvfModelStore}
+    val store =
+      s"${System.getProperty("java.io.tmpdir")}/graft_minor_${IvfModelStore.dirKey(dir)}"
+    CorpusStore.init(oldSnap(s, dir).repartitionByRange(8, col("doc_id")),
+      store, statsCols = Seq("doc_id"))
+    CorpusStore.append(s, store, 1L, "doc_id",
+      newSnap(s, dir).filter(col("doc_id") % 7 === 0))
+    CorpusStore.append(s, store, 2L, "doc_id",
+      newSnap(s, dir).filter(col("doc_id") % 11 === 0))
+    CorpusStore.append(s, store, 3L, "doc_id",
+      oldSnap(s, dir).limit(0),
+      deleteKeys = Some(Tables.documents(s, dir)
+        .filter(col("doc_id") % 13 === 0).select(col("doc_id"))))
+    require(CorpusStore.compactDeltas(s, store, "doc_id"),
+      "three live deltas must fold")
+    val nLive = CorpusStore.describe(s, store)
+      .filter(col("kind") === "delta").count()
+    val mPath = new org.apache.hadoop.fs.Path(s"$store/manifest")
+    val nParts = mPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .listStatus(mPath).count(_.getPath.getName.endsWith(".parquet")).toLong
+    CorpusStore.read(s, store, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(fpChk(col("fp"))).as("fp_chk"))
+      .withColumn("n_live_deltas", lit(nLive))
+      .withColumn("n_manifest_parts", lit(nParts))
+      .orderBy(col("source"))
+  }
+
+  private val storeMinorCompactSql =
+    s"""WITH $snapSql, batch AS (
+       |  SELECT * FROM new WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+       |), final AS (
+       |  SELECT * FROM batch WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT * FROM old WHERE doc_id % 13 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM batch)
+       |)
+       |SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk,
+       |  CAST(1 AS BIGINT) AS n_live_deltas,
+       |  CAST(2 AS BIGINT) AS n_manifest_parts
+       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- refresh pipeline e2e: the real ingest shape — dedup the batch
   // against history BEFORE merging. The batch streams through
   // Dedup.incrementalDups (broadcast bloom probe + exact fp semi-join —
@@ -778,6 +835,8 @@ object VersioningQueries {
     QueryDef("store_dml_where", Some(storeDmlWhereSql), storeDmlWhere),
     QueryDef("store_cluster_compact", Some(storeClusterCompactSql),
       storeClusterCompact),
+    QueryDef("store_minor_compact", Some(storeMinorCompactSql),
+      storeMinorCompact),
     QueryDef("pipeline_refresh_store", Some(pipelineRefreshStoreSql),
       pipelineRefreshStore),
     QueryDef("pipeline_incremental_agg", Some(pipelineIncrementalAggSql),

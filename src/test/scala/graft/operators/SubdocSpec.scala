@@ -93,4 +93,36 @@ class SubdocSpec extends SparkTestBase {
       (2L, "own two"),
       (4L, "zz ww")), "doc 3 is entirely already-seen chunks and disappears")
   }
+
+  test("one tokenizer: chunking shares TextFunctions.tokens — tab/newline text tokenizes identically on both") {
+    // the library's single token definition is a LITERAL-SPACE split:
+    // "a\tb" is ONE token, "c\nd" is ONE token, runs of spaces collapse.
+    // Subdoc must agree with TextFunctions.tokens exactly on such text
+    // (before r14 it had its own filter(split(...)) copy — semantically
+    // equal, but two definitions invite drift; now it IS the same expr).
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a\tb  c\nd e"), // 3 tokens: "a\tb", "c\nd", "e"
+      (2L, "\t\n"), //         1 token (no space anywhere): "\t\n"
+      (3L, " x  y ")) //       2 tokens
+      .toDF("id", "text")
+    val viaCanon = docs.select(col("id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    assert(viaCanon.map(t => (t._1, t._2.toList)).toSeq === Seq(
+      (1L, List("a\tb", "c\nd", "e")), (2L, List("\t\n")),
+      (3L, List("x", "y"))))
+    // chunkExplode windows over exactly those tokens
+    val chunks = Subdoc.chunkExplode(docs, "text", 2, Seq("id"))
+      .orderBy("id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(chunks.toSeq === Seq(
+      (1L, 0, "a\tb c\nd"), (1L, 1, "e"),
+      (2L, 0, "\t\n"),
+      (3L, 0, "x y")))
+    // and tokenCount agrees with the canon on the same text
+    val counts = docs.select(col("id"), Subdoc.tokenCount(col("text")).as("n"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(counts.toSeq === Seq((1L, 3), (2L, 1), (3L, 2)))
+  }
 }
