@@ -146,6 +146,10 @@ object StoreStreamBench {
   private def recover(work: String): Unit = {
     val (l1, l5) = Loadavg.read()
     val spark = session()
+    // the victim died holding (or having just released) the writer lease;
+    // crashed-writer recovery breaks it explicitly instead of waiting out
+    // the staleness bound — the documented appendStream restart step
+    CorpusStore.breakLock(spark, s"$work/store")
     val victimJson = {
       val src = scala.io.Source.fromFile(s"$work/victim.json")
       try src.mkString finally src.close()
@@ -281,6 +285,8 @@ object StoreStreamBench {
   private def replRecover(work: String): Unit = {
     val (l1, l5) = Loadavg.read()
     val spark = session()
+    // break the dead replicator's lease before restarting (see recover)
+    CorpusStore.breakLock(spark, s"$work/replica")
     val victimJson = {
       val src = scala.io.Source.fromFile(s"$work/repl_victim.json")
       try src.mkString finally src.close()
