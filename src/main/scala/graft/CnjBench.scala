@@ -53,9 +53,11 @@ object CnjBench {
       r
     }
     new java.io.File(outDir).mkdirs()
-    // default mirrors MetasJob.runAll's concurrent sinks; the
-    // sequential arm exists for A/B measurement of the overlap itself
-    val sequential = sys.env.get("SPARK_GRAFT_CNJ_SEQUENTIAL").contains("1")
+    // default mirrors MetasJob.runAll's SEQUENTIAL sinks (the r14 A/B
+    // flipped the default: overlap contends on a saturated box — see
+    // runAll's doc and CNJBENCH_r14.json); the concurrent arm stays
+    // available for A/B measurement of the overlap itself
+    val sequential = !sys.env.get("SPARK_GRAFT_CNJ_CONCURRENT").contains("1")
     val t0 = System.nanoTime()
     // mirrors MetasJob.runAll step-for-step, with per-phase timing: the
     // raw corpus is NOT cached (the ~1 GB InMemoryRelation costs ~10x

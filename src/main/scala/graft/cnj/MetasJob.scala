@@ -234,17 +234,22 @@ object MetasJob {
 
   /** Full run: ResumoMetas.csv + Consolidado.csv + grafico_meta1.png.
     *
-    * The two sinks are INDEPENDENT plans over the same corpus scan, so
-    * they are submitted from two threads and Spark's scheduler
-    * interleaves their stages — ordinary multi-job scheduling on any
-    * cluster. The overlap exists because each job has core-idle serial
-    * sections the other's scan/parse tasks can fill: driver planning,
-    * the broadcast-dimension build, the single-task coalesce(1) summary
-    * write, and the driver-side chart/warning collects. Outputs are
-    * byte-identical to the sequential order (golden-locked);
-    * `concurrentSinks = false` restores it for A/B measurement. */
+    * The two sinks are INDEPENDENT plans over the same corpus scan;
+    * `concurrentSinks = true` submits them from two threads and Spark's
+    * scheduler interleaves their stages — ordinary multi-job scheduling
+    * on any cluster, useful when each job leaves cores idle in serial
+    * sections (driver planning, broadcast build, coalesce(1) summary
+    * write, driver-side collects) the other's tasks can fill. Outputs
+    * are byte-identical either way (golden-locked). SEQUENTIAL is the
+    * default: the r14 A/B re-measure (CNJBENCH_r14.json, 7 gated
+    * fresh-JVM runs) had sequential both faster at the best (37.0 vs
+    * 40.1 s) and far tighter (37.0-37.9 vs 40.1-53.0 s) — on a
+    * saturated local[32] box the overlap CONTENDS (the resumo phase
+    * ran 1.8-2.3x longer under overlap), and the r13 continuation's
+    * -4.4% concurrent win did not reproduce. Opt in on clusters with
+    * genuinely idle resources. */
   def runAll(spark: SparkSession, inDir: String, outDir: String,
-      concurrentSinks: Boolean = true): Unit = {
+      concurrentSinks: Boolean = false): Unit = {
     new java.io.File(outDir).mkdirs()
     // The raw corpus is NOT cached: building the InMemoryRelation for
     // ~1 GB of expanded rows costs ~10x the one extra CSV scan it would
