@@ -705,9 +705,28 @@ object CorpusStore {
     * stream owns the low batchId range. A writer JVM killed mid-append
     * leaves its lease behind — call [[breakLock]] before restarting the
     * stream (or wait out [[DefaultStaleLockMs]]). Caller starts/stops
-    * the returned query. */
+    * the returned query.
+    *
+    * `maintainEvery` > 0 runs the [[maintain]] policy after every that
+    * many batches — the self-maintaining form: without it, a
+    * long-running stream accumulates one delta dir + one manifest part
+    * PER MICROBATCH (O(appends) listings and window inputs — exactly
+    * the degradation [[compactDeltas]] exists to bound), and the folds
+    * run on the writer's own foreachBatch thread, which is the one
+    * place the single-writer lease makes them safe by construction.
+    * Maintenance is deliberately NOT per-batch: the decision is cheap
+    * but a fold inside every commit interval would stall the stream's
+    * cadence; a stride of ~maxLiveDeltas keeps folds amortized. A
+    * maintenance failure fails that microbatch (the stream stops loudly
+    * and the restart replays it — the append is already committed and
+    * the same-seq overwrite makes the replay idempotent). Downstream
+    * [[changesStream]] consumers of a self-maintaining store must keep
+    * within the retention window — majors happen when the ratio trips,
+    * so size `maxDeltaToBaseRatio` (and the store's retention knobs via
+    * an external [[compact]] cadence) to the laggiest consumer. */
   def appendStream(stream: DataFrame, dir: String, key: String,
-      checkpointLocation: String)
+      checkpointLocation: String, maintainEvery: Int = 0,
+      maxLiveDeltas: Int = 16, maxDeltaToBaseRatio: Double = 0.2)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(checkpointLocation.nonEmpty,
       "appendStream needs a checkpointLocation: without one a restarted " +
@@ -716,6 +735,15 @@ object CorpusStore {
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         append(batch.sparkSession, dir, batchId, key, batch)
+        // foldBelowSeq = batchId: this batch's checkpoint commit hasn't
+        // landed yet, so its delta must stay live for a possible replay
+        // — folding it would put the replayed append at or below the
+        // horizon fence and wedge the restarted stream
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
+          maintain(batch.sparkSession, dir, key, maxLiveDeltas,
+            maxDeltaToBaseRatio, foldBelowSeq = batchId)
+          ()
+        }
       }
   }
 
@@ -936,15 +964,17 @@ object CorpusStore {
     */
   def compact(spark: SparkSession, dir: String, key: String,
       evolveSchema: Boolean = false, clusterBy: Seq[String] = Nil,
-      clusterFiles: Int = 0, retainGenerations: Int = 1): Unit =
+      clusterFiles: Int = 0, retainGenerations: Int = 1,
+      minRetainMs: Long = 0L, foldBelowSeq: Long = Long.MaxValue): Unit =
     withWriterLock(spark, dir) {
       doCompact(spark, dir, key, evolveSchema, clusterBy, clusterFiles,
-        retainGenerations)
+        retainGenerations, minRetainMs, foldBelowSeq)
     }
 
   private def doCompact(spark: SparkSession, dir: String, key: String,
       evolveSchema: Boolean, clusterBy: Seq[String],
-      clusterFiles: Int, retainGenerations: Int): Unit = {
+      clusterFiles: Int, retainGenerations: Int,
+      minRetainMs: Long = 0L, foldBelowSeq: Long = Long.MaxValue): Unit = {
     val d = fs(spark, dir)
     // purge the grace window left by PREVIOUS compacts ([[vacuum]]):
     // generations older than the retention horizon (including incomplete
@@ -952,15 +982,21 @@ object CorpusStore {
     // deltas past their cycle. Hadoop FileSystem delete reports failure
     // by RETURNING false, not throwing — vacuum aborts via require while
     // the store is still readable.
-    doVacuum(spark, dir, retainGenerations)
+    doVacuum(spark, dir, retainGenerations, minRetainMs)
     val gen = currentBase(spark, dir)._1
-    val deltas = deltaPaths(spark, dir)
+    // foldBelowSeq (default unbounded) is the same replay fence as
+    // [[compactDeltas]]': deltas at or above it stay LIVE over the new
+    // base — they are strictly newer than everything folded, so
+    // resolution over (new base + remaining deltas) is unchanged
+    val deltas = deltaPaths(spark, dir).filter(p => deltaSeqOf(p) < foldBelowSeq)
     if (deltas.isEmpty) return
     // evolveSchema folds widened deltas into a WIDENED base — the one
     // O(corpus) write schema evolution ever pays, amortized over the
     // same cadence as any compact; plain reads carry the new columns
     // from then on
-    val folded = read(spark, dir, key, evolveSchema = evolveSchema)
+    val folded = resolve(spark.read.parquet(currentBase(spark, dir)._2),
+      readDeltas(spark, deltas, evolveSchema), key,
+      DefaultMaxBroadcastKeys, evolveSchema)
     val newDir = f"$dir/$GenPrefix${gen + 1}%019d"
     // clusterBy: compaction is already the O(corpus) rewrite, so it is
     // the natural (free-shuffle) moment to LAY OUT the new base — range
@@ -1042,12 +1078,22 @@ object CorpusStore {
     *   4. markers land ascending; the originals' manifest parts drop
     *      last (stale delta parts are inert — base pruning never
     *      consults them).
-    * Returns whether a fold ran (needs >= 2 live deltas). */
-  def compactDeltas(spark: SparkSession, dir: String, key: String): Boolean =
-    withWriterLock(spark, dir) { doCompactDeltas(spark, dir, key) }
+    * `foldBelowSeq` bounds the fold to live deltas with seq STRICTLY
+    * below it (default unbounded): the replay fence for a writer whose
+    * seq source can re-issue its newest seq — [[appendStream]]'s
+    * maintenance passes its current batchId, so a batch whose
+    * checkpoint commit hasn't landed yet can never be folded out from
+    * under its own replay (a folded seq is at or below the horizon, and
+    * the replayed append would fail [[doAppend]]'s fence loudly).
+    * Returns whether a fold ran (needs >= 2 live deltas in bound). */
+  def compactDeltas(spark: SparkSession, dir: String, key: String,
+      foldBelowSeq: Long = Long.MaxValue): Boolean =
+    withWriterLock(spark, dir) {
+      doCompactDeltas(spark, dir, key, foldBelowSeq)
+    }
 
   private def doCompactDeltas(spark: SparkSession, dir: String,
-      key: String): Boolean = {
+      key: String, foldBelowSeq: Long = Long.MaxValue): Boolean = {
     val d = fs(spark, dir)
     if (!d.exists(new Path(dir))) return false
     // crash state 1: purge uncommitted fold debris (reader-invisible)
@@ -1075,7 +1121,7 @@ object CorpusStore {
           ScanPruning.dropParts(spark, manifestPath(dir),
             stale.map(new Path(_).getName))
       }
-    val live = deltaPaths(spark, dir)
+    val live = deltaPaths(spark, dir).filter(p => deltaSeqOf(p) < foldBelowSeq)
     if (live.size < 2) return false
     val maxSeq = live.map(deltaSeqOf).max
     // net per key across the live deltas — resolution's own window —
@@ -1131,29 +1177,63 @@ object CorpusStore {
     * 2+ a reader's plan survives that many compacts before losing its
     * files — the knob long-running 100 TB readers size to their longest
     * plan (pass the same value to [[compact]], whose built-in purge
-    * honors it too). Returns the number of dirs purged. */
-  def vacuum(spark: SparkSession, dir: String, retainGenerations: Int = 1): Int =
-    withWriterLock(spark, dir) { doVacuum(spark, dir, retainGenerations) }
+    * honors it too).
+    *
+    * `minRetainMs` is the TIME half of the retention contract (the
+    * VACUUM-retention DURATION of the table formats): an artifact out
+    * of CYCLE retention is still held while younger than this many
+    * milliseconds — a generation ages from its `_SUCCESS` commit, a
+    * retired delta from its `_folded` marker (the moment it left the
+    * live set). Cycles bound the artifact COUNT on a slow-compacting
+    * store; the time floor protects a long-running plan on a
+    * FAST-compacting one (an auto-maintained streaming store can cycle
+    * generations in minutes — size the floor to the longest reader).
+    * Uncommitted debris purges unconditionally under either knob (no
+    * reader can hold a dir whose write never committed). Returns the
+    * number of dirs purged. */
+  def vacuum(spark: SparkSession, dir: String, retainGenerations: Int = 1,
+      minRetainMs: Long = 0L): Int =
+    withWriterLock(spark, dir) {
+      doVacuum(spark, dir, retainGenerations, minRetainMs)
+    }
 
   private def doVacuum(spark: SparkSession, dir: String,
-      retainGenerations: Int): Int = {
+      retainGenerations: Int, minRetainMs: Long = 0L): Int = {
     require(retainGenerations >= 1,
       s"retainGenerations must be >= 1, got $retainGenerations")
+    require(minRetainMs >= 0L, s"minRetainMs must be >= 0, got $minRetainMs")
     val d = fs(spark, dir)
     if (!d.exists(new Path(dir))) return 0
     val (gen, baseDir) = currentBase(spark, dir)
+    // the retirement timestamp of a committed artifact: its commit /
+    // retirement marker's mtime (the file this store itself wrote last),
+    // falling back to the dir's own mtime; an unreadable stamp counts as
+    // infinitely old — the cycle knob is then the only fence, exactly
+    // the pre-feature behavior
+    def oldEnough(p: Path, markFile: String): Boolean =
+      minRetainMs <= 0L || {
+        val stamp = try {
+          val mp = new Path(p, markFile)
+          (if (d.exists(mp)) d.getFileStatus(mp) else d.getFileStatus(p))
+            .getModificationTime
+        } catch { case scala.util.control.NonFatal(_) => 0L }
+        System.currentTimeMillis() - stamp >= minRetainMs
+      }
     val expired = d.listStatus(new Path(dir)).toSeq.filter { st =>
       val n = st.getPath.getName
       if (n.startsWith(GenPrefix) && st.getPath.toString != baseDir) {
         // uncommitted fold debris purges unconditionally (no reader can
         // hold it); complete generations age out by the retention window
         !d.exists(new Path(st.getPath, "_SUCCESS")) ||
-          gen >= n.stripPrefix(GenPrefix).toLong + retainGenerations
+          (gen >= n.stripPrefix(GenPrefix).toLong + retainGenerations &&
+            oldEnough(st.getPath, "_SUCCESS"))
       } else if (n == "base" && gen > 0L) {
-        gen >= retainGenerations // gen-0 ages like any other generation
+        // gen-0 ages like any other generation
+        gen >= retainGenerations && oldEnough(st.getPath, "_SUCCESS")
       } else if (n.startsWith("delta_")) {
         if (isFolded(d, st.getPath))
-          gen >= foldedGenOf(d, st.getPath) + retainGenerations - 1
+          gen >= foldedGenOf(d, st.getPath) + retainGenerations - 1 &&
+            oldEnough(st.getPath, FoldedMarker)
         else isMinorName(n) && !d.exists(new Path(st.getPath, "_SUCCESS"))
       } else false
     }
@@ -1236,5 +1316,59 @@ object CorpusStore {
     if (deltaRows > maxDeltaToBaseRatio * math.max(baseRows, 1L)) {
       compact(spark, dir, key, evolveSchema, clusterBy); true
     } else false
+  }
+
+  /** The two-tier LSM maintenance policy — ONE checked verb deciding
+    * both folds, so a store under continuous ingestion needs a single
+    * call at its cadence instead of two hand-sequenced ones:
+    *
+    *   - MAJOR ([[compact]]) when the delta ROW mass exceeds
+    *     `maxDeltaToBaseRatio` of the base — the read path's
+    *     latest-per-key window and anti-join side are delta-mass-sized,
+    *     so row mass is what degrades query plans.
+    *   - else MINOR ([[compactDeltas]]) when the live delta DIR count
+    *     reaches `maxLiveDeltas` — at streaming cadence the dir count,
+    *     not the row mass, is what grows without bound (O(appends) file
+    *     listings, window inputs, and manifest parts long before the
+    *     row ratio trips).
+    *   - else nothing.
+    *
+    * The decision is METADATA-ONLY (one dir listing + parquet footer
+    * counts — no data scan), so calling it after every append costs
+    * nothing when there is nothing to do. Tier order matters: a store
+    * past BOTH thresholds takes the major fold (which subsumes the
+    * minor one); checking the dir count first would pay the minor
+    * fold's O(delta mass) write and then re-trip the ratio anyway.
+    * Returns which tier ran: `"major"`, `"minor"`, or `"none"`.
+    *
+    * Caveats the caller owns (both inherited, not new): a major fold
+    * retires deltas, so [[changesStream]] consumers must stay within
+    * the retention window (`retainGenerations` cycles and at least
+    * `minRetainMs` — size them to the laggiest consumer); and
+    * maintenance takes the writer lease, so call it from the writer's
+    * thread (e.g. [[appendStream]]'s `maintainEvery`), never
+    * concurrently with it. */
+  def maintain(spark: SparkSession, dir: String, key: String,
+      maxLiveDeltas: Int = 16, maxDeltaToBaseRatio: Double = 0.2,
+      evolveSchema: Boolean = false, clusterBy: Seq[String] = Nil,
+      clusterFiles: Int = 0, retainGenerations: Int = 1,
+      minRetainMs: Long = 0L, foldBelowSeq: Long = Long.MaxValue): String = {
+    require(maxLiveDeltas >= 2,
+      s"maxLiveDeltas must be >= 2 (a fold needs two inputs), got $maxLiveDeltas")
+    require(maxDeltaToBaseRatio > 0,
+      s"ratio must be > 0, got $maxDeltaToBaseRatio")
+    // decide over the FOLDABLE set only (seq < foldBelowSeq): a delta
+    // the fence excludes must neither trip a threshold nor be folded
+    val deltas = deltaPaths(spark, dir).filter(p => deltaSeqOf(p) < foldBelowSeq)
+    if (deltas.isEmpty) return "none"
+    val deltaRows = spark.read.parquet(deltas: _*).count()
+    val baseRows = spark.read.parquet(currentBase(spark, dir)._2).count()
+    if (deltaRows > maxDeltaToBaseRatio * math.max(baseRows, 1L)) {
+      compact(spark, dir, key, evolveSchema, clusterBy, clusterFiles,
+        retainGenerations, minRetainMs, foldBelowSeq)
+      "major"
+    } else if (deltas.size >= maxLiveDeltas) {
+      if (compactDeltas(spark, dir, key, foldBelowSeq)) "minor" else "none"
+    } else "none"
   }
 }

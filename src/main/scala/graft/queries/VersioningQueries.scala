@@ -324,6 +324,65 @@ object VersioningQueries {
       .orderBy(col("source"))
   }
 
+  // ---- two-tier maintenance policy e2e (CorpusStore.maintain): three
+  // streaming-cadence appends with maintain() after each — the dir-count
+  // knob at 2 keeps the live set folded minor-tier as it grows — then
+  // the row-ratio knob trips the MAJOR fold. The tier SEQUENCE the
+  // policy chose is hashed into the compare as a literal column: a
+  // policy that folds where none belongs, skips a due fold, or majors
+  // early produces a different string and fails the hash; the content
+  // aggregate over the final read fails if any fold changed an answer
+  // (same final state as store_minor_compact — the folds are supposed
+  // to be invisible to it).
+  private def storeMaintainPolicy(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CorpusStore, IvfModelStore}
+    val store =
+      s"${System.getProperty("java.io.tmpdir")}/graft_mntn_${IvfModelStore.dirKey(dir)}"
+    // no stats manifest: the policy decision + fold answers are the
+    // subject here; manifest-part folding is store_minor_compact's
+    CorpusStore.init(oldSnap(s, dir).repartitionByRange(8, col("doc_id")), store)
+    def mnt(): String = CorpusStore.maintain(s, store, "doc_id",
+      maxLiveDeltas = 2, maxDeltaToBaseRatio = 1000.0)
+    val tiers = scala.collection.mutable.ArrayBuffer.empty[String]
+    CorpusStore.append(s, store, 1L, "doc_id",
+      newSnap(s, dir).filter(col("doc_id") % 7 === 0))
+    tiers += mnt() // one live delta: under both knobs
+    CorpusStore.append(s, store, 2L, "doc_id",
+      newSnap(s, dir).filter(col("doc_id") % 11 === 0))
+    tiers += mnt() // two live dirs: minor fold
+    CorpusStore.append(s, store, 3L, "doc_id",
+      oldSnap(s, dir).limit(0),
+      deleteKeys = Some(Tables.documents(s, dir)
+        .filter(col("doc_id") % 13 === 0).select(col("doc_id"))))
+    tiers += mnt() // fold + fresh delta: minor again
+    tiers += CorpusStore.maintain(s, store, "doc_id",
+      maxLiveDeltas = 16, maxDeltaToBaseRatio = 1.0e-9) // ratio trips: major
+    val nLive = CorpusStore.describe(s, store)
+      .filter(col("kind") === "delta").count()
+    CorpusStore.read(s, store, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(fpChk(col("fp"))).as("fp_chk"))
+      .withColumn("tiers", lit(tiers.mkString(",")))
+      .withColumn("n_live_deltas", lit(nLive))
+      .orderBy(col("source"))
+  }
+
+  private val storeMaintainPolicySql =
+    s"""WITH $snapSql, batch AS (
+       |  SELECT * FROM new WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+       |), final AS (
+       |  SELECT * FROM batch WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT * FROM old WHERE doc_id % 13 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM batch)
+       |)
+       |SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(${fpChkSql("fp")}) AS BIGINT) AS fp_chk,
+       |  'none,minor,minor,major' AS tiers,
+       |  CAST(0 AS BIGINT) AS n_live_deltas
+       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val storeMinorCompactSql =
     s"""WITH $snapSql, batch AS (
        |  SELECT * FROM new WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
@@ -837,6 +896,8 @@ object VersioningQueries {
       storeClusterCompact),
     QueryDef("store_minor_compact", Some(storeMinorCompactSql),
       storeMinorCompact),
+    QueryDef("store_maintain_policy", Some(storeMaintainPolicySql),
+      storeMaintainPolicy),
     QueryDef("pipeline_refresh_store", Some(pipelineRefreshStoreSql),
       pipelineRefreshStore),
     QueryDef("pipeline_incremental_agg", Some(pipelineIncrementalAggSql),

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkTestBase
+
+/** The two-tier LSM maintenance policy ([[CorpusStore.maintain]]), the
+  * `foldBelowSeq` replay fence on both fold tiers, self-maintaining
+  * [[CorpusStore.appendStream]] ingestion, and the time-based half of
+  * the retention contract (`minRetainMs` on vacuum/compact) — the
+  * round-14 follow-through on the store's maintenance story.
+  */
+class MaintainSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft-test-maintain-$tag"
+    val p = new Path(d)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    d
+  }
+
+  private def hfs(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def state(dir: String): Seq[(Long, String)] =
+    CorpusStore.read(spark, dir, "id").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  private def liveDeltaDirs(dir: String): Seq[String] = {
+    val fs = hfs(dir)
+    fs.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta_")
+        && !fs.exists(new Path(st.getPath, "_folded"))
+        && (!st.getPath.getName.endsWith(".m") ||
+          fs.exists(new Path(st.getPath, "_SUCCESS"))))
+      .map(_.getPath.getName).sorted
+  }
+
+  private def dirNames(dir: String): Set[String] =
+    hfs(dir).listStatus(new Path(dir)).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+
+  // base {1..6}, three small appends (override, tombstone, re-add)
+  private def buildStore(dir: String): Unit = {
+    CorpusStore.init(
+      (1L to 6L).map(i => (i, s"v$i")).toDF("id", "fp"), dir)
+    CorpusStore.append(spark, dir, 1L, "id",
+      Seq((2L, "B1"), (7L, "g")).toDF("id", "fp"),
+      deleteKeys = Some(Seq(Tuple1(3L)).toDF("id")))
+    CorpusStore.append(spark, dir, 2L, "id",
+      Seq((2L, "B2")).toDF("id", "fp"),
+      deleteKeys = Some(Seq(Tuple1(7L)).toDF("id")))
+    CorpusStore.append(spark, dir, 3L, "id",
+      Seq((7L, "G2"), (8L, "h")).toDF("id", "fp"))
+  }
+
+  test("maintain picks the tier: none under thresholds, minor by dir count, major by row ratio") {
+    val dir = freshDir("tiers")
+    buildStore(dir)
+    val before = state(dir)
+    // 3 live deltas, 7 delta rows on a 6-row base: both thresholds clear
+    assert(CorpusStore.maintain(spark, dir, "id",
+      maxLiveDeltas = 4, maxDeltaToBaseRatio = 1000.0) === "none")
+    assert(liveDeltaDirs(dir).size === 3)
+    // dir count trips (3 >= 3), ratio doesn't: MINOR fold, base untouched
+    assert(CorpusStore.maintain(spark, dir, "id",
+      maxLiveDeltas = 3, maxDeltaToBaseRatio = 1000.0) === "minor")
+    assert(liveDeltaDirs(dir) === Seq(f"delta_${3L}%019d.m"))
+    assert(!dirNames(dir).exists(_.startsWith("base_gen_")),
+      "a minor fold must not create a base generation")
+    assert(state(dir) === before)
+    // one more append puts 2 live deltas / ratio over 0.2: MAJOR fold
+    CorpusStore.append(spark, dir, 4L, "id", Seq((9L, "i")).toDF("id", "fp"))
+    assert(CorpusStore.maintain(spark, dir, "id",
+      maxLiveDeltas = 16, maxDeltaToBaseRatio = 0.2) === "major")
+    assert(liveDeltaDirs(dir).isEmpty)
+    assert(dirNames(dir).exists(_.startsWith("base_gen_")))
+    assert(state(dir) === before :+ (9L, "i"))
+    // idempotent: nothing left to do
+    assert(CorpusStore.maintain(spark, dir, "id") === "none")
+  }
+
+  test("a store past BOTH thresholds takes the major fold, not minor-then-major") {
+    val dir = freshDir("both")
+    buildStore(dir)
+    assert(CorpusStore.maintain(spark, dir, "id",
+      maxLiveDeltas = 2, maxDeltaToBaseRatio = 0.2) === "major")
+    assert(liveDeltaDirs(dir).isEmpty)
+  }
+
+  test("foldBelowSeq fences BOTH tiers: the bounded seq stays live and replayable") {
+    val dir = freshDir("fence")
+    buildStore(dir)
+    val before = state(dir)
+    // minor, fenced at 3: only seqs 1-2 fold; delta_3 stays a plain live dir
+    assert(CorpusStore.maintain(spark, dir, "id",
+      maxLiveDeltas = 2, maxDeltaToBaseRatio = 1000.0,
+      foldBelowSeq = 3L) === "minor")
+    assert(liveDeltaDirs(dir) ===
+      Seq(f"delta_${2L}%019d.m", f"delta_${3L}%019d"))
+    assert(state(dir) === before)
+    // the fenced seq replays (same-seq overwrite), exactly what a
+    // restarted stream does — an unfenced fold would have put seq 3 at
+    // the horizon and this append would throw
+    CorpusStore.append(spark, dir, 3L, "id",
+      Seq((7L, "G2"), (8L, "h")).toDF("id", "fp"))
+    assert(state(dir) === before)
+    // a seq INSIDE the fold is dead — the fence the fold advanced
+    val ex = intercept[IllegalArgumentException] {
+      CorpusStore.append(spark, dir, 2L, "id",
+        Seq((2L, "stale")).toDF("id", "fp"))
+    }
+    assert(ex.getMessage.contains("fold horizon"))
+  }
+
+  test("maintain with every delta fenced off does nothing") {
+    val dir = freshDir("allfenced")
+    buildStore(dir)
+    assert(CorpusStore.maintain(spark, dir, "id",
+      maxLiveDeltas = 2, maxDeltaToBaseRatio = 0.001,
+      foldBelowSeq = 1L) === "none")
+    assert(liveDeltaDirs(dir).size === 3)
+  }
+
+  test("major compact under foldBelowSeq keeps newer deltas live over the new base") {
+    val dir = freshDir("majorfence")
+    buildStore(dir)
+    val before = state(dir)
+    CorpusStore.compact(spark, dir, "id", foldBelowSeq = 3L)
+    assert(dirNames(dir).exists(_.startsWith("base_gen_")))
+    assert(liveDeltaDirs(dir) === Seq(f"delta_${3L}%019d"),
+      "the fenced delta must remain live over the new generation")
+    assert(state(dir) === before)
+    // replay of the fenced seq still lands (horizon is 2, not 3)
+    CorpusStore.append(spark, dir, 3L, "id",
+      Seq((7L, "G2"), (8L, "h")).toDF("id", "fp"))
+    assert(state(dir) === before)
+  }
+
+  test("appendStream maintainEvery self-maintains: dir count bounded, newest batch never folded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = freshDir("selfmaint")
+    CorpusStore.init(Seq((1L, "a"), (2L, "b")).toDF("id", "fp"), dir)
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = CorpusStore.appendStream(
+      stream.toDF().toDF("id", "fp"), dir, "id",
+      checkpointLocation = freshDir("selfmaint-ckpt"),
+      maintainEvery = 2, maxLiveDeltas = 2,
+      maxDeltaToBaseRatio = 1000.0).start()
+    try {
+      (0 until 6).foreach { i =>
+        stream.addData(Seq((10L + i, s"s$i")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // 6 microbatches with a fold every 2: the live set stays small
+    // instead of 6 dirs, and the newest batch (seq 5) is always fenced
+    // out of its own stride's fold (foldBelowSeq = batchId)
+    val live = liveDeltaDirs(dir)
+    assert(live.size <= 3, s"live deltas must be bounded by maintenance: $live")
+    assert(live.contains(f"delta_${5L}%019d"),
+      s"the newest batch's delta must stay live for replay: $live")
+    val got = state(dir)
+    assert(got === Seq((1L, "a"), (2L, "b")) ++
+      (0 until 6).map(i => (10L + i, s"s$i")))
+    // the last batch replays without tripping the horizon fence
+    CorpusStore.append(spark, dir, 5L, "id", Seq((15L, "s5")).toDF("id", "fp"))
+    assert(state(dir) === got)
+  }
+
+  test("minRetainMs holds out-of-cycle artifacts until they age; 0 purges them now") {
+    val dir = freshDir("timefloor")
+    buildStore(dir)
+    CorpusStore.compact(spark, dir, "id")
+    // gen-0 base + 3 folded deltas are out of CYCLE retention but
+    // seconds old: the hour floor retains every one of them
+    assert(CorpusStore.vacuum(spark, dir, retainGenerations = 1,
+      minRetainMs = 3600000L) === 0)
+    val withGrace = dirNames(dir)
+    assert(withGrace.contains("base"))
+    assert(withGrace.count(_.startsWith("delta_")) === 3)
+    // the time floor also fences compact's built-in purge
+    CorpusStore.append(spark, dir, 4L, "id", Seq((9L, "i")).toDF("id", "fp"))
+    CorpusStore.compact(spark, dir, "id", minRetainMs = 3600000L)
+    assert(dirNames(dir).contains("base"),
+      "compact's purge must honor the time floor")
+    // floor 0 = pure cycle retention: the grace window purges
+    assert(CorpusStore.vacuum(spark, dir) > 0)
+    val after = dirNames(dir)
+    assert(!after.contains("base"))
+    assert(!after.exists(n => n.startsWith("delta_") &&
+      hfs(dir).exists(new Path(new Path(dir, n), "_folded"))))
+  }
+}
