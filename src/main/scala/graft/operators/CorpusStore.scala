@@ -97,9 +97,15 @@ object CorpusStore {
     * create-exclusive; on conflict, take over a lease older than
     * `staleLockMs` (one delete + one retry — two racers both seeing a
     * stale lease still serialize on the exclusive create); otherwise
-    * fail loudly with the holder's age. Released on every exit path;
-    * a crashed JVM leaks the lease until staleness or [[breakLock]]. */
-  private def withWriterLock[T](spark: SparkSession, dir: String,
+    * fail loudly with the holder's age. While `body` runs, a daemon
+    * heartbeat re-touches the lease every staleLockMs/3, so a LIVE
+    * long-running mutation (a multi-hour 100 TB compact) never ages
+    * past the stale bound and loses its lock to a takeover — staleness
+    * then means "no heartbeat for the bound", a crash signal, not a
+    * duration cap on honest work. Released on every exit path; a
+    * crashed JVM stops heartbeating and leaks the lease until
+    * staleness or [[breakLock]]. Package-private for the spec. */
+  private[operators] def withWriterLock[T](spark: SparkSession, dir: String,
       staleLockMs: Long = DefaultStaleLockMs)(body: => T): T = {
     val d = fs(spark, dir)
     d.mkdirs(new Path(dir))
@@ -137,7 +143,19 @@ object CorpusStore {
             s"${staleLockMs / 1000}s): the store is single-writer — wait, " +
             "or breakLock() if the holder is known dead")
     }
-    try body finally d.delete(p, false)
+    val period = math.max(staleLockMs / 3, 50L)
+    val heartbeat = new java.util.Timer("graft-writer-lease", true)
+    heartbeat.schedule(new java.util.TimerTask {
+      override def run(): Unit =
+        // a vanished lease (a broken lock) is not re-created: the next
+        // mutation verb re-acquires and the conflict surfaces there
+        try { if (d.exists(p)) d.setTimes(p, System.currentTimeMillis(), -1) }
+        catch { case scala.util.control.NonFatal(_) => () }
+    }, period, period)
+    try body finally {
+      heartbeat.cancel()
+      d.delete(p, false)
+    }
   }
 
   /** Remove an abandoned writer lease NOW (a crashed [[appendStream]]
@@ -162,39 +180,48 @@ object CorpusStore {
     * rejects it loudly. Monotonic; absent on a never-compacted store. */
   private val HorizonFile = "_horizon"
 
+  /** The `_horizon` file's recorded seq, -1 when absent or torn. */
+  private def recordedHorizon(spark: SparkSession, dir: String): Long = {
+    val d = fs(spark, dir)
+    val p = new Path(dir, HorizonFile)
+    if (!d.exists(p)) -1L
+    else try {
+      val in = d.open(p)
+      try {
+        val buf = new Array[Byte](32) // a decimal Long is <= 20 bytes
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => -1L } // torn write
+  }
+
   /** The newest folded seq: the `_horizon` file when present and
     * parseable, else the max seq among still-on-disk retired delta dirs
     * (pre-horizon stores / a crash between marking and the horizon
     * write), else -1 (nothing folded — every seq >= 0 is appendable). */
   private def foldHorizon(spark: SparkSession, dir: String): Long = {
     val d = fs(spark, dir)
-    val p = new Path(dir, HorizonFile)
-    val recorded: Option[Long] =
-      if (!d.exists(p)) None
-      else try {
-        val in = d.open(p)
-        try {
-          val buf = new Array[Byte](32) // a decimal Long is <= 20 bytes
-          val n = in.read(buf)
-          Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
-        } finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => None } // torn write
     def foldedMax: Long =
       if (!d.exists(new Path(dir))) -1L
       else d.listStatus(new Path(dir)).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta_")
           && isFolded(d, st.getPath))
         .map(st => deltaSeqOf(st.getPath.toString)).maxOption.getOrElse(-1L)
-    math.max(recorded.getOrElse(-1L), foldedMax)
+    math.max(recordedHorizon(spark, dir), foldedMax)
   }
 
   /** Advance the horizon to `seq` (never backwards — a re-run compact
-    * must not lower the fence). Torn writes parse as absent and fall
-    * back to the folded-dir listing. */
+    * must not lower the fence). Monotonic against the RECORDED value
+    * only: comparing against [[foldHorizon]] would see the just-marked
+    * dirs' fallback already AT `seq` and skip the write — leaving the
+    * fence to live in the retired dirs alone, which the next
+    * [[vacuum]]/compact purges, silently dropping the fence to -1 and
+    * reopening every folded seq to replay (the bug a fence-after-vacuum
+    * spec caught). Torn writes parse as absent and fall back to the
+    * folded-dir listing until the next fold rewrites the file. */
   private def writeHorizon(spark: SparkSession, dir: String, seq: Long): Unit = {
     val d = fs(spark, dir)
-    val cur = foldHorizon(spark, dir)
-    if (seq > cur) {
+    if (seq > recordedHorizon(spark, dir)) {
       val out = d.create(new Path(dir, HorizonFile), true)
       try out.write(seq.toString.getBytes("UTF-8")) finally out.close()
     }
@@ -441,6 +468,52 @@ object CorpusStore {
     resolve(base, readDeltas(spark, deltas, evolveSchema), key,
       maxBroadcastKeys, evolveSchema)
   }
+
+  /** A delta's commit instant: the mtime of the `_SUCCESS` its write
+    * dropped last (the dir's own mtime as fallback — markers touch the
+    * dir, never the commit file). */
+  private def commitTimeOf(d: org.apache.hadoop.fs.FileSystem,
+      p: Path): Long = {
+    val s = new Path(p, "_SUCCESS")
+    try (if (d.exists(s)) d.getFileStatus(s) else d.getFileStatus(p))
+      .getModificationTime
+    catch { case scala.util.control.NonFatal(_) => Long.MaxValue } // vanished mid-listing: never "already committed"
+  }
+
+  /** Resolve a wall-clock instant to a SEQ — the TIMESTAMP-AS-OF half
+    * of time travel, done the way the table formats do it: the
+    * timestamp picks a committed version, the version read does the
+    * rest. Returns the newest live delta seq whose commit instant
+    * (its `_SUCCESS` mtime — the store filesystem's clock) is at or
+    * before `asOfMs`, or -1 when none is (a [[readAt]] at -1 is the
+    * bare current base). Resolving by commit time and THEN reading by
+    * seq keeps the snapshot coherent when mtime order and seq order
+    * disagree (a replayed older seq carries a newer mtime): a seq read
+    * can never include seq n+1 while excluding seq n. Same truncation
+    * contract as [[readAt]] — history reaches back to the last fold,
+    * and a minor fold's commit instant REPLACES its constituents'
+    * (the fold is their only surviving carrier). O(live deltas)
+    * metadata, nothing scanned. */
+  def seqAtTime(spark: SparkSession, dir: String, asOfMs: Long): Long = {
+    val d = fs(spark, dir)
+    deltaPaths(spark, dir)
+      .filter(p => commitTimeOf(d, new Path(p)) <= asOfMs)
+      .map(deltaSeqOf).maxOption.getOrElse(-1L)
+  }
+
+  /** [[readAt]] addressed by wall-clock instead of seq (the
+    * TIMESTAMP AS OF form): [[seqAtTime]] resolves the instant to the
+    * newest seq committed at or before it, then the seq read runs as
+    * usual. The clock is the store FILESYSTEM's (commit-file mtimes),
+    * not the ingesting stream's event time; a same-seq replay
+    * refreshes its commit instant (the replay IS a new commit of the
+    * same content). Compose the same way with [[changesSince]] for a
+    * time-addressed CDC sync point. */
+  def readAtTime(spark: SparkSession, dir: String, key: String, asOfMs: Long,
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys,
+      evolveSchema: Boolean = false): DataFrame =
+    readAt(spark, dir, key, seqAtTime(spark, dir, asOfMs),
+      maxBroadcastKeys, evolveSchema)
 
   /** Change-data feed: the NET change per key since `sinceSeq` — the
     * latest op ('u' with the row's new values, or 'd') across the deltas
@@ -1297,7 +1370,20 @@ object CorpusStore {
           Some(("manifest", n, None, rowsOf(p.toString), true))
         } else None
       }
-    rows.toDF("kind", "name", "seq", "n_rows", "live")
+    // the two store-root state FILES the r14 hardening added: the replay
+    // fence (seq = newest folded seq) and an in-flight writer's lease —
+    // the remaining state an operator would otherwise read off disk
+    val horizon = foldHorizon(spark, dir)
+    val horizonRow =
+      if (horizon >= 0L) Seq(("horizon", HorizonFile, Some(horizon),
+        None: Option[Long], true))
+      else Nil
+    val lockRow =
+      if (d.exists(new Path(dir, LockFile)))
+        Seq(("writer_lock", LockFile, None: Option[Long],
+          None: Option[Long], true))
+      else Nil
+    (rows ++ horizonRow ++ lockRow).toDF("kind", "name", "seq", "n_rows", "live")
   }
 
   /** Checked compaction cadence: fold when the delta row mass exceeds

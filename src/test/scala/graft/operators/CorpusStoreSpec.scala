@@ -427,8 +427,11 @@ class CorpusStoreSpec extends SparkTestBase {
     assert(CorpusStore.vacuum(spark, dir) === 3)
     assert(CorpusStore.vacuum(spark, dir) === 0, "vacuum is idempotent")
     val after = CorpusStore.describe(spark, dir).collect()
-      .map(r => (r.getString(0), r.getLong(3))).toSeq
-    assert(after === Seq(("base", 4L)))
+      .map(r => (r.getString(0), if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    // post-compact state: the folded base (generation 1) plus the
+    // replay fence (horizon seq 2 = the newest folded seq); no lease
+    assert(after === Seq(("base", 4L, 1L), ("horizon", -1L, 2L)))
     assert(CorpusStore.read(spark, dir, "id").orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
       === Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))

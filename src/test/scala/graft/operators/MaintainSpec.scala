@@ -171,6 +171,99 @@ class MaintainSpec extends SparkTestBase {
     assert(state(dir) === got)
   }
 
+  test("writer-lease heartbeat: a live long mutation keeps its lease fresh past the stale bound") {
+    val dir = freshDir("heartbeat")
+    CorpusStore.init(Seq((1L, "a")).toDF("id", "fp"), dir)
+    val lock = new java.io.File(dir, "_writer_lock")
+    // the body outlives the stale bound 2.5x; without the heartbeat a
+    // rival would age the lease out and take it over mid-mutation
+    CorpusStore.withWriterLock(spark, dir, staleLockMs = 600L) {
+      Thread.sleep(1500L)
+      assert(lock.exists, "the lease must be held for the body's whole life")
+      val age = System.currentTimeMillis() - lock.lastModified
+      assert(age < 600L,
+        s"heartbeat must keep the lease younger than the stale bound (age ${age}ms)")
+      val e = intercept[IllegalStateException] {
+        CorpusStore.withWriterLock(spark, dir, staleLockMs = 600L)(())
+      }
+      assert(e.getMessage.contains("another writer"),
+        "a rival judging by the same bound must see a LIVE lease")
+    }
+    assert(!lock.exists, "released on exit")
+  }
+
+  test("seqAtTime/readAtTime: a wall-clock instant resolves to the newest committed seq") {
+    val dir = freshDir("timetravel")
+    CorpusStore.init(Seq((1L, "a"), (2L, "b")).toDF("id", "fp"), dir)
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(30L)
+    CorpusStore.append(spark, dir, 1L, "id", Seq((2L, "B")).toDF("id", "fp"))
+    Thread.sleep(30L)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(30L)
+    CorpusStore.append(spark, dir, 2L, "id", Seq((3L, "c")).toDF("id", "fp"))
+    Thread.sleep(30L)
+    val t2 = System.currentTimeMillis()
+    assert(CorpusStore.seqAtTime(spark, dir, t0) === -1L,
+      "an instant before the first append resolves below every seq")
+    assert(CorpusStore.seqAtTime(spark, dir, t1) === 1L)
+    assert(CorpusStore.seqAtTime(spark, dir, t2) === 2L)
+    def readAt(ms: Long): Seq[(Long, String)] =
+      CorpusStore.readAtTime(spark, dir, "id", ms).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(readAt(t0) === Seq((1L, "a"), (2L, "b")))
+    assert(readAt(t1) === Seq((1L, "a"), (2L, "B")))
+    assert(readAt(t2) === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // a fold's commit instant REPLACES its constituents': interior
+    // instants truncate to the pre-fold boundary, readAt's contract
+    assert(CorpusStore.compactDeltas(spark, dir, "id"))
+    assert(CorpusStore.seqAtTime(spark, dir, t2) === -1L)
+    assert(readAt(t2) === Seq((1L, "a"), (2L, "b")))
+    assert(CorpusStore.seqAtTime(spark, dir,
+      System.currentTimeMillis()) === 2L)
+    assert(readAt(System.currentTimeMillis())
+      === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("the replay fence SURVIVES vacuum: a folded seq stays dead after the retired dirs purge") {
+    val dir = freshDir("fencevacuum")
+    buildStore(dir)
+    CorpusStore.compact(spark, dir, "id")
+    // purge the grace window: the retired `_folded` dirs — the fence's
+    // listing FALLBACK — are gone; only the `_horizon` file remains.
+    // (Before the recordedHorizon fix, writeHorizon compared against
+    // foldHorizon, whose fallback already equaled the fold seq once the
+    // markers landed, so the file was never written and this append
+    // sailed through, resurrecting a folded seq as a live delta.)
+    assert(CorpusStore.vacuum(spark, dir) > 0)
+    val ex = intercept[IllegalArgumentException] {
+      CorpusStore.append(spark, dir, 2L, "id",
+        Seq((2L, "stale")).toDF("id", "fp"))
+    }
+    assert(ex.getMessage.contains("fold horizon"))
+    // strictly newer seqs still land
+    CorpusStore.append(spark, dir, 4L, "id", Seq((9L, "i")).toDF("id", "fp"))
+    assert(state(dir).exists(_ == (9L, "i")))
+  }
+
+  test("describe reports the replay fence and an in-flight writer's lease") {
+    val dir = freshDir("describe")
+    buildStore(dir)
+    def kinds(): Map[String, Option[Long]] =
+      CorpusStore.describe(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(!kinds().contains("horizon"), "nothing folded, no fence yet")
+    assert(!kinds().contains("writer_lock"))
+    CorpusStore.compactDeltas(spark, dir, "id")
+    assert(kinds().get("horizon") === Some(Some(3L)),
+      "the fence row carries the newest folded seq")
+    val lock = new java.io.File(dir, "_writer_lock")
+    assert(lock.createNewFile())
+    assert(kinds().contains("writer_lock"))
+    assert(lock.delete())
+  }
+
   test("minRetainMs holds out-of-cycle artifacts until they age; 0 purges them now") {
     val dir = freshDir("timefloor")
     buildStore(dir)
