@@ -353,6 +353,13 @@ object CorpusStore {
   private def doAppend(spark: SparkSession, dir: String, seq: Long, key: String,
       upserts: DataFrame, deleteKeys: Option[DataFrame] = None): Unit = {
     require(seq >= 0, s"seq must be >= 0, got $seq")
+    // fail at the WRITE, not two verbs later: a keyless batch would land
+    // fine and then blow up every read's latest-per-key window with an
+    // unresolved-column error pointing nowhere near the bad append
+    require(upserts.columns.contains(key),
+      s"append batch has no '$key' column (found: " +
+        s"${upserts.columns.mkString(", ")}) — every upsert row must carry " +
+        "the store's key")
     val horizon = foldHorizon(spark, dir)
     require(seq > horizon,
       s"append at seq $seq is at or below the fold horizon $horizon: that " +

@@ -246,6 +246,17 @@ class MaintainSpec extends SparkTestBase {
     assert(state(dir).exists(_ == (9L, "i")))
   }
 
+  test("an append batch without the key column fails at the write, not at a later read") {
+    val dir = freshDir("keyless")
+    CorpusStore.init(Seq((1L, "a")).toDF("id", "fp"), dir)
+    val ex = intercept[IllegalArgumentException] {
+      CorpusStore.append(spark, dir, 1L, "id",
+        Seq(("x", "y")).toDF("not_id", "fp"))
+    }
+    assert(ex.getMessage.contains("no 'id' column"))
+    assert(state(dir) === Seq((1L, "a")), "the bad batch must not land")
+  }
+
   test("describe reports the replay fence and an in-flight writer's lease") {
     val dir = freshDir("describe")
     buildStore(dir)
