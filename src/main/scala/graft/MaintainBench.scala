@@ -53,7 +53,8 @@ object MaintainBench {
           .toSeq
       }
 
-    def runArm(tag: String, maintainEvery: Int): (String, Double, Double, Double, Long, Long) = {
+    def runArm(tag: String, maintainEvery: Int)
+        : (String, Double, Double, Double, Long, Long, Long) = {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val store = s"${System.getProperty("java.io.tmpdir")}/graft_maintbench_$tag"
       val ckpt = s"$store-ckpt"
@@ -89,15 +90,21 @@ object MaintainBench {
       readAgg(); feedAgg() // warm
       val (readSec, rows) = timeMin(readAgg())
       val (feedSec, _) = timeMin(feedAgg())
+      // CONTENT checksum, not just cardinality: a fold bug resolving the
+      // wrong VERSION per key keeps the row count — only a value hash
+      // makes the cross-arm equality require mean "answer-preserving"
+      val chk = CorpusStore.read(spark, store, "doc_id")
+        .agg(sum(pmod(xxhash64(col("doc_id"), col("fp"), col("source")),
+          lit(1000000007L)))).head().getLong(0)
       val live = CorpusStore.describe(spark, store)
         .filter(col("kind") === "delta").count()
-      (tag, ingestSec, readSec, feedSec, live, rows)
+      (tag, ingestSec, readSec, feedSec, live, rows, chk)
     }
 
     val un = runArm("unmaintained", 0)
     val mt = runArm("maintained", every)
-    require(un._6 == mt._6,
-      s"maintenance changed the read answer: ${un._6} vs ${mt._6}")
+    require(un._6 == mt._6 && un._7 == mt._7,
+      s"maintenance changed the read answer: ${un._6}/${un._7} vs ${mt._6}/${mt._7}")
     require(mt._5 <= math.max(every, 2).toLong + 1,
       s"maintained live-delta count must be bounded, got ${mt._5}")
 

@@ -105,14 +105,20 @@ object CorpusStore {
     * duration cap on honest work. Released on every exit path; a
     * crashed JVM stops heartbeating and leaks the lease until
     * staleness or [[breakLock]]. Package-private for the spec. */
+  /** ONE shared daemon timer for every lease heartbeat: a
+    * java.util.Timer spawns its thread at construction, and a
+    * per-acquisition timer would churn an OS thread per microbatch on a
+    * streaming writer. Tasks are scheduled/cancelled per lock. */
+  private lazy val LeaseTimer = new java.util.Timer("graft-writer-lease", true)
+
   private[operators] def withWriterLock[T](spark: SparkSession, dir: String,
       staleLockMs: Long = DefaultStaleLockMs)(body: => T): T = {
     val d = fs(spark, dir)
     d.mkdirs(new Path(dir))
     val p = new Path(dir, LockFile)
+    val content =
+      s"${java.util.UUID.randomUUID()} ${System.currentTimeMillis()}"
     def tryAcquire(): Boolean = {
-      val content =
-        s"${java.util.UUID.randomUUID()} ${System.currentTimeMillis()}"
       val uri = p.toUri
       if (uri.getScheme == null || uri.getScheme == "file") {
         // Hadoop's LOCAL create(overwrite = false) is exists-then-create
@@ -144,14 +150,22 @@ object CorpusStore {
             "or breakLock() if the holder is known dead")
     }
     val period = math.max(staleLockMs / 3, 50L)
-    val heartbeat = new java.util.Timer("graft-writer-lease", true)
-    heartbeat.schedule(new java.util.TimerTask {
+    val heartbeat = new java.util.TimerTask {
       override def run(): Unit =
-        // a vanished lease (a broken lock) is not re-created: the next
-        // mutation verb re-acquires and the conflict surfaces there
-        try { if (d.exists(p)) d.setTimes(p, System.currentTimeMillis(), -1) }
-        catch { case scala.util.control.NonFatal(_) => () }
-    }, period, period)
+        // REWRITE, not setTimes: FileSystem.setTimes is a silent no-op in
+        // the base class (object-store connectors inherit it, and object
+        // mtime is creation time anyway) — an overwrite PUT refreshes the
+        // lease's mtime on every filesystem. Guarded on existence so a
+        // broken lock is not resurrected (the next verb's acquire
+        // surfaces that conflict instead).
+        try {
+          if (d.exists(p)) {
+            val out = d.create(p, true)
+            try out.write(content.getBytes("UTF-8")) finally out.close()
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    LeaseTimer.schedule(heartbeat, period, period)
     try body finally {
       heartbeat.cancel()
       d.delete(p, false)
@@ -355,8 +369,15 @@ object CorpusStore {
     require(seq >= 0, s"seq must be >= 0, got $seq")
     // fail at the WRITE, not two verbs later: a keyless batch would land
     // fine and then blow up every read's latest-per-key window with an
-    // unresolved-column error pointing nowhere near the bad append
-    require(upserts.columns.contains(key),
+    // unresolved-column error pointing nowhere near the bad append.
+    // Matches the session's resolution rules: case-insensitive unless
+    // spark.sql.caseSensitive — a differently-cased key that every read
+    // resolves fine must not be rejected at the write
+    val hasKey =
+      if (spark.sessionState.conf.caseSensitiveAnalysis)
+        upserts.columns.contains(key)
+      else upserts.columns.exists(_.equalsIgnoreCase(key))
+    require(hasKey,
       s"append batch has no '$key' column (found: " +
         s"${upserts.columns.mkString(", ")}) — every upsert row must carry " +
         "the store's key")
@@ -1063,7 +1084,7 @@ object CorpusStore {
     // by RETURNING false, not throwing — vacuum aborts via require while
     // the store is still readable.
     doVacuum(spark, dir, retainGenerations, minRetainMs)
-    val gen = currentBase(spark, dir)._1
+    val (gen, baseDir) = currentBase(spark, dir)
     // foldBelowSeq (default unbounded) is the same replay fence as
     // [[compactDeltas]]': deltas at or above it stay LIVE over the new
     // base — they are strictly newer than everything folded, so
@@ -1074,7 +1095,7 @@ object CorpusStore {
     // O(corpus) write schema evolution ever pays, amortized over the
     // same cadence as any compact; plain reads carry the new columns
     // from then on
-    val folded = resolve(spark.read.parquet(currentBase(spark, dir)._2),
+    val folded = resolve(spark.read.parquet(baseDir),
       readDeltas(spark, deltas, evolveSchema), key,
       DefaultMaxBroadcastKeys, evolveSchema)
     val newDir = f"$dir/$GenPrefix${gen + 1}%019d"
@@ -1262,9 +1283,11 @@ object CorpusStore {
     * `minRetainMs` is the TIME half of the retention contract (the
     * VACUUM-retention DURATION of the table formats): an artifact out
     * of CYCLE retention is still held while younger than this many
-    * milliseconds — a generation ages from its `_SUCCESS` commit, a
-    * retired delta from its `_folded` marker (the moment it left the
-    * live set). Cycles bound the artifact COUNT on a slow-compacting
+    * milliseconds — aged from its RETIREMENT (a superseded generation
+    * from its successor's `_SUCCESS` commit, a retired delta from its
+    * `_folded` marker), the moment it left the live set — never from
+    * its creation, so time served as current costs an artifact none of
+    * its grace window. Cycles bound the artifact COUNT on a slow-compacting
     * store; the time floor protects a long-running plan on a
     * FAST-compacting one (an auto-maintained streaming store can cycle
     * generations in minutes — size the floor to the longest reader).
@@ -1285,20 +1308,26 @@ object CorpusStore {
     val d = fs(spark, dir)
     if (!d.exists(new Path(dir))) return 0
     val (gen, baseDir) = currentBase(spark, dir)
-    // the retirement timestamp of a committed artifact: its commit /
-    // retirement marker's mtime (the file this store itself wrote last),
-    // falling back to the dir's own mtime; an unreadable stamp counts as
-    // infinitely old — the cycle knob is then the only fence, exactly
-    // the pre-feature behavior
-    def oldEnough(p: Path, markFile: String): Boolean =
-      minRetainMs <= 0L || {
-        val stamp = try {
-          val mp = new Path(p, markFile)
-          (if (d.exists(mp)) d.getFileStatus(mp) else d.getFileStatus(p))
-            .getModificationTime
-        } catch { case scala.util.control.NonFatal(_) => 0L }
-        System.currentTimeMillis() - stamp >= minRetainMs
-      }
+    // the stamp a time-floored artifact ages from is its RETIREMENT
+    // moment, not its creation: a retired delta ages from its `_folded`
+    // marker, and a superseded generation from its SUCCESSOR's `_SUCCESS`
+    // commit — a generation that served as current for hours would
+    // otherwise be "old" the instant it was superseded, giving the
+    // long-running readers the floor exists for zero protection.
+    // An unreadable stamp counts as infinitely old — the cycle knob is
+    // then the only fence, exactly the pre-feature behavior.
+    def stampOf(p: Path, markFile: String): Long =
+      try {
+        val mp = new Path(p, markFile)
+        (if (d.exists(mp)) d.getFileStatus(mp) else d.getFileStatus(p))
+          .getModificationTime
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    lazy val gens = genDirs(spark, dir)
+    def retireStampOf(g: Long): Long =
+      gens.find(_._1 > g)
+        .map(t => stampOf(new Path(t._2), "_SUCCESS")).getOrElse(0L)
+    def aged(stamp: Long): Boolean =
+      minRetainMs <= 0L || System.currentTimeMillis() - stamp >= minRetainMs
     val expired = d.listStatus(new Path(dir)).toSeq.filter { st =>
       val n = st.getPath.getName
       if (n.startsWith(GenPrefix) && st.getPath.toString != baseDir) {
@@ -1306,14 +1335,14 @@ object CorpusStore {
         // hold it); complete generations age out by the retention window
         !d.exists(new Path(st.getPath, "_SUCCESS")) ||
           (gen >= n.stripPrefix(GenPrefix).toLong + retainGenerations &&
-            oldEnough(st.getPath, "_SUCCESS"))
+            aged(retireStampOf(n.stripPrefix(GenPrefix).toLong)))
       } else if (n == "base" && gen > 0L) {
         // gen-0 ages like any other generation
-        gen >= retainGenerations && oldEnough(st.getPath, "_SUCCESS")
+        gen >= retainGenerations && aged(retireStampOf(0L))
       } else if (n.startsWith("delta_")) {
         if (isFolded(d, st.getPath))
           gen >= foldedGenOf(d, st.getPath) + retainGenerations - 1 &&
-            oldEnough(st.getPath, FoldedMarker)
+            aged(stampOf(st.getPath, FoldedMarker))
         else isMinorName(n) && !d.exists(new Path(st.getPath, "_SUCCESS"))
       } else false
     }
@@ -1397,19 +1426,15 @@ object CorpusStore {
     * `maxDeltaToBaseRatio` of the base (both parquet footer counts — a
     * metadata read, no data scan). Returns whether it compacted. Call
     * after appends (or on a timer) to keep [[read]] on its broadcast
-    * fast path by contract instead of by comment. */
+    * fast path by contract instead of by comment. The major-only form
+    * of [[maintain]] (one decision implementation, so the two public
+    * cadence verbs cannot drift): an unreachable minor threshold leaves
+    * exactly the ratio check. */
   def compactIfNeeded(spark: SparkSession, dir: String, key: String,
       maxDeltaToBaseRatio: Double = 0.2, evolveSchema: Boolean = false,
-      clusterBy: Seq[String] = Nil): Boolean = {
-    require(maxDeltaToBaseRatio > 0, s"ratio must be > 0, got $maxDeltaToBaseRatio")
-    val deltas = deltaPaths(spark, dir)
-    if (deltas.isEmpty) return false
-    val deltaRows = spark.read.parquet(deltas: _*).count()
-    val baseRows = spark.read.parquet(currentBase(spark, dir)._2).count()
-    if (deltaRows > maxDeltaToBaseRatio * math.max(baseRows, 1L)) {
-      compact(spark, dir, key, evolveSchema, clusterBy); true
-    } else false
-  }
+      clusterBy: Seq[String] = Nil): Boolean =
+    maintain(spark, dir, key, maxLiveDeltas = Int.MaxValue,
+      maxDeltaToBaseRatio, evolveSchema, clusterBy) == "major"
 
   /** The two-tier LSM maintenance policy — ONE checked verb deciding
     * both folds, so a store under continuous ingestion needs a single
