@@ -150,8 +150,16 @@ object CorpusStore {
             "or breakLock() if the holder is known dead")
     }
     val period = math.max(staleLockMs / 3, 50L)
+    // release and heartbeat serialize on this monitor: Timer.cancel()
+    // does not stop a task already MID-RUN, so an unsynchronized release
+    // could delete the lease between the task's existence check and its
+    // rewrite — the task would then re-create the file after release,
+    // leaking a lease no one deletes that blocks every writer for the
+    // whole stale bound
+    val releaseGate = new Object
+    @volatile var released = false
     val heartbeat = new java.util.TimerTask {
-      override def run(): Unit =
+      override def run(): Unit = releaseGate.synchronized {
         // REWRITE, not setTimes: FileSystem.setTimes is a silent no-op in
         // the base class (object-store connectors inherit it, and object
         // mtime is creation time anyway) — an overwrite PUT refreshes the
@@ -159,16 +167,20 @@ object CorpusStore {
         // broken lock is not resurrected (the next verb's acquire
         // surfaces that conflict instead).
         try {
-          if (d.exists(p)) {
+          if (!released && d.exists(p)) {
             val out = d.create(p, true)
             try out.write(content.getBytes("UTF-8")) finally out.close()
           }
         } catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
     LeaseTimer.schedule(heartbeat, period, period)
     try body finally {
       heartbeat.cancel()
-      d.delete(p, false)
+      releaseGate.synchronized {
+        released = true
+        d.delete(p, false)
+      }
     }
   }
 
@@ -823,11 +835,16 @@ object CorpusStore {
     * the same-seq overwrite makes the replay idempotent). Downstream
     * [[changesStream]] consumers of a self-maintaining store must keep
     * within the retention window — majors happen when the ratio trips,
-    * so size `maxDeltaToBaseRatio` (and the store's retention knobs via
-    * an external [[compact]] cadence) to the laggiest consumer. */
+    * so size `maxDeltaToBaseRatio` AND the passthrough retention knobs
+    * (`retainGenerations` cycles / `minRetainMs` — [[vacuum]]'s
+    * contract, forwarded to every auto-triggered fold) to the laggiest
+    * consumer: without them an auto-maintained store majors at the
+    * classic one-cycle window, which a streaming cadence can turn over
+    * in minutes. */
   def appendStream(stream: DataFrame, dir: String, key: String,
       checkpointLocation: String, maintainEvery: Int = 0,
-      maxLiveDeltas: Int = 16, maxDeltaToBaseRatio: Double = 0.2)
+      maxLiveDeltas: Int = 16, maxDeltaToBaseRatio: Double = 0.2,
+      retainGenerations: Int = 1, minRetainMs: Long = 0L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(checkpointLocation.nonEmpty,
       "appendStream needs a checkpointLocation: without one a restarted " +
@@ -842,7 +859,8 @@ object CorpusStore {
         // horizon fence and wedge the restarted stream
         if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
           maintain(batch.sparkSession, dir, key, maxLiveDeltas,
-            maxDeltaToBaseRatio, foldBelowSeq = batchId)
+            maxDeltaToBaseRatio, retainGenerations = retainGenerations,
+            minRetainMs = minRetainMs, foldBelowSeq = batchId)
           ()
         }
       }

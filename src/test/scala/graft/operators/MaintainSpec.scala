@@ -191,6 +191,56 @@ class MaintainSpec extends SparkTestBase {
     assert(!lock.exists, "released on exit")
   }
 
+  test("writer-lease release never resurrects the lock (heartbeat/release race)") {
+    val dir = freshDir("hbrace")
+    CorpusStore.init(Seq((1L, "a")).toDF("id", "fp"), dir)
+    val lock = new java.io.File(dir, "_writer_lock")
+    // Timer.cancel() does not stop a task already mid-run: an
+    // unsynchronized release could delete the lease between the task's
+    // existence check and its rewrite, and the late rewrite would leak a
+    // lease that blocks every writer for the whole stale bound. Exercise
+    // the window repeatedly with the body ending right at a heartbeat
+    // period boundary, then assert the lock STAYS gone past two periods.
+    (1 to 12).foreach { i =>
+      CorpusStore.withWriterLock(spark, dir, staleLockMs = 150L) {
+        Thread.sleep(48L + (i % 5)) // straddle the 50ms heartbeat period
+      }
+      Thread.sleep(120L)
+      assert(!lock.exists,
+        s"iteration $i: a released lease was resurrected by a late heartbeat")
+    }
+  }
+
+  test("appendStream forwards the retention knobs to auto-maintenance") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = freshDir("retpass")
+    CorpusStore.init(Seq((1L, "a"), (2L, "b")).toDF("id", "fp"), dir)
+    val stream = MemoryStream[(Long, String)](spark)
+    // ratio 0.001 majors on every maintenance stride (batches 1, 3, 5 ->
+    // generations 1, 2, 3); at the third major, generation 1 is out of a
+    // ONE-cycle window but inside the requested TWO-cycle one — without
+    // the passthrough, auto-maintenance purges it at the default
+    val q = CorpusStore.appendStream(
+      stream.toDF().toDF("id", "fp"), dir, "id",
+      checkpointLocation = freshDir("retpass-ckpt"),
+      maintainEvery = 2, maxLiveDeltas = 16,
+      maxDeltaToBaseRatio = 0.001, retainGenerations = 2).start()
+    try {
+      (0 until 6).foreach { i =>
+        stream.addData(Seq((10L + i, s"s$i")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val names = dirNames(dir)
+    assert(names.contains(f"base_gen_${3L}%019d"), s"current gen: $names")
+    assert(names.contains(f"base_gen_${1L}%019d"),
+      s"a generation inside the 2-cycle window must survive auto-maintenance: $names")
+    assert(!names.contains("base"),
+      s"gen-0 is out of even the 2-cycle window by the third major: $names")
+    assert(state(dir) === Seq((1L, "a"), (2L, "b")) ++
+      (0 until 6).map(i => (10L + i, s"s$i")))
+  }
+
   test("seqAtTime/readAtTime: a wall-clock instant resolves to the newest committed seq") {
     val dir = freshDir("timetravel")
     CorpusStore.init(Seq((1L, "a"), (2L, "b")).toDF("id", "fp"), dir)
