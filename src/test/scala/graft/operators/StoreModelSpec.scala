@@ -6,6 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
+import graft.sources.ScanPruning
 
 /** Model-based randomized testing of the CorpusStore verb family — the
   * table-format torture test: drive seeded-random interleavings of
@@ -183,8 +184,98 @@ class StoreModelSpec extends SparkTestBase {
     assert(readState(dir) == model, s"seed=$seed: state lost at final fold")
   }
 
+  /** The manifested variant: same random verb walk over a store built
+    * WITH stats + bloom manifest, adding the pruned-path invariants —
+    * [[CorpusStore.lookup]], [[CorpusStore.prunedRead]], and DML with a
+    * `prune` hint must return exactly the model's answer at every
+    * step, across appendManifest parts landing per append, dropParts
+    * on minor folds and vacuums, and rebuildManifest on majors. Probe
+    * keys deliberately mix Int and Long literals to exercise the
+    * recorded-type cast (`<c>_bloom_dt`) on every walk. */
+  private def runManifestWalk(seed: Long, steps: Int): Unit = {
+    val rnd = new Random(seed)
+    val dir = freshDir(s"mwalk$seed")
+    val init: State =
+      (0L until 12L).map(i => i -> (s"v$i", i % 5)).toMap
+    CorpusStore.init(
+      toDf(init.toSeq.map { case (id, (v, n)) => (id, v, n) }), dir,
+      statsCols = Seq("id", "n"), bloomCols = Seq("id"))
+    var model = init
+    var nextSeq = 0L
+
+    def ctx(step: Int, op: String) = s"seed=$seed step=$step op=$op"
+
+    (0 until steps).foreach { step =>
+      val roll = rnd.nextInt(100)
+      val op =
+        if (roll < 45) {
+          val seq = nextSeq; nextSeq += 1
+          val ups = (0 until 1 + rnd.nextInt(4)).map { _ =>
+            val id = rnd.nextInt(40).toLong
+            (id, s"s$seq-$id", rnd.nextInt(10).toLong)
+          }.distinctBy(_._1)
+          val dels = (0 until rnd.nextInt(3)).map(_ => rnd.nextInt(40).toLong)
+            .distinct.filterNot(ups.map(_._1).contains)
+          CorpusStore.append(spark, dir, seq, "id", toDf(ups),
+            deleteKeys =
+              if (dels.isEmpty) None else Some(dels.map(Tuple1(_)).toDF("id")))
+          model = model -- dels ++ ups.map(u => u._1 -> (u._2, u._3))
+          s"append($seq)"
+        } else if (roll < 55) { // DML with a prune hint implied by cond
+          val seq = nextSeq; nextSeq += 1
+          val r = rnd.nextInt(5).toLong
+          CorpusStore.deleteWhere(spark, dir, "id", seq,
+            cond = col("n") === r,
+            prune = Some(ScanPruning.boxPredicate(Seq(("n", r, r)))))
+          model = model.filterNot { case (_, (_, n)) => n == r }
+          s"deleteWhere($seq, n=$r, pruned)"
+        } else if (roll < 70) {
+          val tier = CorpusStore.maintain(spark, dir, "id",
+            maxLiveDeltas = 2 + rnd.nextInt(4),
+            maxDeltaToBaseRatio = if (rnd.nextBoolean()) 0.3 else 2.0)
+          s"maintain->$tier"
+        } else if (roll < 80) {
+          s"compactDeltas->${CorpusStore.compactDeltas(spark, dir, "id")}"
+        } else if (roll < 90) {
+          CorpusStore.compact(spark, dir, "id")
+          "compact"
+        } else {
+          s"vacuum->${CorpusStore.vacuum(spark, dir)}"
+        }
+
+      assert(readState(dir) == model, s"${ctx(step, op)}: read != model")
+
+      // bloom lookup: mixed Int/Long probe literals, present + absent keys
+      val probe: Seq[Any] = Seq(
+        rnd.nextInt(40),            // Int literal on a Long column (cast path)
+        rnd.nextInt(40).toLong,     // exact-type literal
+        999L)                       // never present
+      val got = CorpusStore.lookup(spark, dir, "id", probe).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      val want = model.view.filterKeys(
+        probe.map { case i: Int => i.toLong; case l: Long => l }.toSet).toMap
+      assert(got == want, s"${ctx(step, op)}: lookup($probe) != model")
+
+      // box-pruned read: transparent pruning, caller re-applies the filter
+      if (step % 3 == 2) {
+        val lo = rnd.nextInt(30).toLong
+        val hi = lo + 8
+        val pr = CorpusStore.prunedRead(spark, dir, "id",
+            keep = ScanPruning.boxPredicate(Seq(("id", lo, hi))))
+          .filter(col("id").between(lo, hi)).collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+        assert(pr == model.view.filterKeys(k => k >= lo && k <= hi).toMap,
+          s"${ctx(step, op)}: prunedRead([$lo,$hi]) != model")
+      }
+    }
+  }
+
   test("random walk, seed 1: read/readAt/changesSince match the model at every step") {
     runWalk(seed = 1L, steps = 30)
+  }
+
+  test("manifested random walk, seed 7: lookup/prunedRead/pruned-DML match the model at every step") {
+    runManifestWalk(seed = 7L, steps = 24)
   }
 
   test("random walk, seed 42: read/readAt/changesSince match the model at every step") {
