@@ -278,6 +278,15 @@ class StoreModelSpec extends SparkTestBase {
     runManifestWalk(seed = 7L, steps = 24)
   }
 
+  test("soak: six more seeds at longer walks (gated on SPARK_GRAFT_SOAK=1)") {
+    // opt-in depth: ~6x the default walk budget, for pre-release shakes
+    // rather than every CI pass. Run green on the round-14 close tree.
+    assume(sys.env.get("SPARK_GRAFT_SOAK").contains("1"),
+      "set SPARK_GRAFT_SOAK=1 to run the soak walks")
+    Seq(11L, 17L, 23L, 99L).foreach(runWalk(_, steps = 40))
+    Seq(13L, 29L).foreach(runManifestWalk(_, steps = 30))
+  }
+
   test("random walk, seed 42: read/readAt/changesSince match the model at every step") {
     runWalk(seed = 42L, steps = 30)
   }
