@@ -415,15 +415,15 @@ object CorpusStore {
   /** Last-writer-wins resolution of a delta union over a base frame —
     * shared by [[read]]/[[readAt]]/[[prunedRead]]/[[lookup]]. The base
     * never shuffles while the delta mass is within `maxBroadcastKeys`
-    * (footer-counted preflight, then a broadcast anti on the distinct
-    * delta keys); past the bound the resolution degrades to a plain
-    * shuffled anti-join with identical output instead of an unbounded
-    * broadcast. */
+    * (footer-counted preflight — `deltaRows`, the caller's driver-side
+    * [[graft.sources.ParquetMeta]] read over the delta dirs, the same
+    * number a count-star job would return without the job; total delta
+    * rows bounds the distinct key count from above); past the bound the
+    * resolution degrades to a plain shuffled anti-join with identical
+    * output instead of an unbounded broadcast. */
   private def resolve(base: DataFrame, du: DataFrame, key: String,
-      maxBroadcastKeys: Long, evolveSchema: Boolean = false): DataFrame = {
-    // parquet count-star is footer metadata, not a data scan; total delta
-    // rows bounds the distinct key count from above
-    val deltaRows = du.count()
+      deltaRows: Long, maxBroadcastKeys: Long,
+      evolveSchema: Boolean = false): DataFrame = {
     // secondary tie-break on __op: within one seq, 'd' sorts before 'u',
     // so a key upserted AND tombstoned in the same append deterministically
     // resolves to the tombstone (not whichever row the shuffle saw first)
@@ -479,7 +479,8 @@ object CorpusStore {
     val deltas = deltaPaths(spark, dir)
     if (deltas.isEmpty) return base
     resolve(base, readDeltas(spark, deltas, evolveSchema), key,
-      maxBroadcastKeys, evolveSchema)
+      graft.sources.ParquetMeta.rows(spark, deltas), maxBroadcastKeys,
+      evolveSchema)
   }
 
   /** The seq encoded in a delta dir name (`delta_<%019d>`, minor folds
@@ -506,7 +507,8 @@ object CorpusStore {
     val deltas = deltaPaths(spark, dir).filter(p => deltaSeqOf(p) <= asOfSeq)
     if (deltas.isEmpty) return base
     resolve(base, readDeltas(spark, deltas, evolveSchema), key,
-      maxBroadcastKeys, evolveSchema)
+      graft.sources.ParquetMeta.rows(spark, deltas), maxBroadcastKeys,
+      evolveSchema)
   }
 
   /** A delta's commit instant: the mtime of the `_SUCCESS` its write
@@ -609,21 +611,25 @@ object CorpusStore {
     require(hasManifest(spark, dir),
       s"prunedRead needs a manifest: init the store with statsCols, got none in $dir")
     val basePrefix = new Path(baseDir).toUri.getPath
-    var m = spark.read.parquet(manifestPath(dir))
-    var baseSlice = m.filter(col("file").startsWith(basePrefix))
-    if (baseSlice.limit(1).count() == 0L) {
-      // stale manifest (compact crash state 5): no entry covers the
-      // current generation — silent empty pruning would LOSE base rows
+    // stale-manifest detection (compact crash state 5) by PART NAME, a
+    // driver metadata check instead of a limit(1) Spark job: the part
+    // covering a data dir is named `<dirname>.parquet` by construction
+    // (ScanPruning.writePart), so "no part named after the current base
+    // generation" IS "no entry covers the current generation" — silent
+    // empty pruning would LOSE base rows, so rebuild first
+    val basePart = new Path(manifestPath(dir),
+      s"${new Path(baseDir).getName}.parquet")
+    if (!fs(spark, dir).exists(basePart))
       ScanPruning.rebuildManifest(spark, baseDir, manifestPath(dir))
-      m = spark.read.parquet(manifestPath(dir))
-      baseSlice = m.filter(col("file").startsWith(basePrefix))
-    }
+    val m = spark.read.parquet(manifestPath(dir))
+    val baseSlice = m.filter(col("file").startsWith(basePrefix))
     val prunedBase = ScanPruning.prunedScan(spark, baseDir, baseSlice, keep)
     val deltas = asOfSeq.fold(deltaPaths(spark, dir))(a =>
       deltaPaths(spark, dir).filter(p => deltaSeqOf(p) <= a))
     if (deltas.isEmpty) return prunedBase
     resolve(prunedBase, readDeltas(spark, deltas, evolveSchema), key,
-      maxBroadcastKeys, evolveSchema)
+      graft.sources.ParquetMeta.rows(spark, deltas), maxBroadcastKeys,
+      evolveSchema)
   }
 
   /** Point/small-IN lookup by key: open only the base files whose bloom
@@ -731,9 +737,10 @@ object CorpusStore {
     }
   }
 
-  /** Rows written to `delta_<seq>` — a parquet footer count, no scan. */
+  /** Rows written to `delta_<seq>` — a parquet footer count, no scan
+    * (driver-side footer read, no Spark job). */
   private def deltaRowCount(spark: SparkSession, dir: String, seq: Long): Long =
-    spark.read.parquet(deltaDirOf(dir, seq)).count()
+    graft.sources.ParquetMeta.rows(spark, Seq(deltaDirOf(dir, seq)))
 
   /** Row-level DELETE by predicate — `DELETE FROM store WHERE cond`, the
     * DML verb of the table formats, expressed in the merge-on-read log:
@@ -1115,6 +1122,7 @@ object CorpusStore {
     // from then on
     val folded = resolve(spark.read.parquet(baseDir),
       readDeltas(spark, deltas, evolveSchema), key,
+      graft.sources.ParquetMeta.rows(spark, deltas),
       DefaultMaxBroadcastKeys, evolveSchema)
     val newDir = f"$dir/$GenPrefix${gen + 1}%019d"
     // clusterBy: compaction is already the O(corpus) rewrite, so it is
@@ -1392,7 +1400,7 @@ object CorpusStore {
     val d = fs(spark, dir)
     val gen = currentBase(spark, dir)._1
     def rowsOf(p: String): Option[Long] =
-      try Some(spark.read.parquet(p).count()) catch {
+      try Some(graft.sources.ParquetMeta.rows(spark, Seq(p))) catch {
         case scala.util.control.NonFatal(_) => None
       }
     val rows = d.listStatus(new Path(dir)).toSeq
@@ -1497,8 +1505,12 @@ object CorpusStore {
     // the fence excludes must neither trip a threshold nor be folded
     val deltas = deltaPaths(spark, dir).filter(p => deltaSeqOf(p) < foldBelowSeq)
     if (deltas.isEmpty) return "none"
-    val deltaRows = spark.read.parquet(deltas: _*).count()
-    val baseRows = spark.read.parquet(currentBase(spark, dir)._2).count()
+    // driver-side footer reads (ParquetMeta): the cadence decision is
+    // metadata-only by contract — paying a Spark job per count would
+    // make "call it after every append" cost two stages when idle
+    val deltaRows = graft.sources.ParquetMeta.rows(spark, deltas)
+    val baseRows = graft.sources.ParquetMeta.rows(spark,
+      Seq(currentBase(spark, dir)._2))
     if (deltaRows > maxDeltaToBaseRatio * math.max(baseRows, 1L)) {
       compact(spark, dir, key, evolveSchema, clusterBy, clusterFiles,
         retainGenerations, minRetainMs, foldBelowSeq)

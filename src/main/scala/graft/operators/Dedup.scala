@@ -116,6 +116,12 @@ object Dedup {
     val sh = shingled(docs)
     val withSig = sh.withColumn("sig",
       HashFunctions.minhashSignature(col("sh"), numHashes))
+    // deliberately NOT pinned: the band self-join consumes this frame
+    // twice, but both replays pipeline inside one adaptive job — an
+    // eager checkpoint here was MEASURED slower at sf0.1 (1.07 -> 1.45 s,
+    // for both the wide-shingle and the slim band-row variants: the
+    // materialization barrier costs more than the second minhash fold),
+    // and the verify step already pins its candidate-pruned slice.
     val bandRows = withSig
       .select(col("doc_id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
@@ -256,10 +262,14 @@ object Dedup {
       s"agreeChunks must be in [1,4], got $agreeChunks")
     val chunks = maxHamming + agreeChunks
     val width = 64 / chunks
+    // pinned once: the keyed frame self-joins (a/b), and unpinned each
+    // side replays the tokenize + simhash fold — the dominant per-row
+    // compute. Two longs per doc: trivially checkpointable at any scale.
     val base = docs
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), HashFunctions.simhash(col("toks"), portableHash).as("sim"))
+      .localCheckpoint(true)
     // chunk c covers bits [c*width, (c+1)*width); the final chunk absorbs
     // the 64 - chunks*width remainder bits (shiftright sign-extends, so
     // the unsigned mask is load-bearing for the last chunk)
@@ -396,17 +406,29 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
       maxDf: Int = Int.MaxValue): DataFrame = {
     val sh = shingled(docs)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     // join on the 64-bit gram hash, not the gram text: same pairs (64-bit
-    // collisions are vanishingly rare) at a fraction of the shuffle bytes
+    // collisions are vanishingly rare) at a fraction of the shuffle bytes.
+    // The exploded hash index is pinned ONCE (gramContamination's 16-
+    // bytes-per-gram discipline): the unpinned plan consumed the shingle
+    // chain SIX times — the df aggregate and gram rejoin on each
+    // self-join side plus two per-doc size lookups — each replaying the
+    // scan + round-robin + tokenize + shingle chain (measured at sf0.1:
+    // six full-text scans and six 32-way text shuffles for one answer).
+    // Pinning the WIDE shingle frame instead was measured slower:
+    // string-array serialization costs more than the longs.
+    val grams0 = sh
+      .select(col("doc_id"), explode(transform(col("sh"), g => xxhash64(g))).as("gram"))
+      .transform(Compute.checkpointSer)
+    // per-doc shingle-set size == the doc's exploded gram count (explode
+    // emits one row per array entry, duplicates included) — derived from
+    // the pinned longs instead of re-shingling the corpus per join side
+    val sizes = grams0.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // minDf = 2: gram hashes appearing in ONE document cannot contribute
     // to `common` (a shared gram has df >= 2), and per-doc set sizes are
-    // computed from the PRE-cut `sizes` projection above, so the cut is
+    // computed from the PRE-cut `sizes` aggregate above, so the cut is
     // output-invariant — it only drops the (majority, on a Heaps-law
     // corpus) unique-gram postings before the quadratic self-join
-    val grams = dfCut(
-      sh.select(col("doc_id"), explode(transform(col("sh"), g => xxhash64(g))).as("gram")),
-      "gram", maxDf, minDf = 2)
+    val grams = dfCut(grams0, "gram", maxDf, minDf = 2)
     val a = grams.as("a")
     val b = grams.as("b")
     val common = a.join(b,

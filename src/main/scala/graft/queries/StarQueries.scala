@@ -530,15 +530,18 @@ object StarQueries {
   private def approxQuantile(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
+      // ONE exact-percentile aggregate for all three band points: each
+      // separate percentile(col, p) call buffers and sorts the whole
+      // group independently — the array form shares one buffer and one
+      // sort (same values, same interpolation, bit-identical results)
       .agg(expr("percentile_approx(o_totalprice, 0.5D, 100)").as("approx_med"),
-        expr("percentile(o_totalprice, 0.45D)").as("p45"),
-        expr("percentile(o_totalprice, 0.5D)").as("p50"),
-        expr("percentile(o_totalprice, 0.55D)").as("p55"),
+        expr("percentile(o_totalprice, array(0.45D, 0.5D, 0.55D))").as("ps"),
         count(lit(1)).as("n"))
-      .select(col("o_orderstatus"), round(col("p50"), 4).as("median_exact"),
+      .select(col("o_orderstatus"),
+        round(col("ps").getItem(1), 4).as("median_exact"),
         col("n"),
-        (col("approx_med") >= col("p45") &&
-          col("approx_med") <= col("p55")).as("within_rank_band"))
+        (col("approx_med") >= col("ps").getItem(0) &&
+          col("approx_med") <= col("ps").getItem(2)).as("within_rank_band"))
       .orderBy(col("o_orderstatus"))
 
   private val approxQuantileSql =

@@ -983,8 +983,16 @@ object TextQueries {
       when(col("doc_id") % 3 =!= 1,
           concat(lit(BoilerPlant + " "), col("source"), lit(" "), col("text")))
         .otherwise(col("text")).as("text"))
-    val clean = Subdoc.dropBoilerplate(planted, "doc_id", "source", "text",
-      chunkWords = 8, maxDocFrac = 0.5, minDocs = 2L)
+    // pin the rebuilt post-strip corpus ONCE: it has three consumers
+    // (dedupChunks reads it twice internally — chunk explode + map-side
+    // rebuild — plus the source join-back below), and unpinned each one
+    // replays the whole tokenize + chunk + broadcast-filter rebuild.
+    // The pinned plan is shuffle-free (the boilerplate decision set is
+    // already pinned inside dropBoilerplate), so the checkpoint loses no
+    // AQE; serialized storage per the repo's wide-text discipline.
+    val clean = graft.operators.Compute.checkpointSer(
+      Subdoc.dropBoilerplate(planted, "doc_id", "source", "text",
+        chunkWords = 8, maxDocFrac = 0.5, minDocs = 2L))
     val deduped = Subdoc.dedupChunks(clean, "doc_id", "text", chunkWords = 8)
     deduped
       .join(clean.select(col("doc_id"), col("source")), Seq("doc_id"))

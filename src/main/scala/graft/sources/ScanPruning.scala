@@ -111,15 +111,15 @@ object ScanPruning {
   }
 
   /** Resolve [[AutoBloomBits]] against a landing directory: footer row
-    * count / file count (a metadata read — the empty-schema parquet scan
-    * never materializes a column). */
+    * count / file count — a driver-side [[ParquetMeta]] footer read (the
+    * same bytes a count-star job reads, without scheduling the job). */
   private def resolveBloomBits(spark: SparkSession, dataDir: String,
       bloomBits: Int): Int =
     if (bloomBits != AutoBloomBits) bloomBits
     else {
-      val df = spark.read.parquet(dataDir)
-      val files = math.max(df.inputFiles.length, 1)
-      sizeBloomBits((df.count() + files - 1) / files)
+      val (rows, nFiles) = ParquetMeta.rowsAndFiles(spark, Seq(dataDir))
+      val files = math.max(nFiles, 1)
+      sizeBloomBits((rows + files - 1) / files)
     }
 
   /** Per-file stats manifest: `file, n_rows, <c>_min, <c>_max` for each
@@ -185,29 +185,25 @@ object ScanPruning {
   private def partTag(dataDir: String): String = new Path(dataDir).getName
 
   /** Write one manifest part: the rows land as a single parquet file
-    * `<tag>.parquet` inside `manifestPath`, built under an
-    * underscore-prefixed temp dir (invisible to concurrent manifest
+    * `<tag>.parquet` inside `manifestPath`, written DRIVER-SIDE
+    * ([[org.apache.spark.sql.graft.DriverParquet]] — the rows are
+    * O(files of one landing) driver-resident metadata, and a DataFrame
+    * write would schedule a whole Spark job for one tiny task) to an
+    * underscore-prefixed temp file (invisible to concurrent manifest
     * reads) and moved into place by rename. An existing same-name part
     * is replaced — the idempotent-replay contract. */
   private def writePart(spark: SparkSession, manifestPath: String,
       tag: String, rows: Seq[Row], schema: StructType): Unit = {
     val dir = new Path(manifestPath)
     val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dir, s"_tmp_$tag")
-    // parallelize(…, 1): exactly one part file, even for zero rows (an
-    // empty LocalRelation write can plan zero tasks and emit no file)
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.sortBy(_.getString(0)), 1), schema)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val part = fsys.listStatus(tmp).map(_.getPath)
-      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(
-        s"manifest part write produced no parquet file under $tmp"))
+    fsys.mkdirs(dir)
+    val tmp = new Path(dir, s"_tmp_$tag.parquet")
+    org.apache.spark.sql.graft.DriverParquet.write(spark, schema,
+      rows.sortBy(_.getString(0)), tmp)
     val target = new Path(dir, s"$tag.parquet")
     if (fsys.exists(target))
       require(fsys.delete(target, false), s"could not replace manifest part $target")
-    require(fsys.rename(part, target), s"could not move manifest part into $target")
-    fsys.delete(tmp, true)
+    require(fsys.rename(tmp, target), s"could not move manifest part into $target")
   }
 
   /** Reset the manifest to a single part covering `dataDir` — the

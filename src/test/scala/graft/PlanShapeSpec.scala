@@ -211,7 +211,15 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("native expressions stay inside whole-stage codegen") {
-    val df = SparkEntry.queries("dedup_simhash")(spark, sf)
+    // the registered dedup_simhash now PINS its (doc_id, sim) projection
+    // (the self-join read it twice), so the returned plan's leaf is the
+    // checkpoint RDD and the simhash fold lives in the pinned subtree —
+    // assert the codegen property on that projection directly
+    import org.apache.spark.sql.functions.col
+    val df = graft.Tables.documents(spark, sf).select(col("doc_id"),
+      graft.functions.HashFunctions.simhash(
+        graft.functions.TextFunctions.tokens(col("text")), portable = true)
+        .as("sim"))
     df.collect() // let AQE finalize the stages
     // codegen'd operators carry the "*(stageId)" marker in the simple plan
     val p = df.queryExecution.executedPlan.toString
