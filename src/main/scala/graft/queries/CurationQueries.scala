@@ -168,7 +168,11 @@ object CurationQueries {
   private def docsPplBuckets(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+    // pinned once: the model has TWO consumers (the broadcast probe join
+    // and the corpus-total fold below) and unpinned each replays the
+    // full corpus explode + aggregate; vocabulary-sized, cheap to pin
     val model = tok.groupBy(col("token")).agg(count(lit(1)).as("n_t"))
+      .localCheckpoint(true)
     // corpus token total from the (tiny) model, not a third scan of tok
     val total = model.agg(sum(col("n_t")).as("n_total"))
     val perDoc = tok.join(broadcast(model), "token")

@@ -84,4 +84,98 @@ object ParquetMeta {
   /** [[rowsAndFiles]]' row count alone. */
   def rows(spark: SparkSession, dirs: Seq[String]): Long =
     rowsAndFiles(spark, dirs)._1
+
+  /** One data file's footer census for a stats manifest: plain path,
+    * row count, and per requested column the (min, max) merged across
+    * its row groups' column-chunk statistics. */
+  final case class FileStats(path: String, rows: Long,
+      minMax: Seq[(Option[Any], Option[Any])])
+
+  /** Per-file footer statistics over `dir` for integral columns —
+    * `None` whenever footers cannot be trusted to reproduce the
+    * one-pass aggregate EXACTLY, so callers fall back to the scan:
+    *   - a requested column is not physically INT64/INT32 with a plain
+    *     or int logical annotation (dates, decimals, strings all have
+    *     subtler stats semantics — truncation, ordering — and floats
+    *     have NaN ordering; exactness is only free for fixed-width
+    *     integers);
+    *   - any column chunk lacks statistics, or carries ambiguous ones
+    *     (no recorded non-null value while the chunk has non-null rows
+    *     — treating that as "all null" would fabricate a null min/max
+    *     and silently DROP the file from every box intersection).
+    * Min/max values come back as java.lang.Long / Integer matching the
+    * physical type; an all-null column yields (None, None), exactly the
+    * aggregate's null min/max. */
+  def fileColumnStats(spark: SparkSession, dir: String,
+      cols: Seq[String]): Option[Seq[FileStats]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = dataFiles(conf, dir)
+    if (files.isEmpty) return None // scan path's schema read throws the same contract error
+
+    // null result = this file's footers cannot reproduce the aggregate
+    def statsOf(f: Path): FileStats = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        val blocks = r.getRowGroups.asScala.toSeq
+        var ok = true
+        val perCol = cols.map { c =>
+          var mn: Option[Any] = None
+          var mx: Option[Any] = None
+          if (ok) {
+            val okType = schema.containsField(c) && {
+              val fld = schema.getType(Seq(c): _*)
+              fld.isPrimitive && {
+                val pt = fld.asPrimitiveType()
+                (pt.getPrimitiveTypeName == INT64 ||
+                  pt.getPrimitiveTypeName == INT32) &&
+                (pt.getLogicalTypeAnnotation == null ||
+                  pt.getLogicalTypeAnnotation.isInstanceOf[
+                    org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation])
+              }
+            }
+            if (!okType) ok = false
+            else blocks.foreach { b =>
+              if (ok) b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+                case None => ok = false
+                case Some(cc) =>
+                  val st = cc.getStatistics
+                  if (st == null) ok = false
+                  else if (st.hasNonNullValue) (st.genericGetMin, st.genericGetMax) match {
+                    case (p: java.lang.Long, q: java.lang.Long) =>
+                      mn = Some(mn.fold(p: Any)(m =>
+                        if (p < m.asInstanceOf[java.lang.Long]) p else m))
+                      mx = Some(mx.fold(q: Any)(m =>
+                        if (q > m.asInstanceOf[java.lang.Long]) q else m))
+                    case (p: java.lang.Integer, q: java.lang.Integer) =>
+                      mn = Some(mn.fold(p: Any)(m =>
+                        if (p < m.asInstanceOf[java.lang.Integer]) p else m))
+                      mx = Some(mx.fold(q: Any)(m =>
+                        if (q > m.asInstanceOf[java.lang.Integer]) q else m))
+                    case _ => ok = false
+                  }
+                  else if (!(st.isNumNullsSet && st.getNumNulls == b.getRowCount))
+                    ok = false // not provably all-null: a fabricated null
+                               // min/max would DROP the file from box scans
+              }
+            }
+          }
+          (mn, mx)
+        }
+        if (!ok) null
+        else FileStats(f.toUri.getPath, blocks.map(_.getRowCount).sum, perCol)
+      } finally r.close()
+    }
+
+    val tasks: java.util.List[java.util.concurrent.Callable[FileStats]] =
+      files.map { f =>
+        new java.util.concurrent.Callable[FileStats] {
+          def call(): FileStats = statsOf(f)
+        }: java.util.concurrent.Callable[FileStats]
+      }.asJava
+    val out = pool.invokeAll(tasks).asScala.map(_.get()).toSeq
+    if (out.contains(null)) None else Some(out)
+  }
 }

@@ -168,16 +168,65 @@ object ScanPruning {
     else f
 
   /** [[buildManifest]] with decoded driver-side rows — the persisted
-    * form. O(files of dataDir) rows pass the driver, nothing else. */
+    * form. O(files of dataDir) rows pass the driver, nothing else.
+    * STATS-ONLY manifests over integral columns skip the aggregate scan
+    * entirely: parquet column-chunk statistics are EXACT for fixed-width
+    * integers, so `file, n_rows, min, max` all come from the footers the
+    * driver already has to list ([[ParquetMeta.fileColumnStats]]) — the
+    * manifest build becomes O(files) metadata with zero Spark jobs,
+    * which is what the table formats do at landing. Any column the
+    * footers cannot reproduce exactly (non-integral type, missing or
+    * ambiguous chunk stats) falls back to the one-pass aggregate with
+    * identical output; bloom manifests always scan (the filter needs
+    * every value). */
   private def decodedRows(spark: SparkSession, dataDir: String,
       cols: Seq[String], bloomCols: Seq[String] = Nil,
       bloomBits: Int = AutoBloomBits,
       bloomHashes: Int = DefaultBloomHashes): (Seq[Row], StructType) = {
+    if (bloomCols.isEmpty) {
+      footerDecodedRows(spark, dataDir, cols) match {
+        case Some(r) => return r
+        case None => ()
+      }
+    }
     val m = buildManifest(spark, dataDir, cols, bloomCols, bloomBits, bloomHashes)
     val rows = m.collect().toIndexedSeq
       .map(r => Row.fromSeq(decodePath(r.getString(0)) +: r.toSeq.tail))
     (rows, m.schema)
   }
+
+  /** The footer fast path of [[decodedRows]]: rows + schema shaped
+    * exactly like the aggregate's (`file, n_rows, <c>_min, <c>_max` in
+    * `cols` order, column-typed min/max), or None when any footer or
+    * type cannot reproduce the aggregate exactly. */
+  private def footerDecodedRows(spark: SparkSession, dataDir: String,
+      cols: Seq[String]): Option[(Seq[Row], StructType)] =
+    ParquetMeta.fileColumnStats(spark, dataDir, cols).flatMap { fs =>
+      import org.apache.spark.sql.types._
+      val dataSchema = spark.read.parquet(dataDir).schema
+      val dts = cols.map(c => dataSchema.fields.find(_.name == c).map(_.dataType))
+      def matches(v: Any, dt: DataType): Boolean = (v, dt) match {
+        case (_: java.lang.Long, LongType) => true
+        case (_: java.lang.Integer, IntegerType) => true
+        case _ => false // e.g. parquet int8/16 read as Byte/Short by Spark
+      }
+      lazy val typed = dts.map(_.get)
+      if (dts.exists(_.isEmpty) ||
+          fs.exists(f => f.minMax.zip(typed).exists { case ((mn, mx), dt) =>
+            mn.exists(!matches(_, dt)) || mx.exists(!matches(_, dt)) })) None
+      else {
+        val schema = StructType(
+          StructField("file", StringType, nullable = true) +:
+            StructField("n_rows", LongType, nullable = false) +:
+            cols.zip(typed).flatMap { case (c, dt) => Seq(
+              StructField(s"${c}_min", dt, nullable = true),
+              StructField(s"${c}_max", dt, nullable = true)) })
+        val rows = fs.map(f => Row.fromSeq(
+          f.path +: java.lang.Long.valueOf(f.rows) +: f.minMax.flatMap {
+            case (mn, mx) => Seq(mn.orNull, mx.orNull) }))
+        Some((rows, schema))
+      }
+    }
 
   /** The part name a data directory's entries land under: its last path
     * segment (`base`, `delta_<seq>`, ...) — so a same-directory rewrite

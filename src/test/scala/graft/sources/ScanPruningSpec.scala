@@ -272,4 +272,42 @@ class ScanPruningSpec extends SparkTestBase {
     assert(out.count() === 0)
     assert(out.columns.toSeq === spark.read.parquet(zDir).columns.toSeq)
   }
+
+  test("footer-built stats manifest equals the aggregate scan's, incl. nulls and the non-integral fallback") {
+    // integral (long, with an all-null slice) + string stat columns: the
+    // persisted writer takes the parquet-footer fast path for the former
+    // and must fall back to the one-pass aggregate for the latter — both
+    // with entries identical to buildManifest's scan, which is the
+    // ground truth the footer path must reproduce EXACTLY
+    val dir = s"$tmp/graft-test-prune-footer"
+    val mLong = s"$tmp/graft-test-prune-footer-mlong"
+    val mStr = s"$tmp/graft-test-prune-footer-mstr"
+    import spark.implicits._
+    val df = (1L to 4000L).map(i =>
+        (i, if (i % 3 == 0) null else s"name_$i",
+          if (i <= 2000) java.lang.Long.valueOf(i * 7) else null))
+      .toDF("id", "name", "maybe")
+      .repartitionByRange(4, col("id"))
+    df.write.mode("overwrite").parquet(dir)
+    def persisted(mPath: String, cols: Seq[String]) = {
+      ScanPruning.writeManifest(spark, dir, mPath, cols)
+      spark.read.parquet(mPath).collect()
+        .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName,
+          r.toSeq.tail)).toMap
+    }
+    def scanned(cols: Seq[String]) =
+      ScanPruning.buildManifest(spark, dir, cols).collect()
+        .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName,
+          r.toSeq.tail)).toMap
+    // long columns (one holding an all-null file): footer path, row-identical
+    assert(persisted(mLong, Seq("id", "maybe")) === scanned(Seq("id", "maybe")))
+    // a string column cannot ride footer stats: fallback, still identical
+    assert(persisted(mStr, Seq("id", "name")) === scanned(Seq("id", "name")))
+    // and the footer-built manifest prunes transparently
+    val m = spark.read.parquet(mLong)
+    val pruned = ScanPruning.prunedScan(spark, dir, m,
+      ScanPruning.boxPredicate(Seq(("id", 1L, 1000L))))
+    assert(pruned.inputFiles.length < 4)
+    assert(pruned.filter(col("id").between(1L, 1000L)).count() === 1000L)
+  }
 }
