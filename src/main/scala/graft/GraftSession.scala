@@ -43,6 +43,14 @@ object GraftSession {
       // the winnowing df-cut join-back at 5M docs).
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
+      // the generated-class cache defaults to 100 entries — a library
+      // whose workloads re-run many distinct plans in one JVM (a
+      // multi-query session, every foreachBatch stream re-planning per
+      // microbatch) evicts and Janino-RECOMPILES the same codegen units
+      // over and over; entries are weakly referenced, so a bigger cache
+      // costs memory only while the classes are live anyway. Static
+      // conf: takes effect only via builder, before the first session.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
 
   def getOrCreate(): SparkSession = builder().getOrCreate()
